@@ -1,0 +1,113 @@
+"""Golden-value and property tests for the 1D GLL basis/quadrature layer.
+
+Formalizes the verification strategy of the reference (SURVEY.md §4):
+replaces Basix as the tabulation oracle with analytic golden values.
+"""
+
+import numpy as np
+import pytest
+
+from wave_fenics_tpu.core import basis
+
+
+def test_gll_points_weights_golden():
+    # n=2 on [0,1]: trapezoid
+    pts, wts = basis.gll_points_weights(2)
+    np.testing.assert_allclose(pts, [0.0, 1.0], atol=1e-15)
+    np.testing.assert_allclose(wts, [0.5, 0.5], atol=1e-15)
+    # n=3: Simpson
+    pts, wts = basis.gll_points_weights(3)
+    np.testing.assert_allclose(pts, [0.0, 0.5, 1.0], atol=1e-15)
+    np.testing.assert_allclose(wts, [1 / 6, 4 / 6, 1 / 6], atol=1e-15)
+    # n=4: interior points (1 -+ 1/sqrt(5))/2, weights 1/12, 5/12
+    pts, wts = basis.gll_points_weights(4)
+    s = 1 / np.sqrt(5)
+    np.testing.assert_allclose(
+        pts, [0.0, (1 - s) / 2, (1 + s) / 2, 1.0], atol=1e-14
+    )
+    np.testing.assert_allclose(wts, [1 / 12, 5 / 12, 5 / 12, 1 / 12], atol=1e-14)
+
+
+@pytest.mark.parametrize("n", range(2, 20))
+def test_gll_exactness(n):
+    """n-point GLL integrates polynomials up to degree 2n-3 exactly."""
+    pts, wts = basis.gll_points_weights(n)
+    for d in range(2 * n - 2):
+        exact = 1.0 / (d + 1)
+        np.testing.assert_allclose(
+            np.sum(wts * pts**d), exact, rtol=1e-12, err_msg=f"n={n} deg={d}"
+        )
+
+
+@pytest.mark.parametrize("n", range(1, 12))
+def test_gauss_exactness(n):
+    pts, wts = basis.gauss_points_weights(n)
+    for d in range(2 * n):
+        np.testing.assert_allclose(np.sum(wts * pts**d), 1.0 / (d + 1), rtol=1e-12)
+
+
+def test_qdegree_map():
+    # common/operators.hpp:63-72
+    assert [basis.qdegree(p) for p in range(2, 11)] == [3, 4, 6, 8, 10, 12, 14, 16, 18]
+
+
+@pytest.mark.parametrize("p", range(1, 9))
+def test_collocation(p):
+    """The reference q(p) map makes quadrature points == basis nodes, so the
+    interpolation matrix is the identity (diagonal mass property)."""
+    tab = basis.tabulate_1d(p)
+    assert tab.collocated
+    assert tab.nq == p + 1
+    np.testing.assert_array_equal(tab.B, np.eye(p + 1))
+
+
+@pytest.mark.parametrize("p", range(1, 9))
+def test_lagrange_properties(p):
+    tab = basis.tabulate_1d(p, q=2 * p + 2, rule="gauss")
+    assert not tab.collocated
+    # partition of unity, derivative rows sum to zero
+    np.testing.assert_allclose(tab.B.sum(axis=1), 1.0, atol=1e-12)
+    np.testing.assert_allclose(tab.D.sum(axis=1), 0.0, atol=1e-10)
+    # interpolation reproduces polynomials up to degree p
+    for d in range(p + 1):
+        np.testing.assert_allclose(
+            tab.B @ tab.nodes**d, tab.qpts**d, atol=1e-11
+        )
+        np.testing.assert_allclose(
+            tab.D @ tab.nodes**d,
+            d * tab.qpts ** max(d - 1, 0) if d > 0 else np.zeros(tab.nq),
+            atol=1e-9,
+        )
+
+
+@pytest.mark.parametrize("p", range(1, 7))
+def test_derivative_matrix_collocated(p):
+    """Collocated D is the GLL differentiation matrix: D @ nodes^d = d*nodes^(d-1)."""
+    tab = basis.tabulate_1d(p)
+    for d in range(1, p + 1):
+        np.testing.assert_allclose(
+            tab.D @ tab.nodes**d, d * tab.nodes ** (d - 1), atol=1e-10
+        )
+
+
+@pytest.mark.parametrize("p", [1, 2, 3, 4, 5])
+def test_tp_permutation_bijection(p):
+    perm = basis.tensor_product_permutation(p)
+    nd = (p + 1) ** 3
+    assert perm.shape == (nd,)
+    assert sorted(perm.tolist()) == list(range(nd))
+    # The 8 cell corners in lexicographic order must map to basix vertex dofs 0..7
+    n = p + 1
+    corners_lex = [
+        i * p + n * (j * p) + n * n * (k * p)
+        for (i, j, k) in [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+                          (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1)]
+    ]
+    assert [perm[c] for c in corners_lex] == list(range(8))
+
+
+def test_clamp_table():
+    t = np.array([1.0 - 1e-12, -1.0 + 1e-12, 1e-13, 0.5])
+    out = basis.clamp_table(t)
+    np.testing.assert_array_equal(out[:3], [1.0, -1.0, 0.0])
+    assert out[3] == 0.5

@@ -1,0 +1,128 @@
+"""Continuous-Galerkin dof numbering on hexes, tensor-product order first.
+
+Replaces the DOLFINx dofmap machinery the reference leans on
+(``V->dofmap()->list()``, common/operators.hpp:56) plus the runtime
+tensor-product reordering (``reorder_dofmap``, common/permute.hpp:10-28):
+our native numbering is lexicographic/tensor-product from the start, so no
+permutation ever appears on the hot path.
+
+Two representations:
+
+1. Structured (``StructuredDofGrid``): the global dof vector IS a 3D grid
+   ``[Nx, Ny, Nz]`` with ``Nd = n_cells_d * p + 1``. Element dof tensors
+   ``[nc, p+1, p+1, p+1]`` map to grid blocks by pure reshape/overlap-add
+   (see ops.gather_scatter) — zero indexed gather/scatter on TPU.
+
+2. General (``build_dofmap``): explicit ``dofmap[nc, (p+1)^3]`` built by
+   geometric dedup of element node coordinates, for imported hex meshes.
+   Consumed by the jnp.take / segment_sum operator path.
+
+Element-local tensors use axes [c, i, j, k] with i->x, j->y, k->z and
+C-order flattening (z fastest), matching geometry.quadrature_points_3d.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .basis import gll_points_weights
+from .mesh import HexMesh, StructuredBoxMesh
+
+__all__ = ["StructuredDofGrid", "build_dofmap", "GeneralDofMap"]
+
+
+@dataclass(frozen=True)
+class StructuredDofGrid:
+    """Degree-p GLL dof grid over a structured box mesh."""
+
+    mesh: StructuredBoxMesh
+    p: int
+
+    @property
+    def grid_shape(self) -> tuple[int, int, int]:
+        return tuple(n * self.p + 1 for n in self.mesh.shape)
+
+    @property
+    def ndofs(self) -> int:
+        gx, gy, gz = self.grid_shape
+        return gx * gy * gz
+
+    @property
+    def ncells(self) -> int:
+        return self.mesh.ncells
+
+    def axis_coords(self, axis: int) -> np.ndarray:
+        """Physical node coordinates along one axis, shape [n*p+1]."""
+        n = self.mesh.shape[axis]
+        h = self.mesh.h[axis]
+        o = self.mesh.origin[axis]
+        nodes, _ = gll_points_weights(self.p + 1)
+        line = o + h * (np.arange(n)[:, None] + nodes[None, :])  # [n, p+1]
+        return np.concatenate([line[:, :-1].ravel(), line[-1:, -1]])
+
+    def dof_coords_grid(self) -> np.ndarray:
+        """Node coordinates as [Nx, Ny, Nz, 3]."""
+        x = self.axis_coords(0)
+        y = self.axis_coords(1)
+        z = self.axis_coords(2)
+        X, Y, Z = np.meshgrid(x, y, z, indexing="ij")
+        return np.stack([X, Y, Z], axis=-1)
+
+    def dofmap(self) -> np.ndarray:
+        """Explicit dofmap [ncells, (p+1)^3] (flat global ids, C-order grid).
+
+        Only needed by the general/segment-sum path and by tests; the
+        structured operators never materialize it.
+        """
+        nx, ny, nz = self.mesh.shape
+        gx, gy, gz = self.grid_shape
+        p = self.p
+        m = p + 1
+        ax = [np.arange(n)[:, None] * p + np.arange(m)[None, :] for n in (nx, ny, nz)]
+        # cells ordered x slowest (C-order over (cx, cy, cz))
+        gi = ax[0][:, None, None, :, None, None]  # [nx,1,1,m,1,1]
+        gj = ax[1][None, :, None, None, :, None]
+        gk = ax[2][None, None, :, None, None, :]
+        flat = (gi * gy + gj) * gz + gk  # broadcast [nx,ny,nz,m,m,m]
+        return flat.reshape(nx * ny * nz, m * m * m).astype(np.int32)
+
+
+@dataclass(frozen=True)
+class GeneralDofMap:
+    """Explicit dofmap for a general hex mesh (geometric dedup numbering)."""
+
+    dofmap: np.ndarray  # [nc, (p+1)^3] int32
+    ndofs: int
+    dof_coords: np.ndarray  # [ndofs, 3]
+    p: int
+
+    @property
+    def ncells(self) -> int:
+        return self.dofmap.shape[0]
+
+
+def build_dofmap(mesh: HexMesh, p: int, tol: float = 1e-9) -> GeneralDofMap:
+    """CG dof numbering by geometric dedup of trilinear-mapped GLL nodes.
+
+    Nodes on shared faces/edges coincide exactly under the trilinear map
+    (face restriction depends only on face vertices), so rounding-based
+    dedup at relative tolerance ``tol`` is exact for non-degenerate meshes.
+    """
+    from .geometry import trilinear_tabulate
+
+    nodes, _ = gll_points_weights(p + 1)
+    m = p + 1
+    X, Y, Z = np.meshgrid(nodes, nodes, nodes, indexing="ij")
+    ref_pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)  # [(p+1)^3, 3]
+    phi, _ = trilinear_tabulate(ref_pts)  # [nd, 8]
+    coords = np.einsum("nv,cvi->cni", phi, mesh.cell_coords())  # [nc, nd, 3]
+
+    scale = max(np.abs(mesh.points).max(), 1.0)
+    key = np.round(coords.reshape(-1, 3) / (scale * tol)).astype(np.int64)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    dofmap = inv.reshape(coords.shape[0], m * m * m).astype(np.int32)
+    dof_coords = np.zeros((uniq.shape[0], 3))
+    dof_coords[dofmap.ravel()] = coords.reshape(-1, 3)
+    return GeneralDofMap(dofmap=dofmap, ndofs=uniq.shape[0], dof_coords=dof_coords, p=p)

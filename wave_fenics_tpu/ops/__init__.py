@@ -1,1 +1,1 @@
-from . import gather_scatter  # noqa: F401
+from . import element_kernels, gather_scatter, operators  # noqa: F401

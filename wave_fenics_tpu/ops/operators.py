@@ -1,0 +1,180 @@
+"""Matrix-free global operators: gather -> element kernel -> scatter.
+
+Grid-level equivalents of the reference operator layer (SURVEY.md §1 L3):
+- ``MassOperator`` (GPU fused)          common/cuda/mass.hpp:17-107
+- ``SpectralMassOperator`` (diagonal)   common/cuda/spectral_mass.hpp:23-100
+- ``MassOperatorCPU``                   common/operators.hpp:43-109
+- ``StiffnessOperator``                 common/operators.hpp:136-201
+  (with c0 as a runtime parameter, fixing the reference's hardcoded
+   c0=1500 wart at common/operators.hpp:114)
+
+Two families:
+
+- ``StructuredOperators``: structured-box fast path — overlap gather/scatter,
+  diagonal geometric factor, everything closed over as jnp constants. Apply
+  functions are pure ``grid -> grid`` maps, jit/vmap/shard_map-safe.
+- ``GeneralOperators``: explicit-dofmap path (imported meshes), full 3x3 G,
+  jnp.take / sorted-scatter data movement on flat dof vectors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry
+from ..core.basis import tabulate_1d
+from ..core.dofmap import GeneralDofMap, StructuredDofGrid
+from ..core.mesh import HexMesh, StructuredBoxMesh
+from . import element_kernels as ek
+from . import gather_scatter as gs
+
+__all__ = ["StructuredOperators", "GeneralOperators"]
+
+
+@dataclass(frozen=True)
+class StructuredOperators:
+    """Matrix-free operators on a structured GLL dof grid.
+
+    Built once per (mesh, p, dtype); all tables are tiny jnp constants that
+    jit folds into the compiled program.
+    """
+
+    mesh: StructuredBoxMesh
+    p: int
+    dtype: type = jnp.float32
+
+    def __post_init__(self):
+        tab = tabulate_1d(self.p)
+        assert tab.collocated, "structured operators assume GLL collocation"
+        m = self.p + 1
+        Gdiag, detJw = geometry.structured_geometric_factors(self.mesh, self.p)
+        object.__setattr__(self, "_D", jnp.asarray(tab.D, dtype=self.dtype))
+        object.__setattr__(
+            self, "_detJw", jnp.asarray(detJw.reshape(1, m, m, m), dtype=self.dtype)
+        )
+        object.__setattr__(
+            self, "_Gdiag", jnp.asarray(Gdiag.reshape(1, m, m, m, 3), dtype=self.dtype)
+        )
+
+    @property
+    def grid_shape(self) -> tuple[int, int, int]:
+        return tuple(n * self.p + 1 for n in self.mesh.shape)
+
+    @property
+    def ndofs(self) -> int:
+        gx, gy, gz = self.grid_shape
+        return gx * gy * gz
+
+    # -- data movement -------------------------------------------------
+    def gather(self, x: jax.Array) -> jax.Array:
+        return gs.gather_grid(x, self.p)
+
+    def scatter(self, ye: jax.Array) -> jax.Array:
+        return gs.scatter_grid(ye, self.p, self.mesh.shape)
+
+    # -- operators ------------------------------------------------------
+    def spectral_mass(self, x: jax.Array) -> jax.Array:
+        """y = M x via gather -> pointwise detJw -> scatter
+        (common/cuda/spectral_mass.hpp:84-89 semantics)."""
+        return self.scatter(ek.spectral_mass_element(self.gather(x), self._detJw))
+
+    @cached_property
+    def lumped_mass(self) -> jax.Array:
+        """m = M @ 1 as a grid — the diagonal of M under GLL collocation
+        (LinearGLL.hpp:105-110). Mass matvec == pointwise m*x."""
+        m = self.p + 1
+        nc = self.mesh.ncells
+        ones = jnp.broadcast_to(self._detJw, (nc, m, m, m))
+        return self.scatter(ones)
+
+    def mass(self, x: jax.Array) -> jax.Array:
+        """Collocated mass matvec via the lumped vector (pointwise)."""
+        return self.lumped_mass * x
+
+    def stiffness(self, x: jax.Array, c0: float | jax.Array = 1.0) -> jax.Array:
+        """y = -c0^2 * K x (sign convention of the reference skernel,
+        common/operators.hpp:114-133)."""
+        coeff = -jnp.asarray(c0, dtype=self.dtype) ** 2
+        ye = ek.stiffness_element_diag(self.gather(x), self._D, self._Gdiag, coeff)
+        return self.scatter(ye)
+
+
+def _detjw_elem(detJw: np.ndarray, nq1: int, dtype) -> jax.Array:
+    nc = detJw.shape[0]
+    return jnp.asarray(detJw.reshape(nc, nq1, nq1, nq1), dtype=dtype)
+
+
+@dataclass(frozen=True)
+class GeneralOperators:
+    """Matrix-free operators over an explicit dofmap (imported hex meshes).
+
+    Supports non-collocated quadrature (``rule='gauss'`` — the decomposed
+    B^T D B pipeline of demo/gpu_operator) and full 3x3 geometric factors.
+    Vectors are flat ``[ndofs]`` arrays.
+    """
+
+    mesh: HexMesh
+    dofs: GeneralDofMap
+    dtype: type = jnp.float32
+    q: int | None = None
+    rule: str = "gll"
+
+    def __post_init__(self):
+        p = self.dofs.p
+        tab = tabulate_1d(p, self.q, self.rule)
+        G, detJw = geometry.precompute_geometric_data(
+            self.mesh, p, self.q, self.rule
+        )
+        nq1 = tab.nq
+        nc = self.mesh.ncells
+        object.__setattr__(self, "_tab", tab)
+        object.__setattr__(self, "_B", jnp.asarray(tab.B, dtype=self.dtype))
+        object.__setattr__(self, "_D", jnp.asarray(tab.D, dtype=self.dtype))
+        object.__setattr__(self, "_detJw", _detjw_elem(detJw, nq1, self.dtype))
+        object.__setattr__(
+            self,
+            "_G",
+            jnp.asarray(G.reshape(nc, nq1, nq1, nq1, 3, 3), dtype=self.dtype),
+        )
+        object.__setattr__(self, "_dofmap", jnp.asarray(self.dofs.dofmap))
+
+    @property
+    def ndofs(self) -> int:
+        return self.dofs.ndofs
+
+    def gather(self, x: jax.Array) -> jax.Array:
+        m = self.dofs.p + 1
+        xe = gs.gather_indexed(x, self._dofmap)
+        return xe.reshape(-1, m, m, m)
+
+    def scatter(self, ye: jax.Array) -> jax.Array:
+        nc = ye.shape[0]
+        return gs.scatter_indexed(ye.reshape(nc, -1), self._dofmap, self.ndofs)
+
+    def mass(self, x: jax.Array) -> jax.Array:
+        """y = M x — general sum-factorized B^T diag(detJw) B per element
+        (mass_apply semantics, common/cuda/mass_kernel.cu:4-46)."""
+        return self.scatter(ek.mass_element(self.gather(x), self._B, self._detJw))
+
+    def spectral_mass(self, x: jax.Array) -> jax.Array:
+        """Diagonal path; requires collocated quadrature."""
+        assert self._tab.collocated
+        return self.scatter(ek.spectral_mass_element(self.gather(x), self._detJw))
+
+    @cached_property
+    def lumped_mass(self) -> jax.Array:
+        return self.mass(jnp.ones((self.ndofs,), dtype=self.dtype))
+
+    def stiffness(self, x: jax.Array, c0: float | jax.Array = 1.0) -> jax.Array:
+        """y = -c0^2 K x with full G (skernel semantics,
+        common/operators.hpp:112-133)."""
+        coeff = -jnp.asarray(c0, dtype=self.dtype) ** 2
+        ye = ek.stiffness_element_full(
+            self.gather(x), self._B, self._D, self._G, coeff
+        )
+        return self.scatter(ye)

@@ -1,0 +1,81 @@
+"""End-to-end model tests: boundary weights, windowing, and the analytic
+plane-wave validation of the planar3d HIFU solve (SURVEY.md §4.6, done
+in-repo here rather than offline)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wave_fenics_tpu.core.mesh import FacetTags, box_mesh
+from wave_fenics_tpu.models.linear_wave import LinearWave, lumped_boundary_weights
+from wave_fenics_tpu.models.planar3d import analytic_plane_wave, planar3d_case
+
+
+def test_boundary_weights_area():
+    """Lumped facet weights must integrate 1 to the face area."""
+    mesh = box_mesh((3, 2, 4), (1.0, 0.5, 2.0))
+    for fid, area in [(0, 0.5 * 2.0), (1, 0.5 * 2.0), (2, 1.0 * 2.0), (4, 1.0 * 0.5)]:
+        W = lumped_boundary_weights(mesh, 4, (fid,))
+        np.testing.assert_allclose(W.sum(), area, rtol=1e-12)
+
+
+def test_boundary_weights_quadratic_exactness():
+    """sum W * f(dofs) == integral of f over the face for smooth f (GLL
+    facet quadrature, exact for degree <= 2p-3 per direction)."""
+    mesh = box_mesh((2, 2, 2), (1.0, 1.0, 1.0))
+    p = 4
+    W = lumped_boundary_weights(mesh, p, (0,))  # x=0 face
+    from wave_fenics_tpu.core.dofmap import StructuredDofGrid
+
+    dg = StructuredDofGrid(mesh, p)
+    C = dg.dof_coords_grid()
+    f = C[..., 1] ** 3 * C[..., 2] ** 2  # integral over unit face = 1/4 * 1/3
+    np.testing.assert_allclose((W * f).sum(), 1.0 / 12.0, rtol=1e-12)
+
+
+def test_window_ramp():
+    case = planar3d_case(ncells=(4, 2, 2), domain_length=0.01)
+    m = case.model
+    T = m.period
+    assert float(m.window(jnp.asarray(0.0))) == 0.0
+    np.testing.assert_allclose(float(m.window(jnp.asarray(4 * T))), 1.0, atol=1e-12)
+    np.testing.assert_allclose(float(m.window(jnp.asarray(100 * T))), 1.0)
+    # monotone ramp
+    ts = np.linspace(0, 4 * T, 50)
+    ws = [float(m.window(jnp.asarray(t))) for t in ts]
+    assert all(b >= a - 1e-12 for a, b in zip(ws, ws[1:]))
+
+
+def test_zero_source_stays_zero():
+    mesh = box_mesh((4, 2, 2), (1.0, 0.5, 0.5), facet_tags=FacetTags({}))
+    model = LinearWave(mesh, p=3, dtype=jnp.float64)
+    u, v, _ = model.solve(0.0, 1e-5, 1e-6)
+    assert float(jnp.abs(u).max()) == 0.0
+    assert float(jnp.abs(v).max()) == 0.0
+
+
+@pytest.mark.slow
+def test_planar3d_analytic_plane_wave():
+    """The flagship correctness check: 2-wavelength planar HIFU solve in f64
+    must match the analytic traveling wave after the source ramp."""
+    case = planar3d_case(
+        ncells=(16, 2, 2), domain_length=6.0e-3, dtype=jnp.float64
+    )
+    m = case.model
+    solve = jax.jit(
+        lambda: m.solve(case.t0, case.tf, case.dt), static_argnums=()
+    )
+    u, v, nsteps = m.solve(case.t0, case.tf, case.dt)
+    u = np.asarray(u)
+    from wave_fenics_tpu.core.dofmap import StructuredDofGrid
+
+    dg = StructuredDofGrid(m.mesh, m.p)
+    x = dg.axis_coords(0)
+    u_line = u[:, 0, 0]  # transverse-invariant solution: take one line
+    u_exact = analytic_plane_wave(x, case.tf, case)
+    rel = np.linalg.norm(u_line - u_exact) / np.linalg.norm(u_exact)
+    assert rel < 1e-5, rel  # measured 6.4e-7 at this resolution
+    # transverse invariance
+    spread = np.abs(u - u_line[:, None, None]).max()
+    assert spread < 1e-6 * np.abs(u).max()

@@ -1,0 +1,95 @@
+"""RK4 and CG solver tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wave_fenics_tpu.core.dofmap import StructuredDofGrid
+from wave_fenics_tpu.core.mesh import box_mesh
+from wave_fenics_tpu.ops.operators import StructuredOperators
+from wave_fenics_tpu.solvers.cg import cg
+from wave_fenics_tpu.solvers.rk4 import rk4_solve, rk4_step
+
+
+def test_rk4_harmonic_oscillator_order():
+    """u'' = -w^2 u as the (u, v) system; RK4 must show 4th-order convergence."""
+    w = 2.0
+    f0 = lambda t, u, v: v
+    f1 = lambda t, u, v: -(w**2) * u
+    u0 = jnp.asarray(1.0, dtype=jnp.float64)
+    v0 = jnp.asarray(0.0, dtype=jnp.float64)
+    tf = 2.0
+    errs = []
+    for n in (50, 100, 200):
+        dt = tf / n
+        u, v, ns = rk4_solve(f0, f1, u0, v0, 0.0, tf, dt)
+        assert ns == n
+        errs.append(abs(float(u) - np.cos(w * tf)))
+    order1 = np.log2(errs[0] / errs[1])
+    order2 = np.log2(errs[1] / errs[2])
+    assert 3.7 < order1 < 4.3 and 3.7 < order2 < 4.3
+
+
+def test_rk4_final_partial_step():
+    f0 = lambda t, u, v: v
+    f1 = lambda t, u, v: -u
+    u0 = jnp.asarray(1.0, dtype=jnp.float64)
+    v0 = jnp.asarray(0.0, dtype=jnp.float64)
+    u, v, ns = rk4_solve(f0, f1, u0, v0, 0.0, 1.05, 0.1)
+    assert ns == 11  # 10 full + 1 partial
+    np.testing.assert_allclose(float(u), np.cos(1.05), atol=1e-6)
+
+
+def test_rk4_step_time_dependent_forcing():
+    # du/dt = v ; dv/dt = cos(t): v = sin(t), u = 1 - cos(t)
+    f0 = lambda t, u, v: v
+    f1 = lambda t, u, v: jnp.cos(t)
+    u, v, _ = rk4_solve(
+        f0, f1, jnp.asarray(0.0, dtype=jnp.float64),
+        jnp.asarray(0.0, dtype=jnp.float64), 0.0, 3.0, 0.01
+    )
+    np.testing.assert_allclose(float(u), 1 - np.cos(3.0), atol=1e-8)
+    np.testing.assert_allclose(float(v), np.sin(3.0), atol=1e-8)
+
+
+def test_cg_dense_spd():
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((40, 40))
+    A = A @ A.T + 40 * np.eye(40)
+    b = rng.standard_normal(40)
+    Aj = jnp.asarray(A)
+    x, k, rnorm = cg(lambda v: Aj @ v, jnp.asarray(b), kmax=100, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b), rtol=1e-7)
+    assert int(k) < 100
+
+
+@pytest.mark.parametrize("p", [2, 3])
+def test_cg_mass_solve(p):
+    """Matrix-free CG on the (diagonal) mass system — the gpu_cg BP1 workload
+    shape (demo/gpu_cg/main.cpp:104-120). Diagonal SPD => converges fast."""
+    mesh = box_mesh((3, 3, 3), (1.0, 1.0, 1.0))
+    dg = StructuredDofGrid(mesh, p)
+    ops = StructuredOperators(mesh, p, dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal(dg.grid_shape))
+    solve = jax.jit(lambda b: cg(ops.spectral_mass, b, kmax=50, rtol=1e-10))
+    x, k, rnorm = solve(b)
+    # verify A x == b
+    res = np.asarray(ops.spectral_mass(x) - b)
+    assert np.linalg.norm(res) / np.linalg.norm(np.asarray(b)) < 1e-8
+
+
+def test_cg_stiffness_shifted():
+    """CG on (M + dt^2 K)-like SPD operator (implicit-step shape)."""
+    mesh = box_mesh((2, 2, 2), (1.0, 1.0, 1.0))
+    ops = StructuredOperators(mesh, 3, dtype=jnp.float64)
+
+    def A(v):
+        return ops.mass(v) - 1e-3 * ops.stiffness(v, 1.0)  # M + 1e-3*K_pos
+
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.standard_normal(ops.grid_shape))
+    x, k, _ = cg(A, b, kmax=400, rtol=1e-10)
+    res = np.asarray(A(x) - b)
+    assert np.linalg.norm(res) / np.linalg.norm(np.asarray(b)) < 1e-7

@@ -12,6 +12,6 @@ matrix-free CG), built TPU-first:
   ``lax.ppermute`` halo exchange over ICI and ``lax.psum`` reductions
 """
 
-from . import core, ops  # noqa: F401
+from . import core, models, ops, solvers  # noqa: F401
 
 __version__ = "0.1.0"

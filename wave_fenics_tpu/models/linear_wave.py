@@ -1,0 +1,176 @@
+"""Linear second-order wave equation with source and absorbing boundaries.
+
+TPU-native re-design of the reference model layer:
+- ``LinearGLLOpt``     (common/LinearGLL.hpp:37-288): lumped mass, source
+  windowing, RK4 driver
+- the UFL boundary form (demo/cpu_planar3d/forms.ufl:21-24):
+    L(v) = c0^2 * [ <g, v>_ds(1)  -  (1/c0) <v_n, v>_ds(2) ]
+  with GLL facet quadrature.
+
+Key representational shift: because facet quadrature is GLL-collocated, the
+two boundary integrals are *diagonal* in the dof basis — they reduce to
+precomputed lumped facet-weight grids W1/W2, so the per-stage "boundary
+assembly" (fem::assemble_vector over ffcx facet kernels,
+LinearGLL.hpp:175) becomes two pointwise AXPYs. No facet loop, no assembly,
+nothing dynamic in the hot path.
+
+Physics/time-stepping semantics match LinearGLL.hpp:
+  du/dt = v
+  dv/dt = ( -c0^2 K u + c0^2 g(t) W1 - c0 W2 v ) / m
+  g(t)  = window(t) * p0 * w0 / c0 * cos(w0 t)        (:162)
+  window(t) = 0.5 (1 - cos(f0 pi t / alpha)), t < alpha T; else 1  (:154-159)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.basis import gll_points_weights
+from ..core.mesh import StructuredBoxMesh
+from ..ops.operators import StructuredOperators
+from ..solvers.rk4 import rk4_solve
+
+__all__ = ["LinearWave", "lumped_boundary_weights"]
+
+
+def _lumped_line(ncells: int, p: int, h: float) -> np.ndarray:
+    """1D lumped GLL weight line: overlap-add of per-cell weights, scaled by h."""
+    _, w = gll_points_weights(p + 1)
+    out = np.zeros(ncells * p + 1)
+    for c in range(ncells):
+        out[c * p : (c + 1) * p + 1] += w
+    return h * out
+
+
+def lumped_boundary_weights(
+    mesh: StructuredBoxMesh, p: int, facets: tuple[int, ...]
+) -> np.ndarray:
+    """Lumped facet-mass grid: W[dof] = sum over tagged facets of
+    integral of the dof's basis function over the facet (GLL-collocated
+    facet quadrature => diagonal). Shape = dof grid; nonzero only on the
+    selected box faces.
+
+    Replaces the ffcx-generated exterior-facet kernels of the reference
+    boundary form (forms.ufl:19-24) for structured boxes.
+    """
+    from ..core.mesh import BOX_FACETS
+
+    shape = tuple(n * p + 1 for n in mesh.shape)
+    W = np.zeros(shape)
+    for fid in facets:
+        axis, side = BOX_FACETS[fid]
+        tang = [d for d in range(3) if d != axis]
+        lines = [
+            _lumped_line(mesh.shape[d], p, mesh.h[d]) for d in tang
+        ]
+        face = np.multiply.outer(lines[0], lines[1])
+        idx = [slice(None)] * 3
+        idx[axis] = 0 if side == 0 else -1
+        W[tuple(idx)] += face
+    return W
+
+
+@dataclass(frozen=True)
+class LinearWave:
+    """The wave model on a structured box: operators + physics + integrator.
+
+    Parameters mirror LinearGLLOpt's constructor
+    (common/LinearGLL.hpp:69-128): basis degree, speed of sound, source
+    frequency, pressure amplitude; plus boundary tags resolved through the
+    mesh's facet_tags (source tag 1, absorbing tag 2, forms.ufl:21-24).
+    """
+
+    mesh: StructuredBoxMesh
+    p: int
+    c0: float = 1500.0
+    freq0: float = 0.5e6
+    p0: float = 60000.0
+    alpha: float = 4.0
+    source_tag: int = 1
+    abc_tag: int = 2
+    dtype: type = jnp.float32
+
+    @cached_property
+    def ops(self) -> StructuredOperators:
+        return StructuredOperators(self.mesh, self.p, dtype=self.dtype)
+
+    @property
+    def w0(self) -> float:
+        return 2.0 * np.pi * self.freq0
+
+    @property
+    def period(self) -> float:
+        return 1.0 / self.freq0
+
+    @cached_property
+    def m(self) -> jax.Array:
+        """Lumped mass grid m = M @ 1 (LinearGLL.hpp:105-110)."""
+        return self.ops.lumped_mass
+
+    @cached_property
+    def inv_m(self) -> jax.Array:
+        """1/m precomputed — the optimization the reference left as a TODO
+        (LinearGLL.hpp:179-181)."""
+        return 1.0 / self.m
+
+    @cached_property
+    def W1(self) -> jax.Array:
+        facets = self.mesh.facet_tags.facets_of(self.source_tag)
+        return jnp.asarray(
+            lumped_boundary_weights(self.mesh, self.p, facets), dtype=self.dtype
+        )
+
+    @cached_property
+    def W2(self) -> jax.Array:
+        facets = self.mesh.facet_tags.facets_of(self.abc_tag)
+        return jnp.asarray(
+            lumped_boundary_weights(self.mesh, self.p, facets), dtype=self.dtype
+        )
+
+    # -- physics --------------------------------------------------------
+    def window(self, t: jax.Array) -> jax.Array:
+        """Source ramp over the first alpha periods (LinearGLL.hpp:154-159)."""
+        Talpha = self.period * self.alpha
+        ramp = 0.5 * (1.0 - jnp.cos(self.freq0 * jnp.pi * t / self.alpha))
+        return jnp.where(t < Talpha, ramp, 1.0)
+
+    def g_amplitude(self, t: jax.Array) -> jax.Array:
+        """Uniform source value g(t) (LinearGLL.hpp:162)."""
+        return self.window(t) * self.p0 * self.w0 / self.c0 * jnp.cos(self.w0 * t)
+
+    def f0(self, t, u, v):
+        """du/dt = v (LinearGLL.hpp:141-144)."""
+        return v
+
+    def f1(self, t, u, v):
+        """dv/dt = (stiffness + boundary) / m (LinearGLL.hpp:151-192)."""
+        b = self.ops.stiffness(u, self.c0)
+        b = b + (self.c0**2 * self.g_amplitude(t)) * self.W1 - self.c0 * (
+            self.W2 * v
+        )
+        return b * self.inv_m
+
+    # -- driver -----------------------------------------------------------
+    def zero_state(self) -> tuple[jax.Array, jax.Array]:
+        """u_0 = v_0 = 0 (LinearGLL.hpp:131-134)."""
+        z = jnp.zeros(self.ops.grid_shape, dtype=self.dtype)
+        return z, z
+
+    def solve(
+        self,
+        t0: float,
+        tf: float,
+        dt: float,
+        u0: jax.Array | None = None,
+        v0: jax.Array | None = None,
+    ):
+        """RK4 from t0 to tf; returns (u, v, nsteps). Jit the closure once
+        per (shape, dt) — the scan compiles to a single device program."""
+        if u0 is None:
+            u0, v0 = self.zero_state()
+        return rk4_solve(self.f0, self.f1, u0, v0, t0, tf, dt)

@@ -28,6 +28,7 @@ import numpy as np
 
 __all__ = [
     "qdegree",
+    "lumped_weight_line",
     "gll_points_weights",
     "gauss_points_weights",
     "lagrange_tabulate_1d",
@@ -219,6 +220,20 @@ def tabulate_1d(p: int, q: int | None = None, rule: str = "gll") -> Tab1D:
     if collocated:
         B = np.eye(nodes.size)
     return Tab1D(nodes=nodes, qpts=qpts, qwts=qwts, B=B, D=D, collocated=collocated)
+
+
+def lumped_weight_line(ncells: int, p: int, h: float) -> np.ndarray:
+    """1D lumped GLL weight line: overlap-add of per-cell quadrature weights
+    scaled by the cell size h. Shape [ncells*p + 1].
+
+    Building block for closed-form lumped mass / facet-mass vectors on
+    structured meshes (the m = M @ 1 of LinearGLL.hpp:105-110, separable).
+    """
+    _, w = gll_points_weights(p + 1)
+    out = np.zeros(ncells * p + 1)
+    for c in range(ncells):
+        out[c * p : (c + 1) * p + 1] += w
+    return h * out
 
 
 # ---------------------------------------------------------------------------

@@ -30,21 +30,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.basis import gll_points_weights
+from ..core.basis import lumped_weight_line
 from ..core.mesh import StructuredBoxMesh
 from ..ops.operators import StructuredOperators
 from ..solvers.rk4 import rk4_solve
 
 __all__ = ["LinearWave", "lumped_boundary_weights"]
-
-
-def _lumped_line(ncells: int, p: int, h: float) -> np.ndarray:
-    """1D lumped GLL weight line: overlap-add of per-cell weights, scaled by h."""
-    _, w = gll_points_weights(p + 1)
-    out = np.zeros(ncells * p + 1)
-    for c in range(ncells):
-        out[c * p : (c + 1) * p + 1] += w
-    return h * out
 
 
 def lumped_boundary_weights(
@@ -66,7 +57,7 @@ def lumped_boundary_weights(
         axis, side = BOX_FACETS[fid]
         tang = [d for d in range(3) if d != axis]
         lines = [
-            _lumped_line(mesh.shape[d], p, mesh.h[d]) for d in tang
+            lumped_weight_line(mesh.shape[d], p, mesh.h[d]) for d in tang
         ]
         face = np.multiply.outer(lines[0], lines[1])
         idx = [slice(None)] * 3
@@ -108,28 +99,28 @@ class LinearWave:
         return 1.0 / self.freq0
 
     @cached_property
-    def m(self) -> jax.Array:
+    def m(self) -> np.ndarray:
         """Lumped mass grid m = M @ 1 (LinearGLL.hpp:105-110)."""
         return self.ops.lumped_mass
 
     @cached_property
-    def inv_m(self) -> jax.Array:
+    def inv_m(self) -> np.ndarray:
         """1/m precomputed — the optimization the reference left as a TODO
-        (LinearGLL.hpp:179-181)."""
+        (LinearGLL.hpp:179-181). NumPy constant; trace-safe."""
         return 1.0 / self.m
 
     @cached_property
-    def W1(self) -> jax.Array:
+    def W1(self) -> np.ndarray:
         facets = self.mesh.facet_tags.facets_of(self.source_tag)
-        return jnp.asarray(
-            lumped_boundary_weights(self.mesh, self.p, facets), dtype=self.dtype
+        return lumped_boundary_weights(self.mesh, self.p, facets).astype(
+            np.dtype(self.dtype)
         )
 
     @cached_property
-    def W2(self) -> jax.Array:
+    def W2(self) -> np.ndarray:
         facets = self.mesh.facet_tags.facets_of(self.abc_tag)
-        return jnp.asarray(
-            lumped_boundary_weights(self.mesh, self.p, facets), dtype=self.dtype
+        return lumped_boundary_weights(self.mesh, self.p, facets).astype(
+            np.dtype(self.dtype)
         )
 
     # -- physics --------------------------------------------------------

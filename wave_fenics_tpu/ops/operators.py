@@ -53,12 +53,14 @@ class StructuredOperators:
         assert tab.collocated, "structured operators assume GLL collocation"
         m = self.p + 1
         Gdiag, detJw = geometry.structured_geometric_factors(self.mesh, self.p)
-        object.__setattr__(self, "_D", jnp.asarray(tab.D, dtype=self.dtype))
+        # Tables are kept as NumPy: jnp ops treat them as compile-time
+        # constants, and (unlike jnp arrays created lazily) they can never
+        # leak tracers when an operator is first built inside a jit trace.
+        npdt = np.dtype(self.dtype)
+        object.__setattr__(self, "_D", tab.D.astype(npdt))
+        object.__setattr__(self, "_detJw", detJw.reshape(1, m, m, m).astype(npdt))
         object.__setattr__(
-            self, "_detJw", jnp.asarray(detJw.reshape(1, m, m, m), dtype=self.dtype)
-        )
-        object.__setattr__(
-            self, "_Gdiag", jnp.asarray(Gdiag.reshape(1, m, m, m, 3), dtype=self.dtype)
+            self, "_Gdiag", Gdiag.reshape(1, m, m, m, 3).astype(npdt)
         )
 
     @property
@@ -84,13 +86,19 @@ class StructuredOperators:
         return self.scatter(ek.spectral_mass_element(self.gather(x), self._detJw))
 
     @cached_property
-    def lumped_mass(self) -> jax.Array:
+    def lumped_mass(self) -> np.ndarray:
         """m = M @ 1 as a grid — the diagonal of M under GLL collocation
-        (LinearGLL.hpp:105-110). Mass matvec == pointwise m*x."""
-        m = self.p + 1
-        nc = self.mesh.ncells
-        ones = jnp.broadcast_to(self._detJw, (nc, m, m, m))
-        return self.scatter(ones)
+        (LinearGLL.hpp:105-110). Mass matvec == pointwise m*x.
+
+        Closed form on structured boxes: the separable overlap-add of 1D
+        GLL weight lines (NumPy constant; trace-safe)."""
+        from ..core.basis import lumped_weight_line
+
+        lines = [
+            lumped_weight_line(self.mesh.shape[d], self.p, self.mesh.h[d])
+            for d in range(3)
+        ]
+        return np.einsum("i,j,k->ijk", *lines).astype(np.dtype(self.dtype))
 
     def mass(self, x: jax.Array) -> jax.Array:
         """Collocated mass matvec via the lumped vector (pointwise)."""
@@ -102,11 +110,6 @@ class StructuredOperators:
         coeff = -jnp.asarray(c0, dtype=self.dtype) ** 2
         ye = ek.stiffness_element_diag(self.gather(x), self._D, self._Gdiag, coeff)
         return self.scatter(ye)
-
-
-def _detjw_elem(detJw: np.ndarray, nq1: int, dtype) -> jax.Array:
-    nc = detJw.shape[0]
-    return jnp.asarray(detJw.reshape(nc, nq1, nq1, nq1), dtype=dtype)
 
 
 @dataclass(frozen=True)
@@ -132,16 +135,17 @@ class GeneralOperators:
         )
         nq1 = tab.nq
         nc = self.mesh.ncells
+        npdt = np.dtype(self.dtype)
         object.__setattr__(self, "_tab", tab)
-        object.__setattr__(self, "_B", jnp.asarray(tab.B, dtype=self.dtype))
-        object.__setattr__(self, "_D", jnp.asarray(tab.D, dtype=self.dtype))
-        object.__setattr__(self, "_detJw", _detjw_elem(detJw, nq1, self.dtype))
+        object.__setattr__(self, "_B", tab.B.astype(npdt))
+        object.__setattr__(self, "_D", tab.D.astype(npdt))
         object.__setattr__(
-            self,
-            "_G",
-            jnp.asarray(G.reshape(nc, nq1, nq1, nq1, 3, 3), dtype=self.dtype),
+            self, "_detJw", detJw.reshape(nc, nq1, nq1, nq1).astype(npdt)
         )
-        object.__setattr__(self, "_dofmap", jnp.asarray(self.dofs.dofmap))
+        object.__setattr__(
+            self, "_G", G.reshape(nc, nq1, nq1, nq1, 3, 3).astype(npdt)
+        )
+        object.__setattr__(self, "_dofmap", self.dofs.dofmap)
 
     @property
     def ndofs(self) -> int:
@@ -167,8 +171,20 @@ class GeneralOperators:
         return self.scatter(ek.spectral_mass_element(self.gather(x), self._detJw))
 
     @cached_property
-    def lumped_mass(self) -> jax.Array:
-        return self.mass(jnp.ones((self.ndofs,), dtype=self.dtype))
+    def lumped_mass(self) -> np.ndarray:
+        """m = M @ 1 via NumPy (host precompute; trace-safe constant)."""
+        m1 = self.dofs.p + 1
+        nc = self.mesh.ncells
+        ones = np.ones((nc, m1, m1, m1), dtype=np.dtype(self.dtype))
+        uq = np.einsum("qi,cijk->cqjk", self._B, ones)
+        uq = np.einsum("qj,cijk->ciqk", self._B, uq)
+        uq = np.einsum("qk,cijk->cijq", self._B, uq) * self._detJw
+        ye = np.einsum("qi,cqjk->cijk", self._B, uq)
+        ye = np.einsum("qj,ciqk->cijk", self._B, ye)
+        ye = np.einsum("qk,cijq->cijk", self._B, ye)
+        out = np.zeros((self.ndofs,), dtype=np.dtype(self.dtype))
+        np.add.at(out, self._dofmap.ravel(), ye.reshape(nc, -1).ravel())
+        return out
 
     def stiffness(self, x: jax.Array, c0: float | jax.Array = 1.0) -> jax.Array:
         """y = -c0^2 K x with full G (skernel semantics,

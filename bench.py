@@ -1,0 +1,66 @@
+"""Headline benchmark: planar3d HIFU RK4 throughput on one TPU chip.
+
+Prints ONE JSON line: GDoF*steps/second for the p=4 3D planar wave solve
+(the reference's north-star workload, demo/cpu_planar3d). Baseline target
+from BASELINE.md: >= 1.0 GDoF*steps/sec/chip at p=4 on TPU v5e, so
+vs_baseline = value / 1.0.
+
+Usage: python bench.py [--cells NX NY NZ] [--degree P] [--steps N]
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cells", type=int, nargs=3, default=(64, 32, 32))
+    ap.add_argument("--degree", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--warmup", type=int, default=2)
+    args = ap.parse_args()
+
+    from wave_fenics_tpu.models.planar3d import planar3d_case
+
+    case = planar3d_case(
+        ncells=tuple(args.cells), domain_length=0.1, degree=args.degree,
+        dtype=jnp.float32,
+    )
+    m = case.model
+    ndofs = m.ops.ndofs
+    dt = case.dt
+    nsteps = args.steps
+
+    u0, v0 = m.zero_state()
+
+    @jax.jit
+    def run(u, v):
+        u, v, _ = m.solve(0.0, nsteps * dt, dt, u, v)
+        return u, v
+
+    from wave_fenics_tpu.utils.timing import timeit
+
+    # transfer-based sync: block_until_ready is unreliable on tunneled
+    # backends, so timeit forces a device->host element fetch
+    elapsed = timeit(run, u0, v0, reps=3, warmup=args.warmup)
+
+    gdof_steps = ndofs * nsteps / elapsed / 1e9
+    print(
+        json.dumps(
+            {
+                "metric": f"planar3d RK4 GDoF*steps/s (p={args.degree}, "
+                f"{ndofs} dofs, 1 chip)",
+                "value": round(gdof_steps, 4),
+                "unit": "GDoF*steps/s",
+                "vs_baseline": round(gdof_steps / 1.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Shared benchmark harness: CLI flags + result table.
+
+Replaces the reference's per-demo boost::program_options parsing and result
+table printer (``read_inputs`` / ``output_table``, demo/gpu_cg/utils.hpp:12-87)
+with one argparse/JSON helper. Flag names are kept compatible where the
+reference had them (--size/--degree/--s/--p/--check).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def make_parser(**defaults) -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=defaults.get("size", 32),
+                    help="cells per axis of the unit box")
+    ap.add_argument("--degree", "--p", type=int, dest="degree",
+                    default=defaults.get("degree", 4))
+    ap.add_argument("--s", type=int, default=defaults.get("s", None),
+                    help="total cells = 2^s (overrides --size; gpu_cg style)")
+    ap.add_argument("--reps", type=int, default=defaults.get("reps", 100))
+    ap.add_argument("--check", action="store_true",
+                    help="verify against the f64 oracle path")
+    ap.add_argument("--dtype", choices=["f32", "bf16", "f64"], default="f32")
+    return ap
+
+
+def resolve_dtype(name: str):
+    import jax.numpy as jnp
+
+    return {"f32": jnp.float32, "bf16": jnp.bfloat16, "f64": jnp.float64}[name]
+
+
+def cells_from_args(args) -> tuple[int, int, int]:
+    """E = 2^s cells decomposed near-cubically (mesh.hpp:37-48 analogue),
+    or size^3."""
+    if args.s is not None:
+        from ..parallel.partition import decompose3d
+
+        return decompose3d(2**args.s)
+    return (args.size, args.size, args.size)
+
+
+def report(**kv) -> None:
+    """One JSON line, reference-table fields included
+    (utils.hpp:48-87 analogue)."""
+    print(json.dumps(kv))

@@ -1,0 +1,101 @@
+"""Gather/scatter + halo-exchange benchmarks (gpu_scatter_local /
+gpu_scatter_mpi demos).
+
+- local: structured overlap gather/scatter roundtrip vs indexed
+  (dofmap) path, with the iota exact-value check of
+  demo/gpu_scatter_local/main.cpp:84-90
+- halo: sharded halo-add exchange timing over an N-device mesh
+  (the VectorUpdater update_fwd/update_rev comparison,
+  demo/gpu_scatter_mpi/main.cpp:105-160); on a virtual CPU mesh this
+  measures correctness/dispatch, on a real slice it measures ICI.
+
+Run: python -m wave_fenics_tpu.benchmarks.scatter_bench --mode local --size 32
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.dofmap import StructuredDofGrid
+from ..core.mesh import box_mesh
+from ..ops import gather_scatter as gs
+from ..utils.timing import timeit
+from .common import make_parser, report, resolve_dtype
+
+
+def main():
+    ap = make_parser(size=32, degree=4, reps=50)
+    ap.add_argument("--mode", choices=["local", "halo"], default="local")
+    ap.add_argument("--ndev", type=int, default=8)
+    args = ap.parse_args()
+    dtype = resolve_dtype(args.dtype)
+    p = args.degree
+    mesh = box_mesh((args.size,) * 3, (1.0, 1.0, 1.0))
+    dg = StructuredDofGrid(mesh, p)
+    reps = args.reps
+
+    if args.mode == "local":
+        if args.check:
+            x = jnp.arange(dg.ndofs, dtype=jnp.float32).reshape(dg.grid_shape)
+            xe = gs.gather_grid(x, p)
+            ok = np.array_equal(
+                np.asarray(xe).reshape(dg.ncells, -1), dg.dofmap().astype(np.float32)
+            )
+            assert ok, "gather(iota) != dofmap"
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal(dg.grid_shape), dtype=dtype
+        )
+
+        @jax.jit
+        def run(x):
+            def body(i, a):
+                return gs.scatter_grid(gs.gather_grid(a, p), p, mesh.shape)
+            return lax.fori_loop(0, reps, body, x)
+
+        t = timeit(run, x, reps=3, warmup=1) / reps
+        report(
+            metric="structured gather+scatter roundtrip",
+            ndofs=dg.ndofs, degree=p, dtype=args.dtype,
+            ms=round(t * 1e3, 4),
+            gdofs_per_s=round(dg.ndofs / t / 1e9, 4),
+        )
+    else:
+        from ..models.linear_wave import LinearWave
+        from ..parallel.halo import halo_add
+        from ..parallel.partition import decompose3d
+        from ..parallel.sharded_wave import ShardedLinearWave, _BLOCK_SPEC
+        from jax import shard_map
+
+        model = LinearWave(mesh, p=p, dtype=dtype)
+        sw = ShardedLinearWave(model, decompose3d(args.ndev))
+        u, _ = sw.zero_state()
+        parts = sw.parts
+
+        def local(xb):
+            sq = xb.reshape(xb.shape[3:])
+            def body(i, a):
+                return halo_add(a, parts)
+            return lax.fori_loop(0, reps, body, sq).reshape(xb.shape)
+
+        run = jax.jit(
+            shard_map(
+                local, mesh=sw.mesh, in_specs=(_BLOCK_SPEC,), out_specs=_BLOCK_SPEC
+            )
+        )
+        t = timeit(run, u, reps=3, warmup=1) / reps
+        face = (
+            sw.block_shape[1] * sw.block_shape[2] * np.dtype(dtype).itemsize
+        )
+        report(
+            metric="halo-add exchange (3-axis ppermute)",
+            ndev=args.ndev, parts=list(parts), degree=p, dtype=args.dtype,
+            us_per_exchange=round(t * 1e6, 2),
+            face_bytes=face,
+        )
+
+
+if __name__ == "__main__":
+    main()

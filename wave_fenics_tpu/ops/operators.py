@@ -62,6 +62,13 @@ class StructuredOperators:
         object.__setattr__(
             self, "_Gdiag", Gdiag.reshape(1, m, m, m, 3).astype(npdt)
         )
+        from .separable import grid_lines, separable_stiffness_tables
+
+        A, _ = separable_stiffness_tables(self.p, self.mesh.h, self.dtype)
+        object.__setattr__(self, "_sepA", A)
+        object.__setattr__(
+            self, "_seplines", grid_lines(self.mesh.shape, self.p, self.dtype)
+        )
 
     @property
     def grid_shape(self) -> tuple[int, int, int]:
@@ -106,7 +113,20 @@ class StructuredOperators:
 
     def stiffness(self, x: jax.Array, c0: float | jax.Array = 1.0) -> jax.Array:
         """y = -c0^2 * K x (sign convention of the reference skernel,
-        common/operators.hpp:114-133)."""
+        common/operators.hpp:114-133).
+
+        Uses the separable grid-space formulation (ops.separable) — uniform
+        boxes make K separable per axis, eliminating all 3D cell tensors."""
+        from .separable import stiffness_separable
+
+        coeff = -jnp.asarray(c0, dtype=self.dtype) ** 2
+        return stiffness_separable(x, self._sepA, self._seplines, self.p, coeff)
+
+    def stiffness_percell(
+        self, x: jax.Array, c0: float | jax.Array = 1.0
+    ) -> jax.Array:
+        """Generic per-cell path (gather -> element contraction -> scatter);
+        kept as the cross-implementation oracle and for benchmarks."""
         coeff = -jnp.asarray(c0, dtype=self.dtype) ** 2
         ye = ek.stiffness_element_diag(self.gather(x), self._D, self._Gdiag, coeff)
         return self.scatter(ye)

@@ -1,1 +1,1 @@
-from . import timing  # noqa: F401
+from . import checkpoint, config, logging, profiling, timing  # noqa: F401

@@ -1,0 +1,73 @@
+"""Mesh I/O tests: XDMF (inline XML + HDF5) and npz round-trips."""
+
+import numpy as np
+import pytest
+
+from wave_fenics_tpu.core import io as mio
+from wave_fenics_tpu.core.dofmap import build_dofmap
+from wave_fenics_tpu.core.mesh import box_mesh
+
+_VTK_ORDER = np.array([0, 1, 3, 2, 4, 5, 7, 6])
+
+
+def _write_xdmf_inline(path, points, cells_vtk, name="mesh"):
+    pts = "\n".join(" ".join(f"{v:.17g}" for v in row) for row in points)
+    tp = "\n".join(" ".join(str(int(v)) for v in row) for row in cells_vtk)
+    path.write_text(f"""<?xml version="1.0"?>
+<Xdmf Version="3.0"><Domain>
+<Grid Name="{name}">
+<Topology TopologyType="Hexahedron" NumberOfElements="{len(cells_vtk)}">
+<DataItem Dimensions="{len(cells_vtk)} 8" Format="XML">{tp}</DataItem>
+</Topology>
+<Geometry GeometryType="XYZ">
+<DataItem Dimensions="{len(points)} 3" Format="XML">{pts}</DataItem>
+</Geometry>
+</Grid>
+</Domain></Xdmf>""")
+
+
+def test_read_xdmf_inline(tmp_path):
+    m = box_mesh((2, 2, 1), (1.0, 1.0, 0.5)).to_hex_mesh()
+    # convert basix order -> VTK order for writing
+    inv = np.argsort(_VTK_ORDER)
+    cells_vtk = m.cells[:, inv]
+    f = tmp_path / "m.xdmf"
+    _write_xdmf_inline(f, m.points, cells_vtk)
+    m2 = mio.read_xdmf(str(f))
+    np.testing.assert_allclose(m2.points, m.points)
+    np.testing.assert_array_equal(m2.cells, m.cells)
+    # imported mesh builds a working dofmap
+    dofs = build_dofmap(m2, 2)
+    assert dofs.ndofs == (2 * 2 + 1) * (2 * 2 + 1) * (1 * 2 + 1)
+
+
+def test_read_xdmf_hdf5(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    m = box_mesh((2, 1, 1), (1.0, 1.0, 1.0)).to_hex_mesh()
+    inv = np.argsort(_VTK_ORDER)
+    with h5py.File(tmp_path / "m.h5", "w") as f:
+        f["/Mesh/geom"] = m.points
+        f["/Mesh/topo"] = m.cells[:, inv]
+    (tmp_path / "m.xdmf").write_text(f"""<?xml version="1.0"?>
+<Xdmf Version="3.0"><Domain>
+<Grid Name="planar3d">
+<Topology TopologyType="Hexahedron" NumberOfElements="2">
+<DataItem Dimensions="2 8" Format="HDF">m.h5:/Mesh/topo</DataItem>
+</Topology>
+<Geometry GeometryType="XYZ">
+<DataItem Dimensions="{len(m.points)} 3" Format="HDF">m.h5:/Mesh/geom</DataItem>
+</Geometry>
+</Grid>
+</Domain></Xdmf>""")
+    m2 = mio.read_xdmf(str(tmp_path / "m.xdmf"), "planar3d")
+    np.testing.assert_allclose(m2.points, m.points)
+    np.testing.assert_array_equal(m2.cells, m.cells)
+
+
+def test_npz_roundtrip(tmp_path):
+    m = box_mesh((2, 2, 2), (1.0, 1.0, 1.0)).to_hex_mesh()
+    p = str(tmp_path / "m.npz")
+    mio.save_npz(p, m)
+    m2 = mio.load_npz(p)
+    np.testing.assert_array_equal(m2.cells, m.cells)
+    np.testing.assert_allclose(m2.points, m.points)

@@ -1,0 +1,123 @@
+"""Mesh I/O: XDMF/HDF5 import (DOLFINx-exported meshes) + native formats.
+
+Replaces the reference's mesh ingest path
+(``io::XDMFFile.read_mesh`` / ``read_meshtags``,
+demo/cpu_planar3d/main.cpp:40-45) so meshes produced for the reference
+(e.g. the planar3d HIFU mesh) can be loaded directly:
+
+- ``read_xdmf(path, grid_name)``: parses the XDMF XML, reads heavy data
+  from the referenced HDF5 (h5py) or inline XML, converts VTK/XDMF
+  hexahedron vertex ordering to basix ordering, returns a HexMesh.
+- ``read_xdmf_meshtags``: facet tags (exterior boundary facets + values).
+- ``save_npz`` / ``load_npz``: native lightweight format.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from .mesh import HexMesh
+
+__all__ = ["read_xdmf", "read_xdmf_meshtags", "save_npz", "load_npz"]
+
+# XDMF/VTK hexahedron vertex order -> basix order (see core.basis)
+_VTK_TO_BASIX = np.array([0, 1, 3, 2, 4, 5, 7, 6])
+
+
+def _read_data_item(item: ET.Element, xdmf_dir: str) -> np.ndarray:
+    fmt = item.get("Format", "XML")
+    dims = [int(d) for d in item.get("Dimensions", "").split()]
+    if fmt == "HDF":
+        import h5py
+
+        ref = item.text.strip()
+        fname, dset = ref.split(":")
+        with h5py.File(os.path.join(xdmf_dir, fname), "r") as f:
+            data = np.asarray(f[dset])
+    elif fmt == "XML":
+        data = np.fromstring(item.text.replace("\n", " "), sep=" ")
+    else:
+        raise ValueError(f"unsupported XDMF data format {fmt!r}")
+    return data.reshape(dims) if dims else data
+
+
+def _find_grid(root: ET.Element, name: str | None) -> ET.Element:
+    grids = root.findall(".//Grid")
+    if not grids:
+        raise ValueError("no <Grid> in XDMF file")
+    if name is None:
+        return grids[0]
+    for g in grids:
+        if g.get("Name") == name:
+            return g
+    raise ValueError(f"grid {name!r} not found; have {[g.get('Name') for g in grids]}")
+
+
+def read_xdmf(path: str, grid_name: str | None = None) -> HexMesh:
+    """Read a hexahedral mesh from an XDMF file (DOLFINx/meshio flavor)."""
+    tree = ET.parse(path)
+    root = tree.getroot()
+    xdmf_dir = os.path.dirname(os.path.abspath(path))
+    grid = _find_grid(root, grid_name)
+
+    topo = grid.find("Topology")
+    geom = grid.find("Geometry")
+    if topo is None or geom is None:
+        raise ValueError("grid missing Topology/Geometry")
+    ttype = (topo.get("TopologyType") or topo.get("Type") or "").lower()
+    if "hexahedron" not in ttype:
+        raise ValueError(f"only hexahedron meshes supported, got {ttype!r}")
+
+    cells = _read_data_item(topo.find("DataItem"), xdmf_dir).astype(np.int64)
+    cells = cells.reshape(-1, 8)[:, _VTK_TO_BASIX]
+    points = _read_data_item(geom.find("DataItem"), xdmf_dir).astype(np.float64)
+    if points.shape[1] == 2:
+        points = np.concatenate([points, np.zeros((len(points), 1))], axis=1)
+    return HexMesh(points=points, cells=cells)
+
+
+def read_xdmf_meshtags(
+    path: str, grid_name: str | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """(facets[n, 4] vertex ids, values[n]) of a quadrilateral facet-tag grid
+    (the read_meshtags analogue for exterior boundary facets)."""
+    tree = ET.parse(path)
+    root = tree.getroot()
+    xdmf_dir = os.path.dirname(os.path.abspath(path))
+    grid = _find_grid(root, grid_name)
+    topo = grid.find("Topology")
+    facets = _read_data_item(topo.find("DataItem"), xdmf_dir).astype(np.int64)
+    facets = facets.reshape(-1, 4)
+    vals = None
+    for attr in grid.findall("Attribute"):
+        vals = _read_data_item(attr.find("DataItem"), xdmf_dir).astype(np.int32)
+        break
+    if vals is None:
+        raise ValueError("no Attribute (tag values) in meshtags grid")
+    return facets, vals.ravel()
+
+
+def save_npz(path: str, mesh: HexMesh) -> None:
+    np.savez(
+        path,
+        points=mesh.points,
+        cells=mesh.cells,
+        facets=mesh.facets if mesh.facets is not None else np.zeros((0, 4), np.int64),
+        facet_tag_values=(
+            mesh.facet_tag_values
+            if mesh.facet_tag_values is not None
+            else np.zeros((0,), np.int32)
+        ),
+    )
+
+
+def load_npz(path: str) -> HexMesh:
+    d = np.load(path)
+    facets = d["facets"] if d["facets"].size else None
+    vals = d["facet_tag_values"] if d["facet_tag_values"].size else None
+    return HexMesh(
+        points=d["points"], cells=d["cells"], facets=facets, facet_tag_values=vals
+    )

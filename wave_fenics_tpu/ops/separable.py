@@ -52,13 +52,17 @@ def separable_stiffness_tables(
     return A, [w.astype(npdt) for _ in range(3)]
 
 
+# Contraction specs per gathered axis: contract the node dim (axis+1) with
+# A[i, m] in place, leaving the minor (lane) dims untouched.
+_AXIS_EINSUM = {0: "im,nmbc->nibc", 1: "im,anmc->anic", 2: "im,abnm->abni"}
+
+
 def apply_block_axis(x: jax.Array, A: np.ndarray, p: int, axis: int) -> jax.Array:
     """Cell-blockwise 1D operator along ``axis`` with overlap-add:
     out[c*p + i] += sum_j A[i, j] x[c*p + j] per cell c."""
     xe = gather_1d(x, p, axis)  # [..., n, m, ...] node dim at axis+1
-    node = axis + 1
-    ye = jnp.moveaxis(
-        jnp.tensordot(jnp.moveaxis(xe, node, -1), A.T, axes=([-1], [0])), -1, node
+    ye = jnp.einsum(
+        _AXIS_EINSUM[axis], A, xe, preferred_element_type=x.dtype
     )
     return scatter_1d(ye.astype(x.dtype), p, axis)
 

@@ -121,8 +121,15 @@ def build_dofmap(mesh: HexMesh, p: int, tol: float = 1e-9) -> GeneralDofMap:
 
     scale = max(np.abs(mesh.points).max(), 1.0)
     key = np.round(coords.reshape(-1, 3) / (scale * tol)).astype(np.int64)
-    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+
+    from .. import native
+
+    if mesh.ncells >= 1024 and native.available():
+        inv, ndofs = native.dedup_dofs(key)
+    else:
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        ndofs = uniq.shape[0]
     dofmap = inv.reshape(coords.shape[0], m * m * m).astype(np.int32)
-    dof_coords = np.zeros((uniq.shape[0], 3))
+    dof_coords = np.zeros((ndofs, 3))
     dof_coords[dofmap.ravel()] = coords.reshape(-1, 3)
-    return GeneralDofMap(dofmap=dofmap, ndofs=uniq.shape[0], dof_coords=dof_coords, p=p)
+    return GeneralDofMap(dofmap=dofmap, ndofs=ndofs, dof_coords=dof_coords, p=p)

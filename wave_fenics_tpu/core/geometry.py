@@ -110,19 +110,39 @@ def compute_geometrical_factor(
 
 
 def precompute_geometric_data(
-    mesh: HexMesh, p: int, q: int | None = None, rule: str = "gll", clamp: bool = True
+    mesh: HexMesh,
+    p: int,
+    q: int | None = None,
+    rule: str = "gll",
+    clamp: bool = True,
+    use_native: bool | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(G[nc, nq, 3, 3], detJw[nc, nq]) for a general hex mesh.
 
     Batched equivalent of precompute_geometric_data
     (common/precomputation.hpp:18-110), including the +-1/0 clamping of G
     (:105-107) and weight-scaling of |detJ| (:95).
+
+    ``use_native``: route through the C++ wavecore kernel (auto: for large
+    meshes when the native library is available).
     """
     tab = tabulate_1d(p, q, rule)
     pts3 = quadrature_points_3d(tab)
     w3 = quadrature_weights_3d(tab)
     _, dphi = trilinear_tabulate(pts3)
     coords = mesh.cell_coords()  # [nc, 8, 3]
+
+    if use_native is None:
+        use_native = mesh.ncells >= 4096
+    if use_native:
+        from .. import native
+
+        if native.available():
+            G, detJw = native.geometry_factors(coords, dphi, w3)
+            if clamp:
+                G = clamp_table(G)
+            return G, detJw
+
     J = compute_jacobian(coords, dphi)
     detJ = compute_jacobian_determinant(J)
     detJw = np.abs(detJ) * w3[None, :]

@@ -76,14 +76,17 @@ def _kernel(
     ty = jnp.zeros((Tx, Ty, Tz), dtype=dtype)
     tz = jnp.zeros((Tx, Ty, Tz), dtype=dtype)
     for k in range(K):
-        tx = tx + cvx_ref[0, k].reshape(Tx, 1, 1) * U[k : k + Tx, p : p + Ty, p : p + Tz]
-        ty = ty + cvy_ref[0, k].reshape(1, Ty, 1) * U[p : p + Tx, k : k + Ty, p : p + Tz]
-        tz = tz + cvz_ref[0, k].reshape(1, 1, Tz) * U[p : p + Tx, p : p + Ty, k : k + Tz]
+        # coefficient refs are pre-shaped [K, Tx, 1, 1] / [K, 1, Ty, 1] /
+        # [K, 1, 1, Tz]: slicing one k gives a broadcast-ready operand with
+        # no in-kernel reshape (Mosaic cannot relayout vector shape casts).
+        tx = tx + cvx_ref[k] * U[k : k + Tx, p : p + Ty, p : p + Tz]
+        ty = ty + cvy_ref[k] * U[p : p + Tx, k : k + Ty, p : p + Tz]
+        tz = tz + cvz_ref[k] * U[p : p + Tx, p : p + Ty, k : k + Tz]
 
     out_ref[:] = (
-        tx * lyz_ref[:][None, :, :]
-        + ty * lxz_ref[:][:, None, :]
-        + tz * lxy_ref[:][:, :, None]
+        tx * lyz_ref[:]
+        + ty * lxz_ref[:]
+        + tz * lxy_ref[:]
     )
 
 
@@ -97,18 +100,22 @@ def _fused_call(xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, shape, p, tile_x):
     K = 2 * p + 1
     npdt = np.dtype(dtype)
 
-    # Stencil coefficient tables expanded to per-position vectors, shaped so
-    # every BlockSpec dim equals the array dim (TPU block-shape rule):
-    # CVX [ntx, K, Tx] picks the tile's slice via the leading dim.
+    # Broadcast-ready operand shapes (no in-kernel reshapes; every BlockSpec
+    # trailing dim equals the array dim, satisfying the TPU block rule):
+    #   lines:  LyLz [1,Ny,Nz], LxLz [NxL,1,Nz], LxLy [NxL,Ny,1]
+    #   coeffs: CVX [K,NxL,1,1], CVY [K,1,Ny,1], CVZ [K,1,1,Nz]
+    NxL = ntx * Tx
     CVX = jnp.asarray(
-        np.stack([_cvec(Cx, k, ntx * Tx, p) for k in range(K)])
-        .reshape(K, ntx, Tx).transpose(1, 0, 2).astype(npdt)
+        np.stack([_cvec(Cx, k, NxL, p) for k in range(K)])
+        .reshape(K, NxL, 1, 1).astype(npdt)
     )
     CVY = jnp.asarray(
-        np.stack([_cvec(Cy, k, Ny, p) for k in range(K)])[None].astype(npdt)
+        np.stack([_cvec(Cy, k, Ny, p) for k in range(K)])
+        .reshape(K, 1, Ny, 1).astype(npdt)
     )
     CVZ = jnp.asarray(
-        np.stack([_cvec(Cz, k, Nz, p) for k in range(K)])[None].astype(npdt)
+        np.stack([_cvec(Cz, k, Nz, p) for k in range(K)])
+        .reshape(K, 1, 1, Nz).astype(npdt)
     )
 
     kern = functools.partial(_kernel, p=p, tiles=(Tx, Ny, Nz), dtype=dtype)
@@ -117,12 +124,15 @@ def _fused_call(xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, shape, p, tile_x):
         grid=(ntx,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # padded input, manual DMA
-            pl.BlockSpec((Ny, Nz), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tx, Nz), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tx, Ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, Tx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, Ny), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, Nz), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ny, Nz), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tx, 1, Nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tx, Ny, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, Tx, 1, 1), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1, Ny, 1), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1, 1, Nz), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((Tx, Ny, Nz), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -131,7 +141,7 @@ def _fused_call(xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, shape, p, tile_x):
             pltpu.VMEM((Tx + 2 * p, Ny + 2 * p, Nz + 2 * p), dtype),
             pltpu.SemaphoreType.DMA,
         ],
-    )(xpad, LyLz, LxLz, LxLy, CVX, CVY, CVZ)
+    )(xpad, LyLz[None], LxLz[:, None, :], LxLy[:, :, None], CVX, CVY, CVZ)
 
 
 def stiffness_fused(

@@ -59,7 +59,7 @@ def _cvec(C: np.ndarray, k: int, n: int, p: int) -> np.ndarray:
 
 def _kernel(
     xp_ref, lyz_ref, lxz_ref, lxy_ref, cvx_ref, cvy_ref, cvz_ref,
-    out_ref, slab, sem, *, p, tiles, dtype,
+    out_ref, slab, acc_ref, sem, *, p, tiles, dtype,
 ):
     Tx, Ty, Tz = tiles
     ix = pl.program_id(0)
@@ -72,22 +72,26 @@ def _kernel(
     U = slab[:]  # [Tx+2p, Ty+2p, Tz+2p]
 
     K = 2 * p + 1
-    tx = jnp.zeros((Tx, Ty, Tz), dtype=dtype)
-    ty = jnp.zeros((Tx, Ty, Tz), dtype=dtype)
-    tz = jnp.zeros((Tx, Ty, Tz), dtype=dtype)
-    for k in range(K):
-        # coefficient refs are pre-shaped [K, Tx, 1, 1] / [K, 1, Ty, 1] /
-        # [K, 1, 1, Tz]: slicing one k gives a broadcast-ready operand with
-        # no in-kernel reshape (Mosaic cannot relayout vector shape casts).
-        tx = tx + cvx_ref[k] * U[k : k + Tx, p : p + Ty, p : p + Tz]
-        ty = ty + cvy_ref[k] * U[p : p + Tx, k : k + Ty, p : p + Tz]
-        tz = tz + cvz_ref[k] * U[p : p + Tx, p : p + Ty, k : k + Tz]
+    # Accumulate in-place through the refs (one live temp at a time keeps
+    # Mosaic's scoped-VMEM stack small; a functional unrolled accumulation
+    # materializes every k-term and OOMs).
+    # coefficient refs are pre-shaped [K, Tx, 1, 1] / [K, 1, Ty, 1] /
+    # [K, 1, 1, Tz]: slicing one k gives a broadcast-ready operand with
+    # no in-kernel reshape (Mosaic cannot relayout vector shape casts).
+    acc_ref[:] = cvx_ref[0] * U[0:Tx, p : p + Ty, p : p + Tz]
+    for k in range(1, K):
+        acc_ref[:] += cvx_ref[k] * U[k : k + Tx, p : p + Ty, p : p + Tz]
+    out_ref[:] = acc_ref[:] * lyz_ref[:]
 
-    out_ref[:] = (
-        tx * lyz_ref[:]
-        + ty * lxz_ref[:]
-        + tz * lxy_ref[:]
-    )
+    acc_ref[:] = cvy_ref[0] * U[p : p + Tx, 0:Ty, p : p + Tz]
+    for k in range(1, K):
+        acc_ref[:] += cvy_ref[k] * U[p : p + Tx, k : k + Ty, p : p + Tz]
+    out_ref[:] += acc_ref[:] * lxz_ref[:]
+
+    acc_ref[:] = cvz_ref[0] * U[p : p + Tx, p : p + Ty, 0:Tz]
+    for k in range(1, K):
+        acc_ref[:] += cvz_ref[k] * U[p : p + Tx, p : p + Ty, k : k + Tz]
+    out_ref[:] += acc_ref[:] * lxy_ref[:]
 
 
 def _fused_call(xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, shape, p, tile_x):
@@ -123,7 +127,7 @@ def _fused_call(xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, shape, p, tile_x):
         kern,
         grid=(ntx,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # padded input, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # aligned padded input, manual DMA
             pl.BlockSpec((1, Ny, Nz), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Tx, 1, Nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Tx, Ny, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -138,10 +142,23 @@ def _fused_call(xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, shape, p, tile_x):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Nx, Ny, Nz), dtype),
         scratch_shapes=[
-            pltpu.VMEM((Tx + 2 * p, Ny + 2 * p, Nz + 2 * p), dtype),
+            # DMA slab dims must honor the (8, 128) tile alignment rule
+            pltpu.VMEM((Tx + 2 * p, _r8(Ny + 2 * p), _r128(Nz + 2 * p)), dtype),
+            pltpu.VMEM((Tx, Ny, Nz), dtype),  # axis-term accumulator
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(xpad, LyLz[None], LxLz[:, None, :], LxLy[:, :, None], CVX, CVY, CVZ)
+
+
+def _r8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _r128(n: int) -> int:
+    return -(-n // 128) * 128
 
 
 def stiffness_fused(
@@ -172,7 +189,10 @@ def stiffness_fused(
         tile_x = max(p, (32 // p) * p)
     ntx = -(-Nx // tile_x)
     pad_hi_x = ntx * tile_x + p - Nx
-    xpad = jnp.pad(x, ((p, pad_hi_x), (p, p), (p, p)))
+    # y/z pads rounded up so the DMA slab satisfies the (8, 128) alignment
+    pad_hi_y = _r8(Ny + 2 * p) - Ny - p
+    pad_hi_z = _r128(Nz + 2 * p) - Nz - p
+    xpad = jnp.pad(x, ((p, pad_hi_x), (p, pad_hi_y), (p, pad_hi_z)))
 
     y = _fused_call(
         xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, (Nx, Ny, Nz), p, tile_x

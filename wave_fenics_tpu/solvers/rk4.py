@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["rk4_step", "rk4_solve"]
+__all__ = ["rk4_step", "rk4_solve", "rk4_solve_n"]
 
 # Butcher tableau of the reference (LinearGLL.hpp:233-236)
 _A = (0.0, 0.5, 0.5, 1.0)
@@ -50,6 +50,30 @@ def rk4_step(
         kv = f1(tn, un, vn)
         u = u + dt * _B[i] * ku
         v = v + dt * _B[i] * kv
+    return u, v
+
+
+def rk4_solve_n(
+    f0: Callable,
+    f1: Callable,
+    u0: jax.Array,
+    v0: jax.Array,
+    t0,
+    dt: float,
+    nsteps: int,
+):
+    """Integrate exactly ``nsteps`` fixed steps from (possibly traced) t0."""
+
+    def body(carry, i):
+        u, v, t = carry
+        u, v = rk4_step(f0, f1, u, v, t, dt)
+        return (u, v, t + dt), None
+
+    (u, v, t), _ = lax.scan(
+        body,
+        (u0, v0, jnp.asarray(t0, dtype=u0.dtype)),
+        jnp.arange(nsteps),
+    )
     return u, v
 
 

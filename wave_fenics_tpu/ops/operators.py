@@ -115,8 +115,22 @@ class StructuredOperators:
         """y = -c0^2 * K x (sign convention of the reference skernel,
         common/operators.hpp:114-133).
 
-        Uses the separable grid-space formulation (ops.separable) — uniform
-        boxes make K separable per axis, eliminating all 3D cell tensors."""
+        Dispatch: on TPU with a static c0, the fused Pallas stencil kernel
+        (ops.pallas_stiffness, one HBM pass); otherwise the XLA separable
+        grid-space formulation (ops.separable)."""
+        import os
+
+        static_c0 = isinstance(c0, (int, float))
+        if (
+            static_c0
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("WAVE_FENICS_TPU_NO_PALLAS")
+        ):
+            from .pallas_stiffness import stiffness_fused
+
+            return stiffness_fused(
+                x, self._sepA, self._seplines, self.p, -float(c0) ** 2
+            )
         from .separable import stiffness_separable
 
         coeff = -jnp.asarray(c0, dtype=self.dtype) ** 2

@@ -94,9 +94,12 @@ def _kernel(
     out_ref[:] += acc_ref[:] * lxy_ref[:]
 
 
-def _fused_call(xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, shape, p, tile_x):
-    """Cx/Cy/Cz are NumPy constants (static stencil tables, closed over by
-    the kernel); callers jit the surrounding computation."""
+def _fused_call(xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, shape, p, tile_x, corr):
+    """Cx/Cy/Cz are NumPy constants (static stencil tables); ``corr`` holds
+    the per-axis (lo, hi) domain-face self-term corrections, folded into the
+    first/last position of the expanded coefficient vectors — the padded
+    phantom cell contributes only its k=0 self-term, which this cancels
+    exactly. Callers jit the surrounding computation."""
     Nx, Ny, Nz = shape
     Tx = tile_x
     ntx = -(-Nx // Tx)
@@ -109,17 +112,21 @@ def _fused_call(xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, shape, p, tile_x):
     #   lines:  LyLz [1,Ny,Nz], LxLz [NxL,1,Nz], LxLy [NxL,Ny,1]
     #   coeffs: CVX [K,NxL,1,1], CVY [K,1,Ny,1], CVZ [K,1,1,Nz]
     NxL = ntx * Tx
+
+    def expand(C, n, real_n, c_lo, c_hi):
+        cv = np.stack([_cvec(C, k, n, p) for k in range(K)])
+        cv[p, 0] -= c_lo          # left domain face: phantom left cell
+        cv[p, real_n - 1] -= c_hi  # right domain face: phantom right cell
+        return cv
+
     CVX = jnp.asarray(
-        np.stack([_cvec(Cx, k, NxL, p) for k in range(K)])
-        .reshape(K, NxL, 1, 1).astype(npdt)
+        expand(Cx, NxL, Nx, *corr[0]).reshape(K, NxL, 1, 1).astype(npdt)
     )
     CVY = jnp.asarray(
-        np.stack([_cvec(Cy, k, Ny, p) for k in range(K)])
-        .reshape(K, 1, Ny, 1).astype(npdt)
+        expand(Cy, Ny, Ny, *corr[1]).reshape(K, 1, Ny, 1).astype(npdt)
     )
     CVZ = jnp.asarray(
-        np.stack([_cvec(Cz, k, Nz, p) for k in range(K)])
-        .reshape(K, 1, 1, Nz).astype(npdt)
+        expand(Cz, Nz, Nz, *corr[2]).reshape(K, 1, 1, Nz).astype(npdt)
     )
 
     kern = functools.partial(_kernel, p=p, tiles=(Tx, Ny, Nz), dtype=dtype)
@@ -194,18 +201,12 @@ def stiffness_fused(
     pad_hi_z = _r128(Nz + 2 * p) - Nz - p
     xpad = jnp.pad(x, ((p, pad_hi_x), (p, pad_hi_y), (p, pad_hi_z)))
 
-    y = _fused_call(
-        xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, (Nx, Ny, Nz), p, tile_x
-    )
-
     # Domain-face self-term corrections (phantom-cell k=0 contributions):
-    # left face of axis d gets an extra A[p,p], right face an extra A[0,0].
-    corr = [(np.asarray(coeff) * Ad[p, p], np.asarray(coeff) * Ad[0, 0])
-            for Ad in A]
-    y = y.at[0].add(-corr[0][0] * LyLz * x[0])
-    y = y.at[-1].add(-corr[0][1] * LyLz * x[-1])
-    y = y.at[:, 0].add(-corr[1][0] * LxLz * x[:, 0])
-    y = y.at[:, -1].add(-corr[1][1] * LxLz * x[:, -1])
-    y = y.at[:, :, 0].add(-corr[2][0] * LxLy * x[:, :, 0])
-    y = y.at[:, :, -1].add(-corr[2][1] * LxLy * x[:, :, -1])
-    return y
+    # left face of axis d gets an extra A[p,p], right face an extra A[0,0];
+    # folded into the coefficient vectors inside _fused_call.
+    corr = [
+        (float(coeff) * Ad[p, p], float(coeff) * Ad[0, 0]) for Ad in A
+    ]
+    return _fused_call(
+        xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, (Nx, Ny, Nz), p, tile_x, corr
+    )

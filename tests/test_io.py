@@ -71,3 +71,19 @@ def test_npz_roundtrip(tmp_path):
     m2 = mio.load_npz(p)
     np.testing.assert_array_equal(m2.cells, m.cells)
     np.testing.assert_allclose(m2.points, m.points)
+
+
+def test_write_xdmf_rectilinear(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    from wave_fenics_tpu.core.dofmap import StructuredDofGrid
+    from wave_fenics_tpu.core.mesh import box_mesh
+
+    dg = StructuredDofGrid(box_mesh((2, 2, 1), (1.0, 1.0, 0.5)), 2)
+    coords = tuple(dg.axis_coords(d) for d in range(3))
+    u = np.random.default_rng(0).standard_normal(dg.grid_shape)
+    p = str(tmp_path / "out.xdmf")
+    mio.write_xdmf_rectilinear(p, coords, {"u": u}, time=1e-6)
+    assert (tmp_path / "out.xdmf").exists()
+    with h5py.File(tmp_path / "out.h5") as f:
+        np.testing.assert_array_equal(f["/u"][()], u)
+        np.testing.assert_allclose(f["/x"][()], coords[0])

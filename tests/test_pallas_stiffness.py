@@ -62,3 +62,17 @@ def test_fused_ragged_tiles(tile_x):
     y = ps.stiffness_fused(x, ops._sepA, ops._seplines, p, -1.0, tile_x=tile_x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-11,
                                atol=1e-12)
+
+
+@pytest.mark.parametrize("variant", ["vpu", "mxu"])
+@pytest.mark.parametrize("p", [2, 4])
+def test_fused_variants_match(variant, p):
+    mesh = box_mesh((4, 2, 3), (1.0, 0.8, 1.2))
+    ops = StructuredOperators(mesh, p, dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(ops.grid_shape))
+    y_ref = stiffness_separable(x, ops._sepA, ops._seplines, p, -2.25e6)
+    y = ps.stiffness_fused(x, ops._sepA, ops._seplines, p, -2.25e6,
+                           variant=variant)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-11, atol=1e-5)

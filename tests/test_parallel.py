@@ -112,3 +112,32 @@ def test_distributed_cg_mass_solve():
     xg = jnp.asarray(sw.to_global(x))
     res = np.asarray(model.ops.spectral_mass(xg)) - b_np
     assert np.linalg.norm(res) / np.linalg.norm(b_np) < 1e-8
+
+
+def test_halo_sync_restores_invariant():
+    """halo_sync (update_fwd analogue) repairs broken duplicated planes."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from wave_fenics_tpu.parallel.halo import halo_sync
+    from wave_fenics_tpu.parallel.partition import block_grid, make_device_mesh
+
+    p = 2
+    parts = (2, 2, 2)
+    rng = np.random.default_rng(4)
+    g = rng.standard_normal((9, 9, 9))
+    blocked = block_grid(g, parts, p)
+    # corrupt the non-owner copies (low planes of non-first blocks)
+    corrupted = blocked.copy()
+    corrupted[1, :, :, 0, :, :] = -999.0
+    corrupted[:, 1, :, :, 0, :] = -999.0
+    corrupted[:, :, 1, :, :, 0] = -999.0
+    mesh = make_device_mesh(parts)
+    spec = P("x", "y", "z", None, None, None)
+    arr = jax.device_put(jnp.asarray(corrupted), NamedSharding(mesh, spec))
+
+    def local(xb):
+        sq = xb.reshape(xb.shape[3:])
+        return halo_sync(sq, parts).reshape(xb.shape)
+
+    out = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)(arr)
+    np.testing.assert_allclose(np.asarray(out), blocked, atol=1e-12)

@@ -21,7 +21,13 @@ import numpy as np
 
 from .mesh import HexMesh
 
-__all__ = ["read_xdmf", "read_xdmf_meshtags", "save_npz", "load_npz"]
+__all__ = [
+    "read_xdmf",
+    "read_xdmf_meshtags",
+    "save_npz",
+    "load_npz",
+    "write_xdmf_rectilinear",
+]
 
 # XDMF/VTK hexahedron vertex order -> basix order (see core.basis)
 _VTK_TO_BASIX = np.array([0, 1, 3, 2, 4, 5, 7, 6])
@@ -98,6 +104,56 @@ def read_xdmf_meshtags(
     if vals is None:
         raise ValueError("no Attribute (tag values) in meshtags grid")
     return facets, vals.ravel()
+
+
+def write_xdmf_rectilinear(
+    path: str,
+    axis_coords: tuple[np.ndarray, np.ndarray, np.ndarray],
+    fields: dict[str, np.ndarray],
+    time: float | None = None,
+) -> None:
+    """Write dof-grid fields as an XDMF 3DRectMesh (ParaView-readable).
+
+    The reference never writes solution fields (SURVEY.md §5 I/O is
+    read-only); this provides visualization output for structured solves:
+    ``axis_coords`` are the GLL node lines (core.dofmap.axis_coords),
+    ``fields`` maps name -> [Nx, Ny, Nz] array.
+    """
+    import h5py
+
+    base = os.path.splitext(path)[0]
+    h5name = base + ".h5"
+    x, y, z = [np.asarray(c, dtype=np.float64) for c in axis_coords]
+    shape = (x.size, y.size, z.size)
+    with h5py.File(h5name, "w") as f:
+        f["/x"], f["/y"], f["/z"] = x, y, z
+        for name, arr in fields.items():
+            assert arr.shape == shape, (name, arr.shape, shape)
+            f["/" + name] = np.asarray(arr, dtype=np.float64)
+
+    h5base = os.path.basename(h5name)
+    # XDMF VXVYVZ order is (z, y, x)-fastest; our arrays are x-major.
+    dims = f"{shape[0]} {shape[1]} {shape[2]}"
+    attrs = "\n".join(
+        f"""<Attribute Name="{n}" Center="Node">
+<DataItem Dimensions="{dims}" Format="HDF">{h5base}:/{n}</DataItem>
+</Attribute>"""
+        for n in fields
+    )
+    tval = f'<Time Value="{time}"/>' if time is not None else ""
+    with open(base + ".xdmf", "w") as f:
+        f.write(f"""<?xml version="1.0"?>
+<Xdmf Version="3.0"><Domain>
+<Grid Name="grid">{tval}
+<Topology TopologyType="3DRectMesh" Dimensions="{dims}"/>
+<Geometry GeometryType="VXVYVZ">
+<DataItem Dimensions="{z.size}" Format="HDF">{h5base}:/z</DataItem>
+<DataItem Dimensions="{y.size}" Format="HDF">{h5base}:/y</DataItem>
+<DataItem Dimensions="{x.size}" Format="HDF">{h5base}:/x</DataItem>
+</Geometry>
+{attrs}
+</Grid>
+</Domain></Xdmf>""")
 
 
 def save_npz(path: str, mesh: HexMesh) -> None:

@@ -57,6 +57,67 @@ def _cvec(C: np.ndarray, k: int, n: int, p: int) -> np.ndarray:
     return np.tile(pat, reps)[:n]
 
 
+def _kernel_mxu(
+    xp_ref, lyz_ref, lxz_ref, lxy_ref, cvx_ref, byt_ref, bzt_ref,
+    out_ref, slab, acc_ref, sem, *, p, tiles, dtype,
+):
+    """Aligned-center hybrid: MXU band matmuls along y/z, aligned VPU shifts
+    along x.
+
+    Unaligned sublane/lane slices force Mosaic relayouts of the whole slab
+    per stencil tap — the dominant cost of the pure-VPU variant. Fix:
+    the padded input places the interior at offset (p, 8, 128), so every
+    center slice is tile-aligned; the y/z stencils become single dense
+    band-matrix contractions on the MXU (y via a lane transpose round-trip,
+    z directly over lanes), and only the x-taps remain as (cheap,
+    major-dim) shifted multiply-adds. Face corrections and the coeff
+    scaling are baked into the tables.
+    """
+    Tx, Ty, Tz = tiles
+    ix = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    # Double-buffered slab prefetch: next tile's DMA overlaps this tile's
+    # compute (guide pattern "Double Buffering").
+    def dma(slot, idx):
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(idx * Tx, Tx + 2 * p)], slab.at[slot], sem.at[slot]
+        )
+
+    @pl.when(ix == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(ix + 1 < n)
+    def _():
+        dma((ix + 1) % 2, ix + 1).start()
+
+    dma(ix % 2, ix).wait()
+    U = slab[ix % 2]  # [Tx+2p, Ys, Zs]; interior starts at (p, 8, 128)
+    f32 = jnp.float32 if dtype != jnp.float64 else jnp.float64
+    K = 2 * p + 1
+
+    # z-term: lane-contraction band matmul over the full z slab
+    tz = jnp.einsum(
+        "xyz,zo->xyo", U[p : p + Tx, 8 : 8 + Ty, :], bzt_ref[:],
+        preferred_element_type=f32,
+    ).astype(dtype)
+    out_ref[:] = tz * lxy_ref[:]
+
+    # y-term: swap y<->z, lane-contract the band matrix, swap back
+    Uy = jnp.swapaxes(U[p : p + Tx, :, 128 : 128 + Tz], 1, 2)  # [Tx, Tz, Ys]
+    ty = jnp.einsum(
+        "xzy,yo->xzo", Uy, byt_ref[:], preferred_element_type=f32
+    ).astype(dtype)
+    out_ref[:] += jnp.swapaxes(ty, 1, 2) * lxz_ref[:]
+
+    # x-term: major-dim shifted adds (y/z center slices are tile-aligned)
+    acc_ref[:] = cvx_ref[0] * U[0:Tx, 8 : 8 + Ty, 128 : 128 + Tz]
+    for k in range(1, K):
+        acc_ref[:] += cvx_ref[k] * U[k : k + Tx, 8 : 8 + Ty, 128 : 128 + Tz]
+    out_ref[:] += acc_ref[:] * lyz_ref[:]
+
+
 def _kernel(
     xp_ref, lyz_ref, lxz_ref, lxy_ref, cvx_ref, cvy_ref, cvz_ref,
     out_ref, slab, acc_ref, sem, *, p, tiles, dtype,
@@ -94,7 +155,22 @@ def _kernel(
     out_ref[:] += acc_ref[:] * lxy_ref[:]
 
 
-def _fused_call(xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, shape, p, tile_x, corr):
+def _bands_from_cv(
+    cv: np.ndarray, n_out: int, n_in: int, off: int = 0
+) -> np.ndarray:
+    """Band matrix W[n_in, n_out] (transposed for contraction over the slab
+    dim): W[o + k + off, o] = cv[k, o], where ``off`` = pad_lo - p shifts
+    the band to the slab's interior offset."""
+    K = cv.shape[0]
+    W = np.zeros((n_in, n_out), dtype=cv.dtype)
+    for o in range(n_out):
+        for k in range(K):
+            W[o + k + off, o] = cv[k, o]
+    return W
+
+
+def _fused_call(xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, shape, p, tile_x, corr,
+                variant="mxu"):
     """Cx/Cy/Cz are NumPy constants (static stencil tables); ``corr`` holds
     the per-axis (lo, hi) domain-face self-term corrections, folded into the
     first/last position of the expanded coefficient vectors — the padded
@@ -119,15 +195,56 @@ def _fused_call(xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, shape, p, tile_x, corr):
         cv[p, real_n - 1] -= c_hi  # right domain face: phantom right cell
         return cv
 
-    CVX = jnp.asarray(
-        expand(Cx, NxL, Nx, *corr[0]).reshape(K, NxL, 1, 1).astype(npdt)
-    )
-    CVY = jnp.asarray(
-        expand(Cy, Ny, Ny, *corr[1]).reshape(K, 1, Ny, 1).astype(npdt)
-    )
-    CVZ = jnp.asarray(
-        expand(Cz, Nz, Nz, *corr[2]).reshape(K, 1, 1, Nz).astype(npdt)
-    )
+    cvx = expand(Cx, NxL, Nx, *corr[0])
+    cvy = expand(Cy, Ny, Ny, *corr[1])
+    cvz = expand(Cz, Nz, Nz, *corr[2])
+
+    if variant == "mxu":
+        # interior offsets (8, 128); slab dims from the padded array
+        Ys, Zs = xpad.shape[1], xpad.shape[2]
+        BYT = _bands_from_cv(cvy, Ny, Ys, off=8 - p).astype(npdt)
+        BZT = _bands_from_cv(cvz, Nz, Zs, off=128 - p).astype(npdt)
+        CVXm = jnp.asarray(cvx.reshape(K, NxL, 1, 1).astype(npdt))
+        kern = functools.partial(
+            _kernel_mxu, p=p, tiles=(Tx, Ny, Nz), dtype=dtype
+        )
+        return pl.pallas_call(
+            kern,
+            grid=(ntx,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, Ny, Nz), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Tx, 1, Nz), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Tx, Ny, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, Tx, 1, 1), lambda i: (0, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Ys, Ny), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Zs, Nz), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((Tx, Ny, Nz), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Nx, Ny, Nz), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, Tx + 2 * p, Ys, Zs), dtype),  # double buffer
+                pltpu.VMEM((Tx, Ny, Nz), dtype),  # axis-term accumulator
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(
+            xpad, LyLz[None], LxLz[:, None, :], LxLy[:, :, None],
+            CVXm, jnp.asarray(BYT), jnp.asarray(BZT),
+        )
+
+    CVX = jnp.asarray(cvx.reshape(K, NxL, 1, 1).astype(npdt))
+    CVY = jnp.asarray(cvy.reshape(K, 1, Ny, 1).astype(npdt))
+    CVZ = jnp.asarray(cvz.reshape(K, 1, 1, Nz).astype(npdt))
 
     kern = functools.partial(_kernel, p=p, tiles=(Tx, Ny, Nz), dtype=dtype)
     return pl.pallas_call(
@@ -150,7 +267,7 @@ def _fused_call(xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, shape, p, tile_x, corr):
         out_shape=jax.ShapeDtypeStruct((Nx, Ny, Nz), dtype),
         scratch_shapes=[
             # DMA slab dims must honor the (8, 128) tile alignment rule
-            pltpu.VMEM((Tx + 2 * p, _r8(Ny + 2 * p), _r128(Nz + 2 * p)), dtype),
+            pltpu.VMEM((Tx + 2 * p, xpad.shape[1], xpad.shape[2]), dtype),
             pltpu.VMEM((Tx, Ny, Nz), dtype),  # axis-term accumulator
             pltpu.SemaphoreType.DMA,
         ],
@@ -175,6 +292,7 @@ def stiffness_fused(
     p: int,
     coeff: float,
     tile_x: int | None = None,
+    variant: str = "mxu",
 ) -> jax.Array:
     """y = coeff * K x via the fused stencil kernel.
 
@@ -196,10 +314,14 @@ def stiffness_fused(
         tile_x = max(p, (32 // p) * p)
     ntx = -(-Nx // tile_x)
     pad_hi_x = ntx * tile_x + p - Nx
-    # y/z pads rounded up so the DMA slab satisfies the (8, 128) alignment
-    pad_hi_y = _r8(Ny + 2 * p) - Ny - p
-    pad_hi_z = _r128(Nz + 2 * p) - Nz - p
-    xpad = jnp.pad(x, ((p, pad_hi_x), (p, pad_hi_y), (p, pad_hi_z)))
+    if variant == "mxu":
+        # interior starts at (p, 8, 128): every center slice is tile-aligned
+        lo_y, lo_z = 8, 128
+    else:
+        lo_y, lo_z = p, p
+    pad_hi_y = _r8(lo_y + Ny + p) - Ny - lo_y
+    pad_hi_z = _r128(lo_z + Nz + p) - Nz - lo_z
+    xpad = jnp.pad(x, ((p, pad_hi_x), (lo_y, pad_hi_y), (lo_z, pad_hi_z)))
 
     # Domain-face self-term corrections (phantom-cell k=0 contributions):
     # left face of axis d gets an extra A[p,p], right face an extra A[0,0];
@@ -208,5 +330,6 @@ def stiffness_fused(
         (float(coeff) * Ad[p, p], float(coeff) * Ad[0, 0]) for Ad in A
     ]
     return _fused_call(
-        xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, (Nx, Ny, Nz), p, tile_x, corr
+        xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, (Nx, Ny, Nz), p, tile_x, corr,
+        variant,
     )

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["halo_add_axis", "halo_add"]
+__all__ = ["halo_add_axis", "halo_add", "halo_sync_axis", "halo_sync"]
 
 
 def halo_add_axis(
@@ -69,4 +69,41 @@ def halo_add(
     """Full 3D halo-add sweep (x, then y, then z)."""
     for ga, an, sz in zip(grid_axes, axis_names, mesh_shape):
         local = halo_add_axis(local, ga, an, sz)
+    return local
+
+
+def halo_sync_axis(
+    local: jax.Array, grid_axis: int, axis_name: str, axis_size: int
+) -> jax.Array:
+    """Owner -> duplicate copy along one axis (the ``update_fwd`` analogue,
+    VectorUpdater.hpp:106-152): the lower-indexed block owns each shared
+    plane; its high plane overwrites the right neighbor's low plane.
+
+    Only needed to re-establish the duplicated-plane invariant after an
+    operation that broke it (e.g. external per-block writes); solver-internal
+    ops preserve it via halo_add."""
+    if axis_size == 1:
+        return local
+    hi = lax.slice_in_dim(
+        local, local.shape[grid_axis] - 1, local.shape[grid_axis], axis=grid_axis
+    )
+    from_left = lax.ppermute(
+        hi, axis_name, [(i, i + 1) for i in range(axis_size - 1)]
+    )
+    lo = lax.slice_in_dim(local, 0, 1, axis=grid_axis)
+    idx = jax.lax.axis_index(axis_name)
+    new_lo = jnp.where(idx > 0, from_left, lo)
+    mid_hi = lax.slice_in_dim(local, 1, local.shape[grid_axis], axis=grid_axis)
+    return jnp.concatenate([new_lo, mid_hi], axis=grid_axis)
+
+
+def halo_sync(
+    local: jax.Array,
+    mesh_shape: tuple[int, int, int],
+    axis_names: tuple[str, str, str] = ("x", "y", "z"),
+    grid_axes: tuple[int, int, int] = (0, 1, 2),
+) -> jax.Array:
+    """Full 3D owner->duplicate sweep."""
+    for ga, an, sz in zip(grid_axes, axis_names, mesh_shape):
+        local = halo_sync_axis(local, ga, an, sz)
     return local

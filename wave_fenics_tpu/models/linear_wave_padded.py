@@ -1,0 +1,133 @@
+"""Padded-layout wave model: the production TPU hot path.
+
+Same physics as :class:`models.linear_wave.LinearWave`, but the state lives
+permanently in the aligned padded layout of ops.pallas_wave, so the RK4
+loop runs with:
+
+- one fused Pallas kernel per stage for -c0^2 (K u)/m (no pad/unpad, no
+  separate mass divide)
+- boundary source/ABC contributions as single-plane updates (the facet
+  integrals are diagonal and live on one grid plane each)
+- plain XLA axpys on padded arrays for the RK updates
+
+Tests validate it against the reference-semantics unpadded model to f64
+tolerance (interpret mode on CPU; same kernel compiles with Mosaic on TPU).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.basis import lumped_weight_line
+from ..core.mesh import BOX_FACETS
+from ..ops.pallas_wave import PaddedLayout, make_padded_stiffness
+from ..ops.separable import grid_lines, separable_stiffness_tables
+from ..solvers.rk4 import rk4_solve, rk4_solve_n
+from .linear_wave import LinearWave, lumped_boundary_weights
+
+__all__ = ["PaddedLinearWave"]
+
+
+@dataclass(frozen=True)
+class PaddedLinearWave:
+    base: LinearWave
+    tile_x: int = 16
+
+    @cached_property
+    def layout(self) -> PaddedLayout:
+        shape = tuple(n * self.base.p + 1 for n in self.base.mesh.shape)
+        return PaddedLayout(shape=shape, p=self.base.p, tile_x=self.tile_x)
+
+    @cached_property
+    def _m_lines(self) -> list[np.ndarray]:
+        m = self.base.mesh
+        return [
+            lumped_weight_line(m.shape[d], self.base.p, m.h[d]) for d in range(3)
+        ]
+
+    @cached_property
+    def _apply(self):
+        b = self.base
+        A, _ = separable_stiffness_tables(b.p, b.mesh.h, b.dtype)
+        lines = grid_lines(b.mesh.shape, b.p, b.dtype)
+        return make_padded_stiffness(
+            self.layout, A, lines, -float(b.c0) ** 2,
+            inv_m_lines=self._m_lines, dtype=b.dtype,
+        )
+
+    @cached_property
+    def _boundary_planes(self):
+        """[(index_tuple, w1_plane_or_None, w2_plane_or_None), ...] with
+        planes premultiplied by 1/m, padded to the plane's padded dims."""
+        b = self.base
+        lay = self.layout
+        m3 = np.einsum("i,j,k->ijk", *self._m_lines)
+        tags = b.mesh.facet_tags
+        faces: dict[int, list] = {}
+        out = []
+        npdt = np.dtype(b.dtype)
+        for tag, attr in ((b.source_tag, "w1"), (b.abc_tag, "w2")):
+            for fid in tags.facets_of(tag):
+                axis, side = BOX_FACETS[fid]
+                W = lumped_boundary_weights(b.mesh, b.p, (fid,))
+                idx = [slice(None)] * 3
+                n_ax = W.shape[axis]
+                idx[axis] = 0 if side == 0 else n_ax - 1
+                plane = (W / m3)[tuple(idx)]
+                # pad the 2D plane to the padded extents of its axes
+                oth = [d for d in range(3) if d != axis]
+                pp = np.zeros(
+                    (lay.padded_shape[oth[0]], lay.padded_shape[oth[1]]),
+                    dtype=npdt,
+                )
+                o0 = lay.x0 if oth[0] == 0 else lay.p
+                o1 = lay.p  # oth[1] is never axis 0
+                pp[o0 : o0 + plane.shape[0], o1 : o1 + plane.shape[1]] = plane
+                # padded index of the face plane
+                off = lay.x0 if axis == 0 else lay.p
+                pidx = [slice(None)] * 3
+                pidx[axis] = off if side == 0 else off + n_ax - 1
+                out.append((axis, tuple(pidx), attr, jnp.asarray(pp)))
+        return out
+
+    # -- physics --------------------------------------------------------
+    def f1(self, t, u, v):
+        b = self.base
+        kv = self._apply(u)
+        for axis, pidx, attr, plane in self._boundary_planes:
+            if attr == "w1":
+                kv = kv.at[pidx].add(
+                    (b.c0**2 * b.g_amplitude(t)).astype(b.dtype) * plane
+                )
+            else:
+                kv = kv.at[pidx].add(-b.c0 * plane * v[pidx])
+        return kv
+
+    def f0(self, t, u, v):
+        return v
+
+    # -- driver ----------------------------------------------------------
+    def zero_state(self):
+        z = jnp.zeros(self.layout.padded_shape, dtype=self.base.dtype)
+        return z, z
+
+    def solve(self, t0, tf, dt, u0=None, v0=None):
+        if u0 is None:
+            u0, v0 = self.zero_state()
+        return rk4_solve(self.f0, self.f1, u0, v0, t0, tf, dt)
+
+    def solve_n(self, t0, dt, nsteps, u0=None, v0=None):
+        if u0 is None:
+            u0, v0 = self.zero_state()
+        return rk4_solve_n(self.f0, self.f1, u0, v0, t0, dt, nsteps)
+
+    def to_grid(self, xp: jax.Array) -> jax.Array:
+        return self.layout.unpad(xp)
+
+    def from_grid(self, x: jax.Array) -> jax.Array:
+        return self.layout.pad(x)

@@ -59,7 +59,7 @@ def _cvec(C: np.ndarray, k: int, n: int, p: int) -> np.ndarray:
 
 def _kernel_mxu(
     xp_ref, lyz_ref, lxz_ref, lxy_ref, cvx_ref, byt_ref, bzt_ref,
-    out_ref, slab, acc_ref, sem, *, p, tiles, dtype,
+    out_ref, slab, acc_ref, sem, *, p, tiles, dtype, terms=("x", "y", "z"),
 ):
     """Aligned-center hybrid: MXU band matmuls along y/z, aligned VPU shifts
     along x.
@@ -97,25 +97,30 @@ def _kernel_mxu(
     f32 = jnp.float32 if dtype != jnp.float64 else jnp.float64
     K = 2 * p + 1
 
-    # z-term: lane-contraction band matmul over the full z slab
-    tz = jnp.einsum(
-        "xyz,zo->xyo", U[p : p + Tx, 8 : 8 + Ty, :], bzt_ref[:],
-        preferred_element_type=f32,
-    ).astype(dtype)
-    out_ref[:] = tz * lxy_ref[:]
+    out_ref[:] = jnp.zeros((Tx, Ty, Tz), dtype=dtype)
 
-    # y-term: swap y<->z, lane-contract the band matrix, swap back
-    Uy = jnp.swapaxes(U[p : p + Tx, :, 128 : 128 + Tz], 1, 2)  # [Tx, Tz, Ys]
-    ty = jnp.einsum(
-        "xzy,yo->xzo", Uy, byt_ref[:], preferred_element_type=f32
-    ).astype(dtype)
-    out_ref[:] += jnp.swapaxes(ty, 1, 2) * lxz_ref[:]
+    if "z" in terms:
+        # z-term: lane-contraction band matmul over the full z slab
+        tz = jnp.einsum(
+            "xyz,zo->xyo", U[p : p + Tx, 8 : 8 + Ty, :], bzt_ref[:],
+            preferred_element_type=f32,
+        ).astype(dtype)
+        out_ref[:] += tz * lxy_ref[:]
 
-    # x-term: major-dim shifted adds (y/z center slices are tile-aligned)
-    acc_ref[:] = cvx_ref[0] * U[0:Tx, 8 : 8 + Ty, 128 : 128 + Tz]
-    for k in range(1, K):
-        acc_ref[:] += cvx_ref[k] * U[k : k + Tx, 8 : 8 + Ty, 128 : 128 + Tz]
-    out_ref[:] += acc_ref[:] * lyz_ref[:]
+    if "y" in terms:
+        # y-term: swap y<->z, lane-contract the band matrix, swap back
+        Uy = jnp.swapaxes(U[p : p + Tx, :, 128 : 128 + Tz], 1, 2)
+        ty = jnp.einsum(
+            "xzy,yo->xzo", Uy, byt_ref[:], preferred_element_type=f32
+        ).astype(dtype)
+        out_ref[:] += jnp.swapaxes(ty, 1, 2) * lxz_ref[:]
+
+    if "x" in terms:
+        # x-term: major-dim shifted adds (y/z center slices are tile-aligned)
+        acc_ref[:] = cvx_ref[0] * U[0:Tx, 8 : 8 + Ty, 128 : 128 + Tz]
+        for k in range(1, K):
+            acc_ref[:] += cvx_ref[k] * U[k : k + Tx, 8 : 8 + Ty, 128 : 128 + Tz]
+        out_ref[:] += acc_ref[:] * lyz_ref[:]
 
 
 def _kernel(
@@ -170,7 +175,7 @@ def _bands_from_cv(
 
 
 def _fused_call(xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, shape, p, tile_x, corr,
-                variant="mxu"):
+                variant="mxu", terms=("x", "y", "z")):
     """Cx/Cy/Cz are NumPy constants (static stencil tables); ``corr`` holds
     the per-axis (lo, hi) domain-face self-term corrections, folded into the
     first/last position of the expanded coefficient vectors — the padded
@@ -206,7 +211,7 @@ def _fused_call(xpad, LyLz, LxLz, LxLy, Cx, Cy, Cz, shape, p, tile_x, corr,
         BZT = _bands_from_cv(cvz, Nz, Zs, off=128 - p).astype(npdt)
         CVXm = jnp.asarray(cvx.reshape(K, NxL, 1, 1).astype(npdt))
         kern = functools.partial(
-            _kernel_mxu, p=p, tiles=(Tx, Ny, Nz), dtype=dtype
+            _kernel_mxu, p=p, tiles=(Tx, Ny, Nz), dtype=dtype, terms=terms
         )
         return pl.pallas_call(
             kern,

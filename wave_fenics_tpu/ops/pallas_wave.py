@@ -1,0 +1,258 @@
+"""Padded-state fused wave kernel: stiffness/m in one pass, zero repacking.
+
+Profiling the fused stencil kernel (ops.pallas_stiffness) shows its cost is
+almost entirely data movement: the per-apply jnp.pad (~80MB) and the padded
+DMA slabs. This module removes both:
+
+- **Persistent padded layout** (``PaddedLayout``): solver state lives in an
+  aligned padded array; the interior sits at offset (Tx, p, p) — a FULL
+  x-tile of zero padding on each x side, so every tile's halo window
+  [i*Tx - p, i*Tx + Tx + p) is in-bounds with a tile-independent shift,
+  and the two all-pad edge tiles just write zeros. y/z are rounded to the
+  (8, 128) DMA tiling and their stencil taps use cyclic rolls (wraparound
+  only ever lands on zero-coefficient pad outputs).
+- **inv_m folded in**: the lumped mass is separable on uniform boxes
+  (m = mx (x) my (x) mz), so 1/m folds into the static line scalings and the
+  kernel directly returns the stiffness part of dv/dt = -c0^2 (K u)/m
+  (the reference's per-stage divide, LinearGLL.hpp:182-191, now free).
+
+Boundary (source/ABC) terms act on single grid planes and are applied as
+cheap XLA plane updates by models.linear_wave_padded.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_stiffness import _cvec, build_stencil_coeffs
+
+__all__ = ["PaddedLayout", "make_padded_stiffness"]
+
+
+def _r8(n):
+    return -(-n // 8) * 8
+
+
+def _r128(n):
+    return -(-n // 128) * 128
+
+
+@dataclass(frozen=True)
+class PaddedLayout:
+    """Aligned padded storage for a dof grid [Nx, Ny, Nz].
+
+    Interior at offset (tile_x, p, p); padded dims:
+    x = (ceil(Nx/tile_x) + 2) * tile_x, y = r8(Ny + 2p), z = r128(Nz + 2p).
+    The padding must stay zero — operators preserve this invariant.
+    """
+
+    shape: tuple[int, int, int]
+    p: int
+    tile_x: int = 16
+
+    @property
+    def ntx(self) -> int:
+        return -(-self.shape[0] // self.tile_x)
+
+    @property
+    def x0(self) -> int:
+        return self.tile_x
+
+    @property
+    def padded_shape(self) -> tuple[int, int, int]:
+        Nx, Ny, Nz = self.shape
+        return (
+            (self.ntx + 2) * self.tile_x,
+            _r8(Ny + 2 * self.p),
+            _r128(Nz + 2 * self.p),
+        )
+
+    @property
+    def interior(self) -> tuple[slice, slice, slice]:
+        Nx, Ny, Nz = self.shape
+        p = self.p
+        return (
+            slice(self.x0, self.x0 + Nx),
+            slice(p, p + Ny),
+            slice(p, p + Nz),
+        )
+
+    def pad(self, x: jax.Array) -> jax.Array:
+        Nx, Ny, Nz = self.shape
+        Lx, Ly, Lz = self.padded_shape
+        p = self.p
+        return jnp.pad(
+            x,
+            (
+                (self.x0, Lx - Nx - self.x0),
+                (p, Ly - Ny - p),
+                (p, Lz - Nz - p),
+            ),
+        )
+
+    def unpad(self, xp: jax.Array) -> jax.Array:
+        return xp[self.interior]
+
+    def padded_line(self, vals: np.ndarray, axis: int) -> np.ndarray:
+        """Embed a length-N axis line into the padded axis extent."""
+        L = self.padded_shape[axis]
+        off = self.x0 if axis == 0 else self.p
+        out = np.zeros(L, dtype=np.asarray(vals).dtype)
+        out[off : off + len(vals)] = vals
+        return out
+
+
+def _kernel(
+    xp_ref, lyz_ref, lxz_ref, lxy_ref, cvx_ref, cvy_ref, cvz_ref,
+    out_ref, slab, acc_ref, sem, *, p, Tx, Ly, Lz, dtype,
+):
+    ix = pl.program_id(0)
+    n = pl.num_programs(0)
+    span = Tx + 2 * p
+    K = 2 * p + 1
+    is_pad = jnp.logical_or(ix == 0, ix == n - 1)
+
+    def dma(slot, idx):
+        # window [idx*Tx - p, idx*Tx + Tx + p): in-bounds for 1 <= idx <= n-2
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(idx * Tx - p, span)], slab.at[slot], sem.at[slot]
+        )
+
+    # Double-buffered prefetch over the interior tiles 1..n-2 (tile 0 is
+    # all-pad, so its iteration serves as the warmup prefetch for tile 1).
+    @pl.when(ix + 1 <= n - 2)
+    def _():
+        dma((ix + 1) % 2, ix + 1).start()
+
+    @pl.when(is_pad)
+    def _():
+        out_ref[:] = jnp.zeros((Tx, Ly, Lz), dtype=dtype)
+
+    @pl.when(jnp.logical_not(is_pad))
+    def _():
+        dma(ix % 2, ix).wait()
+        U = slab[ix % 2]  # rows [ix*Tx - p, ix*Tx + Tx + p)
+
+        # x-term: out row l (array row ix*Tx + l) reads U[l + k], k in [0,2p]
+        acc_ref[:] = cvx_ref[0] * U[0:Tx]
+        for k in range(1, K):
+            acc_ref[:] += cvx_ref[k] * U[k : k + Tx]
+        out_ref[:] = acc_ref[:] * lyz_ref[:]
+
+        # y/z-terms: cyclic rolls by (p - k); wraparound only reaches
+        # zero-coefficient pad outputs (Ly >= Ny + 2p, Lz >= Nz + 2p)
+        Uc = U[p : p + Tx]
+        acc_ref[:] = cvy_ref[p] * Uc
+        for k in range(K):
+            if k == p:
+                continue
+            acc_ref[:] += cvy_ref[k] * pltpu.roll(Uc, (p - k) % Ly, 1)
+        out_ref[:] += acc_ref[:] * lxz_ref[:]
+
+        acc_ref[:] = cvz_ref[p] * Uc
+        for k in range(K):
+            if k == p:
+                continue
+            acc_ref[:] += cvz_ref[k] * pltpu.roll(Uc, (p - k) % Lz, 2)
+        out_ref[:] += acc_ref[:] * lxy_ref[:]
+
+
+def make_padded_stiffness(
+    layout: PaddedLayout,
+    A: list[np.ndarray],
+    lines: list[np.ndarray],
+    coeff: float,
+    inv_m_lines: list[np.ndarray] | None = None,
+    dtype=jnp.float32,
+):
+    """Build the padded-layout fused operator xp -> coeff*(K x)/m (padded).
+
+    ``lines``: dimensionless GLL weight lines (ops.separable.grid_lines).
+    ``inv_m_lines``: separable lumped-mass factors (mx, my, mz); when given
+    the output includes the 1/m division (folded into static tables).
+    """
+    Nx, Ny, Nz = layout.shape
+    p = layout.p
+    Tx = layout.tile_x
+    Lx, Ly, Lz = layout.padded_shape
+    K = 2 * p + 1
+    npdt = np.dtype(dtype)
+
+    Lxl, Lyl, Lzl = lines
+    if inv_m_lines is None:
+        ix_, iy_, iz_ = np.ones(Nx), np.ones(Ny), np.ones(Nz)
+    else:
+        mx, my, mz = inv_m_lines
+        ix_, iy_, iz_ = 1.0 / mx, 1.0 / my, 1.0 / mz
+    sLx, sLy, sLz = Lxl * ix_, Lyl * iy_, Lzl * iz_
+
+    pl_ = layout.padded_line
+    lyz = np.outer(pl_(sLy, 1), pl_(sLz, 2))
+    lxz = np.einsum("x,z->xz", pl_(sLx, 0), pl_(sLz, 2))
+    lxy = np.einsum("x,y->xy", pl_(sLx, 0), pl_(sLy, 1))
+
+    def padded_cv(Ad, n, axis, own_inv):
+        C = build_stencil_coeffs(np.asarray(coeff) * Ad, p)
+        body = np.stack([_cvec(C, k, n, p) for k in range(K)])
+        body[p, 0] -= coeff * Ad[p, p]       # domain-face self-terms
+        body[p, n - 1] -= coeff * Ad[0, 0]
+        body = body * own_inv[None, :]
+        return np.stack([pl_(body[k], axis) for k in range(K)])
+
+    cvx = padded_cv(A[0], Nx, 0, ix_)
+    cvy = padded_cv(A[1], Ny, 1, iy_)
+    cvz = padded_cv(A[2], Nz, 2, iz_)
+
+    CVX = jnp.asarray(cvx.reshape(K, Lx, 1, 1).astype(npdt))
+    CVY = jnp.asarray(cvy.reshape(K, 1, Ly, 1).astype(npdt))
+    CVZ = jnp.asarray(cvz.reshape(K, 1, 1, Lz).astype(npdt))
+    LYZ = jnp.asarray(lyz[None].astype(npdt))
+    LXZ = jnp.asarray(lxz[:, None, :].astype(npdt))
+    LXY = jnp.asarray(lxy[:, :, None].astype(npdt))
+
+    kern = functools.partial(_kernel, p=p, Tx=Tx, Ly=Ly, Lz=Lz, dtype=dtype)
+    grid_n = Lx // Tx
+    interpret = jax.default_backend() != "tpu"  # CPU testing path
+
+    def apply(xp: jax.Array) -> jax.Array:
+        return pl.pallas_call(
+            kern,
+            interpret=interpret,
+            grid=(grid_n,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, Ly, Lz), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Tx, 1, Lz), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Tx, Ly, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, Tx, 1, 1), lambda i: (0, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, 1, Ly, 1), lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, 1, 1, Lz), lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (Tx, Ly, Lz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((Lx, Ly, Lz), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, Tx + 2 * p, Ly, Lz), dtype),
+                pltpu.VMEM((Tx, Ly, Lz), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+        )(xp, LYZ, LXZ, LXY, CVX, CVY, CVZ)
+
+    return apply

@@ -35,12 +35,25 @@ def main():
     dt = case.dt
     nsteps = args.steps
 
-    u0, v0 = m.zero_state()
+    # production TPU hot path: padded-layout fused-kernel model
+    use_padded = jax.default_backend() == "tpu"
+    if use_padded:
+        from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
 
-    @jax.jit
-    def run(u, v):
-        u, v, _ = m.solve(0.0, nsteps * dt, dt, u, v)
-        return u, v
+        pm = PaddedLinearWave(m, tile_x=16)
+        u0, v0 = pm.zero_state()
+
+        @jax.jit
+        def run(u, v):
+            u, v, _ = pm.solve(0.0, nsteps * dt, dt, u, v)
+            return u, v
+    else:
+        u0, v0 = m.zero_state()
+
+        @jax.jit
+        def run(u, v):
+            u, v, _ = m.solve(0.0, nsteps * dt, dt, u, v)
+            return u, v
 
     from wave_fenics_tpu.utils.timing import timeit
 

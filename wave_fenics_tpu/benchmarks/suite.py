@@ -1,0 +1,68 @@
+"""Run the full benchmark suite and write one JSON document.
+
+Covers the reference's complete metric surface (SURVEY.md §6) in one go:
+tsmm GFLOPs, operator matvec DOF/s for p in a sweep, CG Dofs*iter/s, local
+gather/scatter, and the headline planar3d RK throughput.
+
+Run: python -m wave_fenics_tpu.benchmarks.suite [--out BENCH_SUITE.json]
+     [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+
+
+def _run(mod: str, *args: str) -> dict | None:
+    cmd = [sys.executable, "-m", f"wave_fenics_tpu.benchmarks.{mod}", *args]
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=900, check=True
+        ).stdout.strip().splitlines()
+        return json.loads(out[-1])
+    except Exception as e:  # record failures instead of dying
+        return {"metric": mod, "error": str(e)[:500]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_SUITE.json")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--degrees", type=int, nargs="*", default=[2, 3, 4, 5, 6])
+    args = ap.parse_args()
+
+    size = "16" if args.quick else "32"
+    reps = "10" if args.quick else "50"
+    results = []
+
+    results.append(_run("tsmm", "--ncells", "20000" if args.quick else "100000"))
+    for p in args.degrees:
+        results.append(
+            _run("operators_bench", "--op", "stiffness", "--size", size,
+                 "--degree", str(p), "--reps", reps)
+        )
+    results.append(
+        _run("operators_bench", "--op", "spectral", "--size", size,
+             "--degree", "4", "--reps", reps, "--check")
+    )
+    results.append(
+        _run("operators_bench", "--op", "mass-fused", "--size", size,
+             "--degree", "4", "--reps", reps, "--check")
+    )
+    results.append(_run("cg_bench", "--size", size, "--degree", "2"))
+    results.append(
+        _run("scatter_bench", "--mode", "local", "--size", size, "--check")
+    )
+
+    doc = {"results": results}
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"suite": args.out, "n": len(results),
+                      "errors": sum(1 for r in results if r and "error" in r)}))
+
+
+if __name__ == "__main__":
+    main()

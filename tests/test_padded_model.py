@@ -55,3 +55,45 @@ def test_padded_solve_matches_base():
     np.testing.assert_allclose(
         np.asarray(pm.to_grid(v_p)), np.asarray(v_ref), rtol=1e-10, atol=1e-12
     )
+
+
+@pytest.mark.parametrize("p", [2, 4])
+def test_padded_yz_matmul_variant(p):
+    from wave_fenics_tpu.ops.pallas_wave import make_padded_stiffness
+    from wave_fenics_tpu.ops.separable import grid_lines, separable_stiffness_tables
+
+    base = _model(p=p)
+    lay = PaddedLayout(
+        shape=tuple(n * p + 1 for n in base.mesh.shape), p=p, tile_x=8
+    )
+    A, _ = separable_stiffness_tables(p, base.mesh.h, jnp.float64)
+    lines = grid_lines(base.mesh.shape, p, jnp.float64)
+    f_roll = make_padded_stiffness(lay, A, lines, -2.25e6, dtype=jnp.float64)
+    f_mm = make_padded_stiffness(
+        lay, A, lines, -2.25e6, dtype=jnp.float64, yz_matmul=True
+    )
+    rng = np.random.default_rng(7)
+    x = lay.pad(jnp.asarray(rng.standard_normal(lay.shape)))
+    np.testing.assert_allclose(
+        np.asarray(f_mm(x)), np.asarray(f_roll(x)), rtol=1e-11, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("parts", [(2, 1, 1), (2, 2, 2)])
+def test_sharded_padded_matches_single(parts):
+    """Multi-chip padded path == single-device reference solve (8 virtual
+    CPU devices, interpret-mode kernel)."""
+    from wave_fenics_tpu.parallel.sharded_padded import ShardedPaddedWave
+
+    base = _model(shape=(4, 2, 2), p=3)
+    dt = 1e-9
+    nsteps = 10
+    u_ref, v_ref, _ = base.solve(0.0, nsteps * dt, dt)
+    sw = ShardedPaddedWave(base, parts, tile_x=8)
+    u_p, v_p, _ = sw.solve(0.0, nsteps * dt, dt)
+    np.testing.assert_allclose(
+        sw.to_global(u_p), np.asarray(u_ref), rtol=1e-10, atol=1e-18
+    )
+    np.testing.assert_allclose(
+        sw.to_global(v_p), np.asarray(v_ref), rtol=1e-10, atol=1e-12
+    )

@@ -57,7 +57,7 @@ class PaddedLinearWave:
         lines = grid_lines(b.mesh.shape, b.p, b.dtype)
         return make_padded_stiffness(
             self.layout, A, lines, -float(b.c0) ** 2,
-            inv_m_lines=self._m_lines, dtype=b.dtype,
+            inv_m_lines=self._m_lines, dtype=b.dtype, yz_matmul=True,
         )
 
     @cached_property

@@ -111,7 +111,7 @@ class PaddedLayout:
 
 def _kernel(
     xp_ref, lyz_ref, lxz_ref, lxy_ref, cvx_ref, cvy_ref, cvz_ref,
-    out_ref, slab, acc_ref, sem, *, p, Tx, Ly, Lz, dtype,
+    out_ref, slab, acc_ref, sem, *, p, Tx, Ly, Lz, dtype, yz_matmul=False,
 ):
     ix = pl.program_id(0)
     n = pl.num_programs(0)
@@ -146,41 +146,60 @@ def _kernel(
             acc_ref[:] += cvx_ref[k] * U[k : k + Tx]
         out_ref[:] = acc_ref[:] * lyz_ref[:]
 
-        # y/z-terms: cyclic rolls by (p - k); wraparound only reaches
-        # zero-coefficient pad outputs (Ly >= Ny + 2p, Lz >= Nz + 2p)
         Uc = U[p : p + Tx]
-        acc_ref[:] = cvy_ref[p] * Uc
-        for k in range(K):
-            if k == p:
-                continue
-            acc_ref[:] += cvy_ref[k] * pltpu.roll(Uc, (p - k) % Ly, 1)
-        out_ref[:] += acc_ref[:] * lxz_ref[:]
+        f32 = jnp.float32 if dtype != jnp.float64 else jnp.float64
+        if yz_matmul:
+            # y/z-terms as dense band-matrix contractions on the MXU
+            # (cvy/cvz refs hold [Ly, Ly] / [Lz, Lz] band matrices here)
+            ty = jnp.einsum(
+                "xzy,yo->xzo", jnp.swapaxes(Uc, 1, 2), cvy_ref[:],
+                preferred_element_type=f32,
+            ).astype(dtype)
+            out_ref[:] += jnp.swapaxes(ty, 1, 2) * lxz_ref[:]
+            tz = jnp.einsum(
+                "xyz,zo->xyo", Uc, cvz_ref[:], preferred_element_type=f32
+            ).astype(dtype)
+            out_ref[:] += tz * lxy_ref[:]
+        else:
+            # y/z-terms: cyclic rolls by (p - k); wraparound only reaches
+            # zero-coefficient pad outputs (Ly >= Ny + 2p, Lz >= Nz + 2p)
+            acc_ref[:] = cvy_ref[p] * Uc
+            for k in range(K):
+                if k == p:
+                    continue
+                acc_ref[:] += cvy_ref[k] * pltpu.roll(Uc, (p - k) % Ly, 1)
+            out_ref[:] += acc_ref[:] * lxz_ref[:]
 
-        acc_ref[:] = cvz_ref[p] * Uc
-        for k in range(K):
-            if k == p:
-                continue
-            acc_ref[:] += cvz_ref[k] * pltpu.roll(Uc, (p - k) % Lz, 2)
-        out_ref[:] += acc_ref[:] * lxy_ref[:]
+            acc_ref[:] = cvz_ref[p] * Uc
+            for k in range(K):
+                if k == p:
+                    continue
+                acc_ref[:] += cvz_ref[k] * pltpu.roll(Uc, (p - k) % Lz, 2)
+            out_ref[:] += acc_ref[:] * lxy_ref[:]
 
 
-def make_padded_stiffness(
+def build_tables(
     layout: PaddedLayout,
     A: list[np.ndarray],
     lines: list[np.ndarray],
     coeff: float,
     inv_m_lines: list[np.ndarray] | None = None,
     dtype=jnp.float32,
-):
-    """Build the padded-layout fused operator xp -> coeff*(K x)/m (padded).
+    yz_matmul: bool = False,
+) -> tuple[np.ndarray, ...]:
+    """Static kernel tables (LYZ, LXZ, LXY, CVX, CVY, CVZ) as NumPy arrays.
 
-    ``lines``: dimensionless GLL weight lines (ops.separable.grid_lines).
-    ``inv_m_lines``: separable lumped-mass factors (mx, my, mz); when given
-    the output includes the 1/m division (folded into static tables).
+    ``lines``: dimensionless GLL weight lines (ops.separable.grid_lines) for
+    the (sub)domain this kernel instance covers. ``inv_m_lines``: separable
+    lumped-mass factors; for a distributed subdomain, pass the GLOBAL mass
+    line slices (the division is linear, so it commutes with the halo-add of
+    partial sums). Face self-term corrections are applied at both ends of
+    every axis — for an interior subdomain boundary this yields exactly the
+    single-sided cell taps whose cross-device sum (via halo-add) equals the
+    full stencil.
     """
     Nx, Ny, Nz = layout.shape
     p = layout.p
-    Tx = layout.tile_x
     Lx, Ly, Lz = layout.padded_shape
     K = 2 * p + 1
     npdt = np.dtype(dtype)
@@ -210,18 +229,57 @@ def make_padded_stiffness(
     cvy = padded_cv(A[1], Ny, 1, iy_)
     cvz = padded_cv(A[2], Nz, 2, iz_)
 
-    CVX = jnp.asarray(cvx.reshape(K, Lx, 1, 1).astype(npdt))
-    CVY = jnp.asarray(cvy.reshape(K, 1, Ly, 1).astype(npdt))
-    CVZ = jnp.asarray(cvz.reshape(K, 1, 1, Lz).astype(npdt))
-    LYZ = jnp.asarray(lyz[None].astype(npdt))
-    LXZ = jnp.asarray(lxz[:, None, :].astype(npdt))
-    LXY = jnp.asarray(lxy[:, :, None].astype(npdt))
+    CVX = cvx.reshape(K, Lx, 1, 1).astype(npdt)
+    if yz_matmul:
+        def band(cv, L):
+            B = np.zeros((L, L))
+            for o in range(L):
+                for k in range(K):
+                    r = o + k - p
+                    if 0 <= r < L:
+                        B[r, o] = cv[k, o]
+            return B
 
-    kern = functools.partial(_kernel, p=p, Tx=Tx, Ly=Ly, Lz=Lz, dtype=dtype)
+        CVY = band(cvy, Ly).astype(npdt)
+        CVZ = band(cvz, Lz).astype(npdt)
+    else:
+        CVY = cvy.reshape(K, 1, Ly, 1).astype(npdt)
+        CVZ = cvz.reshape(K, 1, 1, Lz).astype(npdt)
+    LYZ = lyz[None].astype(npdt)
+    LXZ = lxz[:, None, :].astype(npdt)
+    LXY = lxy[:, :, None].astype(npdt)
+    return LYZ, LXZ, LXY, CVX, CVY, CVZ
+
+
+def make_apply(layout: PaddedLayout, dtype=jnp.float32, yz_matmul: bool = False):
+    """The raw padded-kernel callable:
+    ``apply(xp, LYZ, LXZ, LXY, CVX, CVY, CVZ) -> yp``.
+
+    Tables come in as runtime operands so distributed callers can feed
+    per-device tables through shard_map.
+    """
+    p = layout.p
+    Tx = layout.tile_x
+    Lx, Ly, Lz = layout.padded_shape
+    K = 2 * p + 1
+    if yz_matmul:
+        cvy_spec = pl.BlockSpec((Ly, Ly), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        cvz_spec = pl.BlockSpec((Lz, Lz), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        cvy_spec = pl.BlockSpec((K, 1, Ly, 1), lambda i: (0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        cvz_spec = pl.BlockSpec((K, 1, 1, Lz), lambda i: (0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+    kern = functools.partial(
+        _kernel, p=p, Tx=Tx, Ly=Ly, Lz=Lz, dtype=dtype, yz_matmul=yz_matmul
+    )
     grid_n = Lx // Tx
     interpret = jax.default_backend() != "tpu"  # CPU testing path
 
-    def apply(xp: jax.Array) -> jax.Array:
+    def apply(xp, LYZ, LXZ, LXY, CVX, CVY, CVZ):
         return pl.pallas_call(
             kern,
             interpret=interpret,
@@ -236,10 +294,8 @@ def make_padded_stiffness(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((K, Tx, 1, 1), lambda i: (0, i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, 1, Ly, 1), lambda i: (0, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, 1, 1, Lz), lambda i: (0, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
+                cvy_spec,
+                cvz_spec,
             ],
             out_specs=pl.BlockSpec(
                 (Tx, Ly, Lz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -254,5 +310,29 @@ def make_padded_stiffness(
                 vmem_limit_bytes=110 * 1024 * 1024,
             ),
         )(xp, LYZ, LXZ, LXY, CVX, CVY, CVZ)
+
+    return apply
+
+
+def make_padded_stiffness(
+    layout: PaddedLayout,
+    A: list[np.ndarray],
+    lines: list[np.ndarray],
+    coeff: float,
+    inv_m_lines: list[np.ndarray] | None = None,
+    dtype=jnp.float32,
+    yz_matmul: bool = False,
+):
+    """Single-device convenience: tables closed over as jnp constants."""
+    tables = tuple(
+        jnp.asarray(t)
+        for t in build_tables(
+            layout, A, lines, coeff, inv_m_lines, dtype, yz_matmul
+        )
+    )
+    raw = make_apply(layout, dtype, yz_matmul)
+
+    def apply(xp: jax.Array) -> jax.Array:
+        return raw(xp, *tables)
 
     return apply

@@ -1,1 +1,1 @@
-from . import halo, partition, sharded_wave  # noqa: F401
+from . import distributed, halo, partition, sharded_padded, sharded_wave  # noqa: F401

@@ -82,3 +82,22 @@ def test_timeit_runs():
     f = jax.jit(lambda x: x * 2)
     t = timeit(f, jnp.ones((8, 8)), reps=2, warmup=1)
     assert t > 0
+
+
+def test_planar3d_app_run_and_resume(tmp_path):
+    """End-to-end app driver: run with checkpoints, interrupt, resume."""
+    import json
+
+    from wave_fenics_tpu.apps.planar3d_app import run
+    from wave_fenics_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig.from_json(json.dumps({
+        "domain": {"ncells": [4, 2, 2], "domain_length": 0.01, "degree": 3},
+        "run": {"dtype": "f64", "checkpoint_dir": str(tmp_path / "ck"),
+                "checkpoint_every_steps": 20},
+    }))
+    out1 = run(cfg)
+    assert out1["nsteps"] > 20
+    # simulate a crash: reuse the checkpoint dir; resume should continue
+    out2 = run(cfg)
+    assert out2["u_norm"] == pytest.approx(out1["u_norm"], rel=1e-10)

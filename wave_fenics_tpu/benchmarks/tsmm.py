@@ -52,7 +52,11 @@ def main():
     t = timeit(run, u, reps=3, warmup=1) / reps
     nd3, nq3 = nd1**3, nq1**3
     flops_ref = 4.0 * nc * nd3 * nd3  # reference dense model (tsmm main.cpp:58)
-    flops_sf = 2 * nc * 3 * (nq1 * nd1 * max(nd1, nq1) ** 2) * 2
+    # sum-factorized: interp = nq*nd^3 + nq^2*nd^2 + nq^3*nd MACs; x2 for
+    # the projection pass, x2 flops per MAC
+    flops_sf = (
+        4.0 * nc * (nq1 * nd1**3 + nq1**2 * nd1**2 + nq1**3 * nd1)
+    )
     report(
         metric="tsmm interp+project",
         ncells=nc, ndofs=nd3, nq=nq3, degree=p, dtype=args.dtype,

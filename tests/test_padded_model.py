@@ -97,3 +97,34 @@ def test_sharded_padded_matches_single(parts):
     np.testing.assert_allclose(
         sw.to_global(v_p), np.asarray(v_ref), rtol=1e-10, atol=1e-12
     )
+
+
+@pytest.mark.parametrize("p,tile_x", [(4, 16), (2, 16), (3, 24)])
+def test_flat_kernel_matches_3d(p, tile_x):
+    from wave_fenics_tpu.ops.pallas_wave import (
+        build_tables_flat, make_apply_flat, make_padded_stiffness,
+    )
+    from wave_fenics_tpu.ops.separable import grid_lines, separable_stiffness_tables
+    from wave_fenics_tpu.core.basis import lumped_weight_line
+
+    base = _model(shape=(4, 2, 3), p=p)
+    shape = tuple(n * p + 1 for n in base.mesh.shape)
+    lay3 = PaddedLayout(shape=shape, p=p, tile_x=tile_x)
+    layf = PaddedLayout(shape=shape, p=p, tile_x=tile_x, z_align=16)
+    A, _ = separable_stiffness_tables(p, base.mesh.h, jnp.float64)
+    lines = grid_lines(base.mesh.shape, p, jnp.float64)
+    m_lines = [
+        lumped_weight_line(base.mesh.shape[d], p, base.mesh.h[d])
+        for d in range(3)
+    ]
+    f3 = make_padded_stiffness(lay3, A, lines, -2.25e6, inv_m_lines=m_lines,
+                               dtype=jnp.float64)
+    tabs = [jnp.asarray(t) for t in build_tables_flat(
+        layf, A, lines, -2.25e6, inv_m_lines=m_lines, dtype=jnp.float64)]
+    ff = make_apply_flat(layf, dtype=jnp.float64)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal(shape))
+    y3 = lay3.unpad(f3(lay3.pad(x)))
+    yf = layf.unpad(ff(layf.pad(x), *tabs))
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(y3),
+                               rtol=1e-11, atol=1e-9)

@@ -33,14 +33,29 @@ from .linear_wave import LinearWave, lumped_boundary_weights
 __all__ = ["PaddedLinearWave"]
 
 
+def _flat_tile_x(p: int, want: int = 16) -> int:
+    """Smallest tile >= want that is a multiple of both p and 8 (flat-kernel
+    2D-DMA sublane alignment)."""
+    t = max(p, want, 8)
+    while t % p or t % 8:
+        t += 1
+    return t
+
+
 @dataclass(frozen=True)
 class PaddedLinearWave:
     base: LinearWave
     tile_x: int = 16
+    kernel: str = "flat"  # 'flat' (z_align=16) or '3d' (z_align=128)
 
     @cached_property
     def layout(self) -> PaddedLayout:
         shape = tuple(n * self.base.p + 1 for n in self.base.mesh.shape)
+        if self.kernel == "flat":
+            return PaddedLayout(
+                shape=shape, p=self.base.p,
+                tile_x=_flat_tile_x(self.base.p, self.tile_x), z_align=16,
+            )
         return PaddedLayout(shape=shape, p=self.base.p, tile_x=self.tile_x)
 
     @cached_property
@@ -55,8 +70,23 @@ class PaddedLinearWave:
         b = self.base
         A, _ = separable_stiffness_tables(b.p, b.mesh.h, b.dtype)
         lines = grid_lines(b.mesh.shape, b.p, b.dtype)
+        coeff = -float(b.c0) ** 2
+        if self.kernel == "flat":
+            import jax.numpy as _jnp
+
+            from ..ops.pallas_wave import build_tables_flat, make_apply_flat
+
+            tables = [
+                _jnp.asarray(t)
+                for t in build_tables_flat(
+                    self.layout, A, lines, coeff,
+                    inv_m_lines=self._m_lines, dtype=b.dtype,
+                )
+            ]
+            raw = make_apply_flat(self.layout, dtype=b.dtype)
+            return lambda xp: raw(xp, *tables)
         return make_padded_stiffness(
-            self.layout, A, lines, -float(b.c0) ** 2,
+            self.layout, A, lines, coeff,
             inv_m_lines=self._m_lines, dtype=b.dtype, yz_matmul=True,
         )
 

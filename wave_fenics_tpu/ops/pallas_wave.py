@@ -49,13 +49,17 @@ class PaddedLayout:
     """Aligned padded storage for a dof grid [Nx, Ny, Nz].
 
     Interior at offset (tile_x, p, p); padded dims:
-    x = (ceil(Nx/tile_x) + 2) * tile_x, y = r8(Ny + 2p), z = r128(Nz + 2p).
+    x = (ceil(Nx/tile_x) + 2) * tile_x, y = r8(Ny + 2p), and z rounded to
+    ``z_align`` (128 for the 3D-slab kernel; 16 for the flattened-(y,z)
+    kernel, whose DMA sees a 2D [x, Ly*Lz] view with Ly*Lz a multiple of
+    128 — much less z-padding waste).
     The padding must stay zero — operators preserve this invariant.
     """
 
     shape: tuple[int, int, int]
     p: int
     tile_x: int = 16
+    z_align: int = 128
 
     @property
     def ntx(self) -> int:
@@ -68,10 +72,11 @@ class PaddedLayout:
     @property
     def padded_shape(self) -> tuple[int, int, int]:
         Nx, Ny, Nz = self.shape
+        za = self.z_align
         return (
             (self.ntx + 2) * self.tile_x,
             _r8(Ny + 2 * self.p),
-            _r128(Nz + 2 * self.p),
+            -(-(Nz + 2 * self.p) // za) * za,
         )
 
     @property
@@ -310,6 +315,201 @@ def make_apply(layout: PaddedLayout, dtype=jnp.float32, yz_matmul: bool = False)
                 vmem_limit_bytes=110 * 1024 * 1024,
             ),
         )(xp, LYZ, LXZ, LXY, CVX, CVY, CVZ)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# Flattened-(y,z) kernel: less z-padding (z_align=16), x-term on the MXU
+# ---------------------------------------------------------------------------
+
+
+def _kernel_flat(
+    xp_ref, wxt_ref, cvy_ref, cvz_ref, fx_ref, gz_ref, gy_ref, sx_ref,
+    out_ref, slab, acc_ref, sem, *, p, Tx, Ly, Lz, dtype,
+):
+    """2D view [x, Ly*Lz]: DMA legality comes from Ly*Lz % 128 == 0, so z
+    only needs 16-alignment (vs 128 for 3D slabs) — ~1.8x less DMA/write
+    traffic at Nz ~ 129.
+
+    - x-term: one [Tx+2p, Tx]^T x [Tx+2p, F] MXU matmul (band matrix with
+      coefficients, face corrections, own-axis 1/m folded per tile)
+    - y/z-terms: lane rolls by (p-k)*Lz / (p-k) on the flattened plane;
+      wraparound lands only on zero-coefficient pad rows/columns
+    """
+    ix = pl.program_id(0)
+    n = pl.num_programs(0)
+    # 2D DMA offsets must be 8-aligned in the sublane dim: use an 8-deep
+    # halo window (>= p for p <= 8) so starts are multiples of 8.
+    span = Tx + 16
+    K = 2 * p + 1
+    F = Ly * Lz
+    is_pad = jnp.logical_or(ix == 0, ix == n - 1)
+    f32 = jnp.float32 if dtype != jnp.float64 else jnp.float64
+
+    def dma(slot, idx):
+        start = pl.multiple_of(idx * Tx - 8, 8)  # Tx % 8 == 0 by contract
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(start, span)], slab.at[slot], sem.at[slot]
+        )
+
+    @pl.when(ix + 1 <= n - 2)
+    def _():
+        dma((ix + 1) % 2, ix + 1).start()
+
+    @pl.when(is_pad)
+    def _():
+        out_ref[:] = jnp.zeros((Tx, F), dtype=dtype)
+
+    @pl.when(jnp.logical_not(is_pad))
+    def _():
+        dma(ix % 2, ix).wait()
+        U = slab[ix % 2]  # [span, F]
+
+        # x-term (MXU): out = W @ U, W the per-tile [Tx, span] band matrix
+        tx = jnp.einsum(
+            "os,sf->of", wxt_ref[0], U, preferred_element_type=f32
+        ).astype(dtype)
+        out_ref[:] = tx * fx_ref[:]
+
+        Uc = U[8 : 8 + Tx]
+        # y-term: rolls by (p - k) * Lz
+        acc_ref[:] = cvy_ref[p][None, :] * Uc
+        for k in range(K):
+            if k == p:
+                continue
+            acc_ref[:] += cvy_ref[k][None, :] * pltpu.roll(
+                Uc, ((p - k) * Lz) % F, 1
+            )
+        out_ref[:] += acc_ref[:] * (sx_ref[:] * gz_ref[:])
+
+        # z-term: rolls by (p - k)
+        acc_ref[:] = cvz_ref[p][None, :] * Uc
+        for k in range(K):
+            if k == p:
+                continue
+            acc_ref[:] += cvz_ref[k][None, :] * pltpu.roll(Uc, (p - k) % F, 1)
+        out_ref[:] += acc_ref[:] * (sx_ref[:] * gy_ref[:])
+
+
+def build_tables_flat(
+    layout: PaddedLayout,
+    A: list[np.ndarray],
+    lines: list[np.ndarray],
+    coeff: float,
+    inv_m_lines: list[np.ndarray] | None = None,
+    dtype=jnp.float32,
+) -> tuple[np.ndarray, ...]:
+    """(WXT, CVY, CVZ, FX, GZ, GY, SX) for the flattened kernel."""
+    Nx, Ny, Nz = layout.shape
+    p = layout.p
+    Tx = layout.tile_x
+    Lx, Ly, Lz = layout.padded_shape
+    K = 2 * p + 1
+    span = Tx + 16
+    F = Ly * Lz
+    npdt = np.dtype(dtype)
+
+    Lxl, Lyl, Lzl = lines
+    if inv_m_lines is None:
+        ix_, iy_, iz_ = np.ones(Nx), np.ones(Ny), np.ones(Nz)
+    else:
+        mx, my, mz = inv_m_lines
+        ix_, iy_, iz_ = 1.0 / mx, 1.0 / my, 1.0 / mz
+    sLx, sLy, sLz = Lxl * ix_, Lyl * iy_, Lzl * iz_
+
+    pl_ = layout.padded_line
+
+    def padded_cv(Ad, n, axis, own_inv):
+        C = build_stencil_coeffs(np.asarray(coeff) * Ad, p)
+        body = np.stack([_cvec(C, k, n, p) for k in range(K)])
+        body[p, 0] -= coeff * Ad[p, p]
+        body[p, n - 1] -= coeff * Ad[0, 0]
+        body = body * own_inv[None, :]
+        return np.stack([pl_(body[k], axis) for k in range(K)])
+
+    cvx = padded_cv(A[0], Nx, 0, ix_)  # [K, Lx]
+    cvy = padded_cv(A[1], Ny, 1, iy_)  # [K, Ly]
+    cvz = padded_cv(A[2], Nz, 2, iz_)  # [K, Lz]
+
+    ntiles = Lx // Tx
+    WXT = np.zeros((ntiles, Tx, span))
+    off = 8 - p  # slab row of the k=0 tap for out row o is o + (8 - p)
+    for t in range(1, ntiles - 1):
+        for o in range(Tx):
+            g = t * Tx + o
+            for k in range(K):
+                WXT[t, o, o + off + k] = cvx[k, g]
+
+    CVY = np.repeat(cvy, Lz, axis=1)  # [K, F], value depends on y = j // Lz
+    CVZ = np.tile(cvz, (1, Ly))  # [K, F], value depends on z = j % Lz
+    FX = np.outer(pl_(sLy, 1), pl_(sLz, 2)).reshape(1, F)
+    GZ = np.tile(pl_(sLz, 2), Ly).reshape(1, F)
+    GY = np.repeat(pl_(sLy, 1), Lz).reshape(1, F)
+    SX = pl_(sLx, 0).reshape(Lx, 1)
+    return (
+        WXT.astype(npdt), CVY.astype(npdt), CVZ.astype(npdt),
+        FX.astype(npdt), GZ.astype(npdt), GY.astype(npdt), SX.astype(npdt),
+    )
+
+
+def make_apply_flat(layout: PaddedLayout, dtype=jnp.float32):
+    """Flattened-kernel callable:
+    ``apply(xp3d, WXT, CVY, CVZ, FX, GZ, GY, SX) -> yp3d``."""
+    p = layout.p
+    Tx = layout.tile_x
+    Lx, Ly, Lz = layout.padded_shape
+    K = 2 * p + 1
+    span = Tx + 16
+    F = Ly * Lz
+    if F % 128 != 0:
+        raise ValueError(f"Ly*Lz = {F} must be a multiple of 128")
+    if Tx % 8 != 0:
+        raise ValueError(f"tile_x = {Tx} must be a multiple of 8 (2D DMA)")
+    if p > 8:
+        raise ValueError("flat kernel supports p <= 8 (8-deep halo window)")
+
+    kern = functools.partial(_kernel_flat, p=p, Tx=Tx, Ly=Ly, Lz=Lz,
+                             dtype=dtype)
+    grid_n = Lx // Tx
+    interpret = jax.default_backend() != "tpu"
+
+    def apply(xp, WXT, CVY, CVZ, FX, GZ, GY, SX):
+        x2 = xp.reshape(Lx, F)
+        out = pl.pallas_call(
+            kern,
+            interpret=interpret,
+            grid=(grid_n,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, Tx, span), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, F), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, F), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, F), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, F), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, F), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Tx, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((Tx, F), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Lx, F), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, span, F), dtype),
+                pltpu.VMEM((Tx, F), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+        )(x2, WXT, CVY, CVZ, FX, GZ, GY, SX)
+        return out.reshape(Lx, Ly, Lz)
 
     return apply
 

@@ -1,1 +1,10 @@
-from . import element_kernels, gather_scatter, operators  # noqa: F401
+from . import (  # noqa: F401
+    assembled,
+    element_kernels,
+    gather_scatter,
+    la,
+    operators,
+    pallas_stiffness,
+    pallas_wave,
+    separable,
+)

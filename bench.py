@@ -10,7 +10,6 @@ Usage: python bench.py [--cells NX NY NZ] [--degree P] [--steps N]
 
 import argparse
 import json
-import time
 
 import jax
 import jax.numpy as jnp

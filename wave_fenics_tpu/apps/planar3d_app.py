@@ -14,14 +14,11 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..benchmarks.common import resolve_dtype
-from ..models.planar3d import planar3d_case
 from ..solvers.rk4 import rk4_solve_n
 from ..utils.checkpoint import CheckpointManager
 from ..utils.config import SimulationConfig

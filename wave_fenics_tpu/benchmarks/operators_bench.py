@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..core.dofmap import StructuredDofGrid, build_dofmap
+from ..core.dofmap import build_dofmap
 from ..core.mesh import box_mesh
 from ..ops.operators import GeneralOperators, StructuredOperators
 from ..utils.timing import timeit

@@ -23,7 +23,7 @@ Physics/time-stepping semantics match LinearGLL.hpp:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property
 
 import jax

@@ -98,7 +98,6 @@ class PaddedLinearWave:
         lay = self.layout
         m3 = np.einsum("i,j,k->ijk", *self._m_lines)
         tags = b.mesh.facet_tags
-        faces: dict[int, list] = {}
         out = []
         npdt = np.dtype(b.dtype)
         for tag, attr in ((b.source_tag, "w1"), (b.abc_tag, "w2")):

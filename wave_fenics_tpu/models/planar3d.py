@@ -22,7 +22,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..core.mesh import FacetTags, StructuredBoxMesh, box_mesh
+from ..core.mesh import FacetTags, box_mesh
 from .linear_wave import LinearWave
 
 __all__ = ["Planar3DCase", "planar3d_case"]

@@ -19,7 +19,7 @@ Two families:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property
 
 import jax
@@ -28,7 +28,7 @@ import numpy as np
 
 from ..core import geometry
 from ..core.basis import tabulate_1d
-from ..core.dofmap import GeneralDofMap, StructuredDofGrid
+from ..core.dofmap import GeneralDofMap
 from ..core.mesh import HexMesh, StructuredBoxMesh
 from . import element_kernels as ek
 from . import gather_scatter as gs

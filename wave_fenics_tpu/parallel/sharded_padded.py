@@ -32,7 +32,7 @@ from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.basis import lumped_weight_line
-from ..core.mesh import BOX_FACETS, StructuredBoxMesh
+from ..core.mesh import BOX_FACETS
 from ..models.linear_wave import LinearWave, lumped_boundary_weights
 from ..ops.pallas_wave import PaddedLayout, build_tables, make_apply
 from ..ops.separable import separable_stiffness_tables

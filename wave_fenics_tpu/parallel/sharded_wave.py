@@ -17,7 +17,7 @@ SURVEY.md §3.1/§3.5) — re-designed SPMD:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import cached_property, partial
+from functools import cached_property
 
 import jax
 import jax.numpy as jnp

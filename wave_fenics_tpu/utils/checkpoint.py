@@ -18,7 +18,6 @@ import json
 import os
 from dataclasses import dataclass
 
-import jax
 import numpy as np
 
 __all__ = ["save_state", "load_state", "CheckpointManager"]

@@ -13,7 +13,6 @@ from collections import defaultdict
 from contextlib import contextmanager
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["sync", "Timer", "timeit"]

@@ -128,3 +128,15 @@ def test_flat_kernel_matches_3d(p, tile_x):
     yf = layf.unpad(ff(layf.pad(x), *tabs))
     np.testing.assert_allclose(np.asarray(yf), np.asarray(y3),
                                rtol=1e-11, atol=1e-9)
+
+
+def test_fused_stage_solve_matches_base():
+    """Fully fused RK-stage kernel == reference-semantics solve (f64)."""
+    base = _model(shape=(4, 2, 2), p=4)
+    pm = PaddedLinearWave(base, tile_x=16)
+    dt = 1e-9
+    u1, v1, _ = base.solve(0.0, 25 * dt, dt)
+    u2, v2, _ = pm.solve_fused_n(0.0, dt, 25)
+    vmax = float(jnp.max(jnp.abs(v1)))
+    assert float(jnp.max(jnp.abs(pm.to_grid(u2) - u1))) < 1e-12 * max(vmax, 1)
+    assert float(jnp.max(jnp.abs(pm.to_grid(v2) - v1))) < 1e-12 * vmax

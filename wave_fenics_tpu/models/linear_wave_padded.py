@@ -160,3 +160,95 @@ class PaddedLinearWave:
 
     def from_grid(self, x: jax.Array) -> jax.Array:
         return self.layout.pad(x)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused stage path (x-face source/ABC problems, flat layout)
+# ---------------------------------------------------------------------------
+
+def _x_face_planes(pm: "PaddedLinearWave"):
+    """(w1_flat, w2_flat, src_x, abc_x) if all tagged faces are x-faces with
+    exactly one source and one absorbing plane; None otherwise."""
+    w1 = w2 = None
+    src_x = abc_x = None
+    for axis, pidx, attr, plane in pm._boundary_planes:
+        if axis != 0:
+            return None
+        row = pidx[0]
+        if attr == "w1":
+            if w1 is not None:
+                return None
+            w1, src_x = np.asarray(plane).ravel(), row
+        else:
+            if w2 is not None:
+                return None
+            w2, abc_x = np.asarray(plane).ravel(), row
+    if w1 is None or w2 is None:
+        return None
+    return w1, w2, src_x, abc_x
+
+
+_RK_A = (0.0, 0.5, 0.5, 1.0)
+_RK_B = (1 / 6, 1 / 3, 1 / 3, 1 / 6)
+_RK_C = (0.0, 0.5, 0.5, 1.0)
+
+
+class _FusedMixin:
+    @cached_property
+    def _stage_fn(self):
+        from ..ops.pallas_wave import build_tables_flat, make_rk_stage
+
+        assert self.kernel == "flat", "fused stages require the flat layout"
+        planes = _x_face_planes(self)
+        if planes is None:
+            return None
+        w1, w2, src_x, abc_x = planes
+        b = self.base
+        A, _ = separable_stiffness_tables(b.p, b.mesh.h, b.dtype)
+        lines = grid_lines(b.mesh.shape, b.p, b.dtype)
+        tables = build_tables_flat(
+            self.layout, A, lines, -float(b.c0) ** 2,
+            inv_m_lines=self._m_lines, dtype=b.dtype,
+        )
+        return make_rk_stage(
+            self.layout, tables, w1, w2, src_x, abc_x, b.c0, dtype=b.dtype
+        )
+
+    def solve_fused_n(self, t0, dt, nsteps, u0=None, v0=None):
+        """RK4 with one fused kernel per stage (stiffness + axpys +
+        boundary planes). Falls back to :meth:`solve_n` when the fused path
+        does not apply (non-x-face tags)."""
+        stage = self._stage_fn
+        if stage is None:
+            return self.solve_n(t0, dt, nsteps, u0, v0)
+        if u0 is None:
+            u0, v0 = self.zero_state()
+        b = self.base
+        dtf = float(dt)
+
+        def body(carry, _):
+            u, v, t = carry
+            ku, kv = u, v
+            ua, va = u, v
+            for j in range(4):
+                tn = t + _RK_C[j] * dtf
+                g = b.g_amplitude(tn)
+                vn, kv, ua, va = stage(
+                    u, ku, v, kv, ua, va, dtf * _RK_A[j], dtf * _RK_B[j], g
+                )
+                ku = vn
+            return (ua, va, t + dtf), None
+
+        (u, v, _), _ = jax.lax.scan(
+            body,
+            (u0, v0, jnp.asarray(t0, dtype=u0.dtype)),
+            jnp.arange(nsteps),
+        )
+        return u, v, nsteps
+
+
+# Graft the fused-stage methods onto the (frozen) dataclass. The
+# cached_property descriptor keeps the __set_name__ binding it received in
+# _FusedMixin ('_stage_fn'), which matches the attribute name here.
+PaddedLinearWave._stage_fn = _FusedMixin._stage_fn
+PaddedLinearWave.solve_fused_n = _FusedMixin.solve_fused_n

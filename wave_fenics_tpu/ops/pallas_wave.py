@@ -536,3 +536,190 @@ def make_padded_stiffness(
         return raw(xp, *tables)
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# Fully fused RK stage: stiffness/m + stage axpys + x-face boundary planes
+# ---------------------------------------------------------------------------
+
+
+def _kernel_rk_stage(
+    u0_hbm, ku_hbm, v0_ref, kv_ref, ua_ref, va_ref, scal_ref,
+    wxt_ref, cvy_ref, cvz_ref, fx_ref, gz_ref, gy_ref, sx_ref,
+    w1_ref, w2_ref,
+    vn_out, kv_out, ua_out, va_out,
+    slab_u, slab_k, acc_ref, sem_u, sem_k,
+    *, p, Tx, Ly, Lz, dtype, src_tile, src_row, abc_tile, abc_row, c0,
+):
+    """One classic-RK4 stage, entirely on-chip per tile:
+
+        un   = u0 + ca*ku          (built in VMEM on the halo'd slabs)
+        vn   = v0 + ca*kv
+        kv'  = -c0^2 (K un)/m  + c0^2 g W1/m  - c0 (W2/m) vn   (x-face planes)
+        ua  += cb*vn ;  va += cb*kv'
+
+    scal_ref (SMEM): [ca, cb, g]. Stage outputs: (vn, kv', ua, va); the
+    caller chains vn -> ku, kv' -> kv across the 4 stages.
+    """
+    ix = pl.program_id(0)
+    n = pl.num_programs(0)
+    span = Tx + 16
+    K = 2 * p + 1
+    F = Ly * Lz
+    is_pad = jnp.logical_or(ix == 0, ix == n - 1)
+    f32 = jnp.float32 if dtype != jnp.float64 else jnp.float64
+    ca = scal_ref[0, 0]
+    cb = scal_ref[0, 1]
+    g = scal_ref[0, 2]
+
+    def dma(hbm, slab, sem, slot, idx):
+        start = pl.multiple_of(idx * Tx - 8, 8)
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(start, span)], slab.at[slot], sem.at[slot]
+        )
+
+    @pl.when(ix + 1 <= n - 2)
+    def _():
+        dma(u0_hbm, slab_u, sem_u, (ix + 1) % 2, ix + 1).start()
+        dma(ku_hbm, slab_k, sem_k, (ix + 1) % 2, ix + 1).start()
+
+    vn = v0_ref[:] + ca * kv_ref[:]
+    vn_out[:] = vn
+    ua_out[:] = ua_ref[:] + cb * vn
+
+    @pl.when(is_pad)
+    def _():
+        kv_out[:] = jnp.zeros((Tx, F), dtype=dtype)
+        va_out[:] = va_ref[:]
+
+    @pl.when(jnp.logical_not(is_pad))
+    def _():
+        dma(u0_hbm, slab_u, sem_u, ix % 2, ix).wait()
+        dma(ku_hbm, slab_k, sem_k, ix % 2, ix).wait()
+        U = slab_u[ix % 2] + ca * slab_k[ix % 2]  # un on the halo'd window
+
+        tx = jnp.einsum(
+            "os,sf->of", wxt_ref[0], U, preferred_element_type=f32
+        ).astype(dtype)
+        kv2 = tx * fx_ref[:]
+
+        Uc = U[8 : 8 + Tx]
+        acc_ref[:] = cvy_ref[p][None, :] * Uc
+        for k in range(K):
+            if k == p:
+                continue
+            acc_ref[:] += cvy_ref[k][None, :] * pltpu.roll(
+                Uc, ((p - k) * Lz) % F, 1
+            )
+        kv2 = kv2 + acc_ref[:] * (sx_ref[:] * gz_ref[:])
+
+        acc_ref[:] = cvz_ref[p][None, :] * Uc
+        for k in range(K):
+            if k == p:
+                continue
+            acc_ref[:] += cvz_ref[k][None, :] * pltpu.roll(Uc, (p - k) % F, 1)
+        kv2 = kv2 + acc_ref[:] * (sx_ref[:] * gy_ref[:])
+
+        kv_out[:] = kv2
+        # x-face boundary planes (source + ABC), static rows within tiles
+        @pl.when(ix == src_tile)
+        def _():
+            kv_out[src_row, :] += (c0 * c0 * g) * w1_ref[0, :]
+
+        @pl.when(ix == abc_tile)
+        def _():
+            kv_out[abc_row, :] += (-c0) * w2_ref[0, :] * vn[abc_row, :]
+
+        va_out[:] = va_ref[:] + cb * kv_out[:]
+
+
+def make_rk_stage(
+    layout: PaddedLayout,
+    tables: tuple,
+    w1_flat: np.ndarray,
+    w2_flat: np.ndarray,
+    src_x: int,
+    abc_x: int,
+    c0: float,
+    dtype=jnp.float32,
+):
+    """Build the fused stage callable for x-face source/ABC problems.
+
+    ``tables`` from build_tables_flat; ``w1_flat``/``w2_flat``: [F] lumped
+    facet-weight planes premultiplied by 1/m; ``src_x``/``abc_x``: padded
+    x-row indices of the source and absorbing faces.
+    """
+    p = layout.p
+    Tx = layout.tile_x
+    Lx, Ly, Lz = layout.padded_shape
+    K = 2 * p + 1
+    span = Tx + 16
+    F = Ly * Lz
+    npdt = np.dtype(dtype)
+    grid_n = Lx // Tx
+    interpret = jax.default_backend() != "tpu"
+
+    WXT, CVY, CVZ, FX, GZ, GY, SX = [jnp.asarray(t) for t in tables]
+    W1 = jnp.asarray(w1_flat.reshape(1, F).astype(npdt))
+    W2 = jnp.asarray(w2_flat.reshape(1, F).astype(npdt))
+
+    kern = functools.partial(
+        _kernel_rk_stage, p=p, Tx=Tx, Ly=Ly, Lz=Lz, dtype=dtype,
+        src_tile=src_x // Tx, src_row=src_x % Tx,
+        abc_tile=abc_x // Tx, abc_row=abc_x % Tx, c0=float(c0),
+    )
+
+    tile2 = lambda i: (i, 0)
+    full2 = lambda i: (0, 0)
+    vspec = pl.BlockSpec((Tx, F), tile2, memory_space=pltpu.VMEM)
+
+    def stage(u0, ku, v0, kv, ua, va, ca, cb, g):
+        scal = jnp.stack(
+            [jnp.asarray(ca, dtype), jnp.asarray(cb, dtype),
+             jnp.asarray(g, dtype)]
+        ).reshape(1, 3)
+        outs = pl.pallas_call(
+            kern,
+            interpret=interpret,
+            grid=(grid_n,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                vspec, vspec, vspec, vspec,
+                pl.BlockSpec((1, 3), full2, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, Tx, span), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, F), full2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, F), full2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, F), full2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, F), full2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, F), full2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Tx, 1), tile2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, F), full2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, F), full2, memory_space=pltpu.VMEM),
+            ],
+            out_specs=(vspec, vspec, vspec, vspec),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((Lx, F), dtype) for _ in range(4)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, span, F), dtype),
+                pltpu.VMEM((2, span, F), dtype),
+                pltpu.VMEM((Tx, F), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+        )(
+            u0.reshape(Lx, F), ku.reshape(Lx, F),
+            v0.reshape(Lx, F), kv.reshape(Lx, F),
+            ua.reshape(Lx, F), va.reshape(Lx, F),
+            scal, WXT, CVY, CVZ, FX, GZ, GY, SX, W1, W2,
+        )
+        vn, kv2, ua2, va2 = outs
+        rs = lambda a: a.reshape(Lx, Ly, Lz)
+        return rs(vn), rs(kv2), rs(ua2), rs(va2)
+
+    return stage

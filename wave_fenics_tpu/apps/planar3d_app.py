@@ -71,7 +71,7 @@ def run(cfg: SimulationConfig) -> dict:
     chunk = min(chunk, max(nstep - step0, 1))
 
     if sharded:
-        solve_chunk = lambda u, v, t0_, n: sw.solve(t0_, t0_ + n * dt, dt, u, v)
+        solve_chunk = lambda u, v, t0_, n: sw.solve_n(t0_, dt, n, u, v)
     else:
         from functools import partial
 

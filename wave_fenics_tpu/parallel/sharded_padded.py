@@ -36,7 +36,7 @@ from ..core.mesh import BOX_FACETS
 from ..models.linear_wave import LinearWave, lumped_boundary_weights
 from ..ops.pallas_wave import PaddedLayout, build_tables, make_apply
 from ..ops.separable import separable_stiffness_tables
-from ..solvers.rk4 import rk4_solve
+from ..solvers.rk4 import rk4_solve_n
 from .partition import make_device_mesh
 
 __all__ = ["ShardedPaddedWave"]
@@ -267,6 +267,11 @@ class ShardedPaddedWave:
         return z, z
 
     def solve(self, t0, tf, dt, u0=None, v0=None):
+        return self.solve_n(t0, dt, int(round((tf - t0) / dt)), u0, v0)
+
+    def solve_n(self, t0, dt, nsteps, u0=None, v0=None):
+        """Distributed RK4 for a static number of steps (jit-cache friendly:
+        recompiles only on a new ``nsteps``, not on every (t0, tf) pair)."""
         if u0 is None:
             u0, v0 = self.zero_state()
         tables, deps = self._tables
@@ -291,7 +296,7 @@ class ShardedPaddedWave:
             vsq = v.reshape(v.shape[3:])
             f0 = lambda t, uu, vv: vv
             f1 = lambda t, uu, vv: self._f1_local(t, uu, vv, tbl, pls)
-            uo, vo, _ = rk4_solve(f0, f1, usq, vsq, t0, tf, dt)
+            uo, vo = rk4_solve_n(f0, f1, usq, vsq, t0, dt, nsteps)
             return uo.reshape(u.shape), vo.reshape(v.shape)
 
         sm = shard_map(
@@ -303,7 +308,7 @@ class ShardedPaddedWave:
             check_vma=False,
         )
         u, v = jax.jit(sm)(u0, v0, *tables, *[p[2] for p in planes])
-        return u, v, int((tf - t0) / dt)
+        return u, v, nsteps
 
     # -- host conversion ---------------------------------------------------
     def to_global(self, blocked: jax.Array) -> np.ndarray:

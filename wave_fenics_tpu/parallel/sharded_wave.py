@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.mesh import StructuredBoxMesh
 from ..models.linear_wave import LinearWave, lumped_boundary_weights
 from ..ops.operators import StructuredOperators
-from ..solvers.rk4 import rk4_solve
+from ..solvers.rk4 import rk4_solve, rk4_solve_n
 from .halo import halo_add
 from .partition import block_grid, make_device_mesh, unblock_grid
 
@@ -183,13 +183,16 @@ class ShardedLinearWave:
 
     def solve(self, t0: float, tf: float, dt: float, u0=None, v0=None):
         """Distributed RK4: one shard_map around the whole time loop."""
+        return self.solve_n(t0, dt, int(round((tf - t0) / dt)), u0, v0)
+
+    def solve_n(self, t0: float, dt: float, nsteps: int, u0=None, v0=None):
         if u0 is None:
             u0, v0 = self.zero_state()
 
         def local_solve(u, v, W1, W2, inv_m):
             f0 = lambda t, uu, vv: vv
             f1 = lambda t, uu, vv: self._f1_local(t, uu, vv, W1, W2, inv_m)
-            uo, vo, _ = rk4_solve(f0, f1, u, v, t0, tf, dt)
+            uo, vo = rk4_solve_n(f0, f1, u, v, t0, dt, nsteps)
             return uo, vo
 
         sm = shard_map(
@@ -199,7 +202,6 @@ class ShardedLinearWave:
             out_specs=(_BLOCK_SPEC, _BLOCK_SPEC),
         )
         u, v = jax.jit(sm)(u0, v0, self.W1, self.W2, self.inv_m)
-        nsteps = int((tf - t0) / dt)
         return u, v, nsteps
 
     # -- distributed linear algebra --------------------------------------

@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--degree", type=int, default=4)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--solver", choices=["auto", "fused", "padded", "base"],
+                    default="auto")
     args = ap.parse_args()
 
     from wave_fenics_tpu.models.planar3d import planar3d_case
@@ -35,17 +37,25 @@ def main():
     nsteps = args.steps
 
     # production TPU hot path: padded-layout fused-kernel model
-    use_padded = jax.default_backend() == "tpu"
-    if use_padded:
+    solver = args.solver
+    if solver == "auto":
+        solver = "fused" if jax.default_backend() == "tpu" else "base"
+    if solver in ("fused", "padded"):
         from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
 
         pm = PaddedLinearWave(m, tile_x=16)
         u0, v0 = pm.zero_state()
 
-        @jax.jit
-        def run(u, v):
-            u, v, _ = pm.solve(0.0, nsteps * dt, dt, u, v)
-            return u, v
+        if solver == "fused" and pm._stage_fn is not None:
+            @jax.jit
+            def run(u, v):
+                u, v, _ = pm.solve_fused_n(0.0, dt, nsteps, u, v)
+                return u, v
+        else:
+            @jax.jit
+            def run(u, v):
+                u, v, _ = pm.solve(0.0, nsteps * dt, dt, u, v)
+                return u, v
     else:
         u0, v0 = m.zero_state()
 

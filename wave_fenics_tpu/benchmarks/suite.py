@@ -16,15 +16,24 @@ import subprocess
 import sys
 
 
-def _run(mod: str, *args: str) -> dict | None:
+def _run(out_path: str, acc: list, mod: str, *args: str) -> dict | None:
     cmd = [sys.executable, "-m", f"wave_fenics_tpu.benchmarks.{mod}", *args]
     try:
         out = subprocess.run(
             cmd, capture_output=True, text=True, timeout=900, check=True
         ).stdout.strip().splitlines()
-        return json.loads(out[-1])
+        res = json.loads(out[-1])
+    except subprocess.CalledProcessError as e:
+        res = {"metric": f"{mod} {' '.join(args)}",
+               "error": (e.stderr or "")[-500:]}
     except Exception as e:  # record failures instead of dying
-        return {"metric": mod, "error": str(e)[:500]}
+        res = {"metric": f"{mod} {' '.join(args)}", "error": str(e)[:500]}
+    acc.append(res)
+    # write incrementally so an outer timeout still leaves results behind
+    with open(out_path, "w") as f:
+        json.dump({"results": acc}, f, indent=1)
+    print(json.dumps(res), flush=True)
+    return res
 
 
 def main():
@@ -35,31 +44,21 @@ def main():
     args = ap.parse_args()
 
     size = "16" if args.quick else "32"
-    reps = "10" if args.quick else "50"
-    results = []
+    reps = "10" if args.quick else "20"
+    results: list = []
+    run = lambda *a: _run(args.out, results, *a)
 
-    results.append(_run("tsmm", "--ncells", "20000" if args.quick else "100000"))
+    run("tsmm", "--ncells", "20000" if args.quick else "100000", "--reps", reps)
     for p in args.degrees:
-        results.append(
-            _run("operators_bench", "--op", "stiffness", "--size", size,
-                 "--degree", str(p), "--reps", reps)
-        )
-    results.append(
-        _run("operators_bench", "--op", "spectral", "--size", size,
-             "--degree", "4", "--reps", reps, "--check")
-    )
-    results.append(
-        _run("operators_bench", "--op", "mass-fused", "--size", size,
-             "--degree", "4", "--reps", reps, "--check")
-    )
-    results.append(_run("cg_bench", "--size", size, "--degree", "2"))
-    results.append(
-        _run("scatter_bench", "--mode", "local", "--size", size, "--check")
-    )
+        run("operators_bench", "--op", "stiffness", "--size", size,
+            "--degree", str(p), "--reps", reps)
+    run("operators_bench", "--op", "spectral", "--size", size,
+        "--degree", "4", "--reps", reps, "--check")
+    run("operators_bench", "--op", "mass-fused", "--size", size,
+        "--degree", "4", "--reps", reps, "--check")
+    run("cg_bench", "--size", size, "--degree", "2")
+    run("scatter_bench", "--mode", "local", "--size", size, "--check")
 
-    doc = {"results": results}
-    with open(args.out, "w") as f:
-        json.dump(doc, f, indent=1)
     print(json.dumps({"suite": args.out, "n": len(results),
                       "errors": sum(1 for r in results if r and "error" in r)}))
 

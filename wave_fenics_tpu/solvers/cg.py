@@ -33,37 +33,49 @@ def cg(
     kmax: int = 50,
     rtol: float = 1e-8,
     dot: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+    precond: Callable[[jax.Array], jax.Array] | None = None,
 ):
-    """Solve A x = b with CG. Returns (x, k, rnorm2).
+    """Solve A x = b with (preconditioned) CG. Returns (x, k, rnorm2).
 
     ``dot`` lets distributed callers supply a psum-reduced inner product
     (the mpi_reduce analogue, cg.hpp:14-24); defaults to jnp.vdot.
+    ``precond``: optional SPD preconditioner application z = M^-1 r (e.g.
+    Jacobi via the lumped mass reciprocal) — an extension over the
+    reference's plain CG. The stopping rule stays on the TRUE residual
+    norm (rnorm/rnorm0 < rtol^2) for parity with cg.hpp:110.
     """
     if dot is None:
         dot = lambda a, c: jnp.vdot(a, c)
     if x0 is None:
         x0 = jnp.zeros_like(b)
+    M = precond if precond is not None else (lambda r: r)
 
     r0 = b - matvec(x0)
+    z0 = M(r0)
     rnorm0 = dot(r0, r0)
-    rtol2 = jnp.asarray(rtol, dtype=b.dtype) ** 2
+    rz0 = dot(r0, z0)
+    rtol2 = jnp.asarray(rtol, dtype=jnp.real(rnorm0).dtype) ** 2
 
     def cond(state):
-        x, r, p, rnorm, k = state
+        x, r, z, p, rnorm, rz, k = state
         return jnp.logical_and(k < kmax, rnorm / rnorm0 >= rtol2)
 
     def body(state):
-        x, r, p, rnorm, k = state
+        x, r, z, p, rnorm, rz, k = state
         y = matvec(p)
-        alpha = rnorm / dot(p, y)
+        alpha = rz / dot(p, y)
         x = x + alpha * p
         r = r - alpha * y
+        z = M(r)
         rnorm_new = dot(r, r)
-        beta = rnorm_new / rnorm
-        p = r + beta * p
-        return (x, r, p, rnorm_new, k + 1)
+        rz_new = dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rnorm_new, rz_new, k + 1)
 
-    x, r, p, rnorm, k = lax.while_loop(
-        cond, body, (x0, r0, r0, rnorm0, jnp.asarray(0, dtype=jnp.int32))
+    x, r, z, p, rnorm, rz, k = lax.while_loop(
+        cond,
+        body,
+        (x0, r0, z0, z0, rnorm0, rz0, jnp.asarray(0, dtype=jnp.int32)),
     )
     return x, k, rnorm

@@ -79,3 +79,51 @@ def test_planar3d_analytic_plane_wave():
     # transverse invariance
     spread = np.abs(u - u_line[:, None, None]).max()
     assert spread < 1e-6 * np.abs(u).max()
+
+
+def test_energy_conserved_closed_box():
+    """With no source/ABC faces, the semi-discrete system conserves acoustic
+    energy; RK4 preserves it to O(dt^4) per step."""
+    from wave_fenics_tpu.core.dofmap import StructuredDofGrid
+    from wave_fenics_tpu.models.diagnostics import energy, l2_norm
+
+    mesh = box_mesh((4, 4, 4), (1.0, 1.0, 1.0), facet_tags=FacetTags({}))
+    model = LinearWave(mesh, p=3, c0=1.0, dtype=jnp.float64)
+    dg = StructuredDofGrid(mesh, 3)
+    C = dg.dof_coords_grid()
+    # smooth standing-wave initial condition
+    u0 = jnp.asarray(
+        np.sin(np.pi * C[..., 0]) * np.sin(np.pi * C[..., 1])
+        * np.sin(np.pi * C[..., 2])
+    )
+    v0 = jnp.zeros_like(u0)
+    E0 = float(energy(model, u0, v0))
+    assert E0 > 0
+    dt = 2e-3
+    u, v, _ = model.solve(0.0, 200 * dt, dt, u0, v0)
+    E1 = float(energy(model, u, v))
+    assert abs(E1 - E0) / E0 < 1e-6  # RK4 dissipation O(dt^4): measured 3.3e-8
+    assert float(l2_norm(model, u0)) == pytest.approx(
+        np.sqrt(1 / 8), rel=1e-6
+    )  # ||sin sin sin||_L2 over the unit box
+
+
+def test_energy_decays_with_abc():
+    """Absorbing boundary removes energy (after the source is switched off
+    the field radiates out)."""
+    from wave_fenics_tpu.models.diagnostics import energy
+
+    tags = FacetTags({2: (0, 1)})  # both x-faces absorbing, no source
+    mesh = box_mesh((4, 2, 2), (1.0, 0.5, 0.5), facet_tags=tags)
+    model = LinearWave(mesh, p=3, c0=1.0, dtype=jnp.float64)
+    from wave_fenics_tpu.core.dofmap import StructuredDofGrid
+
+    dg = StructuredDofGrid(mesh, 3)
+    C = dg.dof_coords_grid()
+    u0 = jnp.asarray(np.exp(-50 * (C[..., 0] - 0.5) ** 2))
+    v0 = jnp.zeros_like(u0)
+    E0 = float(energy(model, u0, v0))
+    dt = 2e-3
+    u, v, _ = model.solve(0.0, 400 * dt, dt, u0, v0)
+    E1 = float(energy(model, u, v))
+    assert E1 < 0.6 * E0  # the pulse reached the faces and left

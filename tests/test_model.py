@@ -127,3 +127,28 @@ def test_energy_decays_with_abc():
     u, v, _ = model.solve(0.0, 400 * dt, dt, u0, v0)
     E1 = float(energy(model, u, v))
     assert E1 < 0.6 * E0  # the pulse reached the faces and left
+
+
+@pytest.mark.slow
+def test_p_convergence_plane_wave():
+    """Spectral (p-) convergence of the end-to-end HIFU solve: error drops
+    by orders of magnitude from p=2 to p=4 at fixed resolution."""
+    errs = {}
+    for p in (2, 3, 4):
+        case = planar3d_case(
+            ncells=(12, 1, 1), domain_length=4.5e-3, degree=p,
+            width=4.5e-3 / 12, dtype=jnp.float64,
+        )
+        m = case.model
+        u, v, _ = m.solve(case.t0, case.tf, case.dt)
+        from wave_fenics_tpu.core.dofmap import StructuredDofGrid
+
+        dg = StructuredDofGrid(m.mesh, p)
+        x = dg.axis_coords(0)
+        u_exact = analytic_plane_wave(x, case.tf, case)
+        errs[p] = float(
+            np.linalg.norm(np.asarray(u)[:, 0, 0] - u_exact)
+            / np.linalg.norm(u_exact)
+        )
+    assert errs[3] < 0.2 * errs[2]
+    assert errs[4] < 0.2 * errs[3]

@@ -118,3 +118,34 @@ def test_pcg_jacobi_accelerates_distorted_mass():
     assert int(k_pcg) < int(k_plain)
     res = np.asarray(ops.spectral_mass(x_pcg) - b)
     assert np.linalg.norm(res) / np.linalg.norm(np.asarray(b)) < 1e-9
+
+
+def test_newmark_matches_rk4_and_is_stable():
+    """Implicit Newmark (trapezoidal) vs RK4 at CFL dt: agree to O(dt^2);
+    Newmark stays bounded at 10x-CFL dt where RK4 blows up."""
+    from wave_fenics_tpu.core.dofmap import StructuredDofGrid
+    from wave_fenics_tpu.core.mesh import FacetTags
+    from wave_fenics_tpu.models.linear_wave import LinearWave
+    from wave_fenics_tpu.solvers.newmark import newmark_solve_n
+
+    mesh = box_mesh((6, 2, 2), (1.0, 0.3, 0.3), facet_tags=FacetTags({}))
+    model = LinearWave(mesh, p=3, c0=1.0, dtype=jnp.float64)
+    dg = StructuredDofGrid(mesh, 3)
+    C = dg.dof_coords_grid()
+    u0 = jnp.asarray(np.sin(np.pi * C[..., 0]))
+    v0 = jnp.zeros_like(u0)
+
+    dt = 2e-3
+    n = 100
+    u_rk, v_rk, _ = model.solve(0.0, n * dt, dt, u0, v0)
+    u_nm, v_nm, _ = newmark_solve_n(model, dt, n, u0, v0)
+    rel = float(jnp.linalg.norm(u_nm - u_rk) / jnp.linalg.norm(u_rk))
+    assert rel < 5e-3, rel  # O(dt^2) phase error vs O(dt^4)
+
+    # stability beyond the explicit CFL limit
+    big_dt = 0.2  # ~4x beyond the RK4 stability limit for this mesh
+    u_big, v_big, _ = newmark_solve_n(model, big_dt, 200, u0, v0)
+    assert np.isfinite(np.asarray(u_big)).all()
+    assert float(jnp.abs(u_big).max()) < 10 * float(jnp.abs(u0).max())
+    u_rk_big, _, _ = model.solve(0.0, 200 * big_dt, big_dt, u0, v0)
+    assert not np.isfinite(np.asarray(u_rk_big)).all()  # RK4 explodes

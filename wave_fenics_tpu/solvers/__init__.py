@@ -1,1 +1,1 @@
-from . import cg, rk4  # noqa: F401
+from . import cg, newmark, rk4  # noqa: F401

@@ -140,3 +140,16 @@ def test_fused_stage_solve_matches_base():
     vmax = float(jnp.max(jnp.abs(v1)))
     assert float(jnp.max(jnp.abs(pm.to_grid(u2) - u1))) < 1e-12 * max(vmax, 1)
     assert float(jnp.max(jnp.abs(pm.to_grid(v2) - v1))) < 1e-12 * vmax
+
+
+def test_bf16_state_runs_and_stays_finite():
+    """bf16 state path compiles and stays finite (accuracy is use-at-own-risk;
+    f32 is the production dtype)."""
+    base_tags = FacetTags({1: (0,), 2: (1,)})
+    mesh = box_mesh((4, 2, 2), (0.01, 0.005, 0.005), facet_tags=base_tags)
+    model = LinearWave(mesh, p=4, dtype=jnp.bfloat16)
+    dt = 1e-9
+    u, v, _ = model.solve(0.0, 10 * dt, dt)
+    assert u.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(v, dtype=np.float32)).all()
+    assert float(jnp.abs(v.astype(jnp.float32)).max()) > 0

@@ -107,7 +107,7 @@ class LinearWave:
     def inv_m(self) -> np.ndarray:
         """1/m precomputed — the optimization the reference left as a TODO
         (LinearGLL.hpp:179-181). NumPy constant; trace-safe."""
-        return 1.0 / self.m
+        return (1.0 / self.m).astype(np.dtype(self.dtype))
 
     @cached_property
     def W1(self) -> np.ndarray:
@@ -141,9 +141,10 @@ class LinearWave:
     def f1(self, t, u, v):
         """dv/dt = (stiffness + boundary) / m (LinearGLL.hpp:151-192)."""
         b = self.ops.stiffness(u, self.c0)
-        b = b + (self.c0**2 * self.g_amplitude(t)) * self.W1 - self.c0 * (
-            self.W2 * v
-        )
+        # keep the traced g(t) scalar in the state dtype (bf16 states would
+        # otherwise promote the whole pipeline to the time dtype)
+        g = (self.c0**2 * self.g_amplitude(t)).astype(self.dtype)
+        b = b + g * self.W1 - self.c0 * (self.W2 * v)
         return b * self.inv_m
 
     # -- driver -----------------------------------------------------------

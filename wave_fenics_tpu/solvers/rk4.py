@@ -69,10 +69,9 @@ def rk4_solve_n(
         u, v = rk4_step(f0, f1, u, v, t, dt)
         return (u, v, t + dt), None
 
+    tdt = jnp.result_type(float)  # time carried at full precision
     (u, v, t), _ = lax.scan(
-        body,
-        (u0, v0, jnp.asarray(t0, dtype=u0.dtype)),
-        jnp.arange(nsteps),
+        body, (u0, v0, jnp.asarray(t0, dtype=tdt)), jnp.arange(nsteps)
     )
     return u, v
 
@@ -99,8 +98,9 @@ def rk4_solve(
         u, v = rk4_step(f0, f1, u, v, t, dt)
         return (u, v, t + dt), None
 
+    tdt = jnp.result_type(float)  # time carried at full precision
     (u, v, t), _ = lax.scan(
-        body, (u0, v0, jnp.asarray(t0, dtype=u0.dtype)), jnp.arange(nfull)
+        body, (u0, v0, jnp.asarray(t0, dtype=tdt)), jnp.arange(nfull)
     )
     nsteps = nfull
     if rem > 1e-12 * max(abs(span), 1.0):

@@ -21,7 +21,8 @@ from ..models.linear_wave import LinearWave
 from ..ops.operators import StructuredOperators
 from ..solvers.cg import cg
 from ..utils.timing import timeit
-from .common import cells_from_args, make_parser, report, resolve_dtype
+from .common import (apply_platform, cells_from_args, make_parser,
+                     report, resolve_dtype)
 
 
 def main():
@@ -30,6 +31,7 @@ def main():
     ap.add_argument("--rtol", type=float, default=1e-4)
     ap.add_argument("--ndev", type=int, default=1)
     args = ap.parse_args()
+    apply_platform(args)
     dtype = resolve_dtype(args.dtype)
     cells = cells_from_args(args)
     mesh = box_mesh(cells, (1.0, 1.0, 1.0))

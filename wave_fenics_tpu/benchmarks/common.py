@@ -24,7 +24,19 @@ def make_parser(**defaults) -> argparse.ArgumentParser:
     ap.add_argument("--check", action="store_true",
                     help="verify against the f64 oracle path")
     ap.add_argument("--dtype", choices=["f32", "bf16", "f64"], default="f32")
+    ap.add_argument("--platform", choices=["default", "cpu"], default="default",
+                    help="force a jax platform (config-based; the "
+                         "JAX_PLATFORMS env var hangs under this image's "
+                         "preloaded-jax sitecustomize)")
     return ap
+
+
+def apply_platform(args) -> None:
+    """Apply --platform before the first jax operation."""
+    if getattr(args, "platform", "default") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
 
 def resolve_dtype(name: str):

@@ -25,7 +25,8 @@ from ..core.dofmap import build_dofmap
 from ..core.mesh import box_mesh
 from ..ops.operators import GeneralOperators, StructuredOperators
 from ..utils.timing import timeit
-from .common import cells_from_args, make_parser, report, resolve_dtype
+from .common import (apply_platform, cells_from_args, make_parser,
+                     report, resolve_dtype)
 
 
 def main():
@@ -36,6 +37,7 @@ def main():
         default="stiffness",
     )
     args = ap.parse_args()
+    apply_platform(args)
     dtype = resolve_dtype(args.dtype)
     cells = cells_from_args(args)
     mesh = box_mesh(cells, (1.0, 1.0, 1.0))

@@ -23,7 +23,7 @@ from ..core.dofmap import StructuredDofGrid
 from ..core.mesh import box_mesh
 from ..ops import gather_scatter as gs
 from ..utils.timing import timeit
-from .common import make_parser, report, resolve_dtype
+from .common import apply_platform, make_parser, report, resolve_dtype
 
 
 def main():
@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--mode", choices=["local", "halo"], default="local")
     ap.add_argument("--ndev", type=int, default=8)
     args = ap.parse_args()
+    apply_platform(args)
     dtype = resolve_dtype(args.dtype)
     p = args.degree
     mesh = box_mesh((args.size,) * 3, (1.0, 1.0, 1.0))

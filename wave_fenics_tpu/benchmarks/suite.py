@@ -41,12 +41,14 @@ def main():
     ap.add_argument("--out", default="BENCH_SUITE.json")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--degrees", type=int, nargs="*", default=[2, 3, 4, 5, 6])
+    ap.add_argument("--platform", choices=["default", "cpu"], default="default")
     args = ap.parse_args()
 
     size = "16" if args.quick else "32"
     reps = "10" if args.quick else "20"
     results: list = []
-    run = lambda *a: _run(args.out, results, *a)
+    plat = ("--platform", args.platform)
+    run = lambda *a: _run(args.out, results, *a, *plat)
 
     run("tsmm", "--ncells", "20000" if args.quick else "100000", "--reps", reps)
     for p in args.degrees:

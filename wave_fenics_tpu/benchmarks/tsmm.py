@@ -23,13 +23,14 @@ from jax import lax
 from ..core.basis import tabulate_1d
 from ..ops.element_kernels import interp3, interp3_t
 from ..utils.timing import timeit
-from .common import make_parser, report, resolve_dtype
+from .common import apply_platform, make_parser, report, resolve_dtype
 
 
 def main():
     ap = make_parser(degree=4, reps=100)
     ap.add_argument("--ncells", type=int, default=100000)
     args = ap.parse_args()
+    apply_platform(args)
     dtype = resolve_dtype(args.dtype)
 
     p = args.degree

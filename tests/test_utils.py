@@ -101,3 +101,21 @@ def test_planar3d_app_run_and_resume(tmp_path):
     # simulate a crash: reuse the checkpoint dir; resume should continue
     out2 = run(cfg)
     assert out2["u_norm"] == pytest.approx(out1["u_norm"], rel=1e-10)
+
+
+def test_profiling_annotate():
+    from wave_fenics_tpu.utils.profiling import annotate, xla_dump_flags
+
+    with annotate("phase"):
+        x = jnp.ones((4, 4)) * 2
+    assert float(x.sum()) == 32.0
+    flags = xla_dump_flags("/tmp/xla_dump_test")
+    assert "--xla_dump_to=/tmp/xla_dump_test" in flags
+
+
+def test_device_info_and_progress(capsys):
+    from wave_fenics_tpu.utils.logging import device_info, progress
+
+    info = device_info()
+    assert "platform" in info
+    progress(50, 100, 1.0e-6)  # rank-0 prints via logger; smoke only

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--kmax", type=int, default=50)
     ap.add_argument("--rtol", type=float, default=1e-4)
     ap.add_argument("--ndev", type=int, default=1)
+    ap.add_argument("--precond", action="store_true",
+                    help="Jacobi (lumped-mass) preconditioning")
     args = ap.parse_args()
     apply_platform(args)
     dtype = resolve_dtype(args.dtype)
@@ -53,9 +55,17 @@ def main():
         matvec, dot = ops.spectral_mass, None
         ndofs = ops.ndofs
 
+    precond = None
+    if args.precond and args.ndev == 1:
+        inv_diag = jnp.asarray(
+            1.0 / ops.lumped_mass.reshape(ops.grid_shape), dtype=dtype
+        )
+        precond = lambda r: inv_diag * r
+
     @jax.jit
     def solve(b):
-        return cg(matvec, b, kmax=args.kmax, rtol=args.rtol, dot=dot)
+        return cg(matvec, b, kmax=args.kmax, rtol=args.rtol, dot=dot,
+                  precond=precond)
 
     x, k, rnorm = solve(b)
     iters = int(k)

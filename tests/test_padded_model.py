@@ -153,3 +153,17 @@ def test_bf16_state_runs_and_stays_finite():
     assert u.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(v, dtype=np.float32)).all()
     assert float(jnp.abs(v.astype(jnp.float32)).max()) > 0
+
+
+def test_sharded_padded_3d_kernel_variant():
+    """The 3D-slab kernel variant of the sharded path stays correct."""
+    from wave_fenics_tpu.parallel.sharded_padded import ShardedPaddedWave
+
+    base = _model(shape=(4, 2, 2), p=3)
+    dt = 1e-9
+    u_ref, v_ref, _ = base.solve(0.0, 10 * dt, dt)
+    sw = ShardedPaddedWave(base, (2, 1, 1), tile_x=8, kernel="3d")
+    u_p, v_p, _ = sw.solve(0.0, 10 * dt, dt)
+    np.testing.assert_allclose(
+        sw.to_global(v_p), np.asarray(v_ref), rtol=1e-10, atol=1e-12
+    )

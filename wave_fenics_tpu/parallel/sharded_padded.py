@@ -34,7 +34,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.basis import lumped_weight_line
 from ..core.mesh import BOX_FACETS
 from ..models.linear_wave import LinearWave, lumped_boundary_weights
-from ..ops.pallas_wave import PaddedLayout, build_tables, make_apply
+from ..ops.pallas_wave import (PaddedLayout, build_tables, build_tables_flat,
+                               make_apply, make_apply_flat)
 from ..ops.separable import separable_stiffness_tables
 from ..solvers.rk4 import rk4_solve_n
 from .partition import make_device_mesh
@@ -48,6 +49,7 @@ class ShardedPaddedWave:
     parts: tuple[int, int, int]
     tile_x: int = 16
     devices: tuple | None = None
+    kernel: str = "flat"  # 'flat' (z_align=16) or '3d' (z_align=128)
 
     def __post_init__(self):
         for n, m in zip(self.model.mesh.shape, self.parts):
@@ -68,6 +70,13 @@ class ShardedPaddedWave:
     @cached_property
     def layout(self) -> PaddedLayout:
         shape = tuple(n * self.model.p + 1 for n in self.local_cells)
+        if self.kernel == "flat":
+            from ..models.linear_wave_padded import _flat_tile_x
+
+            return PaddedLayout(
+                shape=shape, p=self.model.p,
+                tile_x=_flat_tile_x(self.model.p, self.tile_x), z_align=16,
+            )
         return PaddedLayout(shape=shape, p=self.model.p, tile_x=self.tile_x)
 
     # -- per-device tables ------------------------------------------------
@@ -98,22 +107,36 @@ class ShardedPaddedWave:
         ]
         coeff = -float(md.c0) ** 2
 
+        flat = self.kernel == "flat"
+
         def tables_for(bx, by, bz):
             inv_m = [
                 self._m_slice(0, bx),
                 self._m_slice(1, by),
                 self._m_slice(2, bz),
             ]
+            if flat:
+                return build_tables_flat(
+                    lay, A, local_lines, coeff, inv_m, md.dtype
+                )
             return build_tables(
                 lay, A, local_lines, coeff, inv_m, md.dtype, yz_matmul=True
             )
 
         # table index -> which block axes it depends on
-        deps = {0: (1, 2), 1: (0, 2), 2: (0, 1), 3: (0,), 4: (1,), 5: (2,)}
+        if flat:
+            # (WXT, CVY, CVZ, FX, GZ, GY, SX)
+            deps = {0: (0,), 1: (1,), 2: (2,), 3: (1, 2), 4: (2,), 5: (1,),
+                    6: (0,)}
+        else:
+            # (LYZ, LXZ, LXY, CVX, CVY, CVZ)
+            deps = {0: (1, 2), 1: (0, 2), 2: (0, 1), 3: (0,), 4: (1,),
+                    5: (2,)}
         ms = (mx, my, mz)
         shape0 = [t.shape for t in tables_for(0, 0, 0)]
+        nt = len(shape0)
         blocked = []
-        for ti in range(6):
+        for ti in range(nt):
             d = deps[ti]
             lead = tuple(ms[a] for a in d)
             arr = np.zeros(lead + shape0[ti], dtype=np.dtype(md.dtype))
@@ -123,13 +146,13 @@ class ShardedPaddedWave:
                 for bz in range(mz):
                     ts = tables_for(bx, by, bz)
                     b = (bx, by, bz)
-                    for ti in range(6):
+                    for ti in range(nt):
                         idx = tuple(b[a] for a in deps[ti])
                         blocked[ti][idx] = ts[ti]
 
         axis_names = ("x", "y", "z")
         out = []
-        for ti in range(6):
+        for ti in range(nt):
             d = deps[ti]
             spec = P(*[axis_names[a] for a in d],
                      *([None] * len(shape0[ti])))
@@ -142,6 +165,8 @@ class ShardedPaddedWave:
 
     @cached_property
     def _apply_raw(self):
+        if self.kernel == "flat":
+            return make_apply_flat(self.layout, self.model.dtype)
         return make_apply(self.layout, self.model.dtype, yz_matmul=True)
 
     # -- boundary planes (blocked; zero off the global faces) -------------
@@ -283,8 +308,8 @@ class ShardedPaddedWave:
         def local_solve(u, v, *ops):
             tbl = [o.reshape(o.shape[o.ndim - nd:])
                    for o, nd in zip(ops[: len(tables)],
-                                    [t.ndim - len(d) for t, d in
-                                     zip(tables, [deps[i] for i in range(6)])])]
+                                    [t.ndim - len(deps[i]) for i, t in
+                                     enumerate(tables)])]
             pls = [
                 (planes[i][0], planes[i][1],
                  ops[len(tables) + i].reshape(

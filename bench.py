@@ -39,7 +39,10 @@ def main():
     # production TPU hot path: padded-layout fused-kernel model
     solver = args.solver
     if solver == "auto":
-        solver = "fused" if jax.default_backend() == "tpu" else "base"
+        # 'padded' is the hardware-validated production path (1.03-1.09
+        # GDoF*steps/s measured); 'fused' is opt-in until validated on-chip
+        # (a kernel hang would not trigger the compile-error fallback).
+        solver = "padded" if jax.default_backend() == "tpu" else "base"
     if solver in ("fused", "padded"):
         from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
 

@@ -45,9 +45,9 @@ def run(cfg: SimulationConfig) -> dict:
     sharded = ndev > 1
     if sharded:
         from ..parallel.partition import decompose3d
-        from ..parallel.sharded_wave import ShardedLinearWave
+        from ..parallel.sharded_padded import ShardedPaddedWave
 
-        sw = ShardedLinearWave(m, decompose3d(ndev))
+        sw = ShardedPaddedWave(m, decompose3d(ndev))
         u, v = sw.zero_state()
     else:
         u, v = m.zero_state()

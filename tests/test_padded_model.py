@@ -167,3 +167,18 @@ def test_sharded_padded_3d_kernel_variant():
     np.testing.assert_allclose(
         sw.to_global(v_p), np.asarray(v_ref), rtol=1e-10, atol=1e-12
     )
+
+
+def test_sharded_padded_multitile_per_device():
+    """Multiple interior x-tiles per device + cross-device halo together."""
+    from wave_fenics_tpu.parallel.sharded_padded import ShardedPaddedWave
+
+    base = _model(shape=(16, 1, 1), p=3)
+    dt = 1e-9
+    u_ref, v_ref, _ = base.solve(0.0, 8 * dt, dt)
+    sw = ShardedPaddedWave(base, (2, 1, 1), tile_x=8)  # local Nx=25 -> 2 tiles
+    assert sw.layout.ntx >= 2
+    u_p, v_p, _ = sw.solve(0.0, 8 * dt, dt)
+    np.testing.assert_allclose(
+        sw.to_global(v_p), np.asarray(v_ref), rtol=1e-10, atol=1e-12
+    )

@@ -113,3 +113,36 @@ def test_structured_equals_general_on_box(p):
     ys = np.asarray(s_ops.stiffness(jnp.asarray(x.reshape(dg.grid_shape)), 2.0)).ravel()
     yg = np.asarray(g_ops.stiffness(jnp.asarray(xg), 2.0))
     np.testing.assert_allclose(ys, yg[mapping], rtol=1e-9, atol=1e-10)
+
+
+def test_stiffness_vmaps_over_batch():
+    """Operators are pure grid->grid maps: vmap gives batched/ensemble
+    solves for free (a serving-style capability the reference lacks)."""
+    mesh = box_mesh((2, 2, 2), (1.0, 1.0, 1.0))
+    ops = StructuredOperators(mesh, 3, dtype=jnp.float64)
+    rng = np.random.default_rng(11)
+    xs = jnp.asarray(rng.standard_normal((4,) + ops.grid_shape))
+    import jax
+
+    ys = jax.vmap(lambda x: ops.stiffness(x, 1500.0))(xs)
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(ys[i]), np.asarray(ops.stiffness(xs[i], 1500.0)),
+            rtol=1e-12,
+        )
+
+
+def test_stiffness_grad_is_symmetric_quadratic():
+    """jax.grad of the quadratic form x -> 1/2 <x, K x> recovers K x
+    (operators are differentiable — adjoint/optimization workflows)."""
+    import jax
+
+    mesh = box_mesh((2, 2, 1), (1.0, 1.0, 1.0))
+    ops = StructuredOperators(mesh, 2, dtype=jnp.float64)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal(ops.grid_shape))
+    energy = lambda u: 0.5 * jnp.vdot(u, ops.stiffness(u, 2.0))
+    g = jax.grad(energy)(x)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(ops.stiffness(x, 2.0)), rtol=1e-11
+    )

@@ -123,10 +123,16 @@ def scatter_grid(
 
 
 def gather_indexed(x: jax.Array, dofmap: jax.Array) -> jax.Array:
-    """General path: xe[c, n] = x[dofmap[c, n]] (jnp.take on a flat vector)."""
-    return jnp.take(x, dofmap, axis=0)
+    """General path: xe[c, n] = x[dofmap[c, n]] (jnp.take on a flat vector).
+
+    Dofmaps are valid by construction, so bounds clamping is skipped."""
+    return jnp.take(x, dofmap, axis=0, mode="promise_in_bounds")
 
 
 def scatter_indexed(ye: jax.Array, dofmap: jax.Array, ndofs: int) -> jax.Array:
     """General path: y[dofmap[c, n]] += ye[c, n], deterministic sorted scatter."""
-    return jnp.zeros((ndofs,), dtype=ye.dtype).at[dofmap.ravel()].add(ye.ravel())
+    return (
+        jnp.zeros((ndofs,), dtype=ye.dtype)
+        .at[dofmap.ravel()]
+        .add(ye.ravel(), mode="promise_in_bounds")
+    )

@@ -126,7 +126,7 @@ def gather_indexed(x: jax.Array, dofmap: jax.Array) -> jax.Array:
     """General path: xe[c, n] = x[dofmap[c, n]] (jnp.take on a flat vector).
 
     Dofmaps are valid by construction, so bounds clamping is skipped."""
-    return jnp.take(x, dofmap, axis=0, mode="promise_in_bounds")
+    return x.at[dofmap].get(mode="promise_in_bounds")
 
 
 def scatter_indexed(ye: jax.Array, dofmap: jax.Array, ndofs: int) -> jax.Array:

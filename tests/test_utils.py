@@ -119,3 +119,18 @@ def test_device_info_and_progress(capsys):
     info = device_info()
     assert "platform" in info
     progress(50, 100, 1.0e-6)  # rank-0 prints via logger; smoke only
+
+
+def test_planar3d_app_sharded(tmp_path):
+    """App driver over the multi-device production path."""
+    import json
+
+    from wave_fenics_tpu.apps.planar3d_app import run
+    from wave_fenics_tpu.utils.config import SimulationConfig
+
+    cfg = SimulationConfig.from_json(json.dumps({
+        "domain": {"ncells": [4, 2, 2], "domain_length": 0.01, "degree": 3},
+        "run": {"dtype": "f64", "ndev": 4},
+    }))
+    out = run(cfg)
+    assert out["nsteps"] > 0 and np.isfinite(out["u_norm"])

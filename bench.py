@@ -10,9 +10,34 @@ Usage: python bench.py [--cells NX NY NZ] [--degree P] [--steps N]
 
 import argparse
 import json
+import os
+import signal
 
 import jax
 import jax.numpy as jnp
+
+
+def _watchdog(seconds: int):
+    """Emit an honest failure line instead of hanging forever if the TPU
+    tunnel is wedged (observed failure mode of this backend)."""
+
+    def _fire(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "planar3d RK4 GDoF*steps/s (p=4, 1 chip) "
+                    "[FAILED: device unresponsive within watchdog]",
+                    "value": 0.0,
+                    "unit": "GDoF*steps/s",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(seconds)
 
 
 def main():
@@ -23,7 +48,11 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--solver", choices=["auto", "fused", "padded", "base"],
                     default="auto")
+    ap.add_argument("--watchdog", type=int, default=1500,
+                    help="seconds before emitting a failure line (0=off)")
     args = ap.parse_args()
+    if args.watchdog:
+        _watchdog(args.watchdog)
 
     from wave_fenics_tpu.models.planar3d import planar3d_case
 
@@ -85,6 +114,7 @@ def main():
         else:
             raise
 
+    signal.alarm(0)
     gdof_steps = ndofs * nsteps / elapsed / 1e9
     print(
         json.dumps(

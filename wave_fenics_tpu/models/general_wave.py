@@ -1,0 +1,189 @@
+"""Linear wave model on general (imported/unstructured) hex meshes.
+
+Completes parity with the reference's mesh-agnostic driver
+(demo/cpu_planar3d/main.cpp reads an arbitrary XDMF hex mesh + facet tags):
+:class:`GeneralLinearWave` runs the LinearGLL physics on any
+``core.mesh.HexMesh`` with tagged exterior quad facets, using the indexed
+operator family (ops.operators.GeneralOperators).
+
+Boundary facet integrals are assembled once at setup by GLL facet
+quadrature on each tagged bilinear facet: with collocation the integral is
+diagonal, so each facet contributes ``w_i w_j |J_s(x_ij)|`` to the dof at
+its (i, j) facet node, where |J_s| = |d x/du x d x/dv| is the surface
+element. Facet nodes are matched to volume dofs by the same quantized
+geometric keying used for the dofmap (exact for trilinear cells, since a
+face restriction depends only on the face's vertices).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.basis import gll_points_weights
+from ..core.dofmap import GeneralDofMap, build_dofmap
+from ..core.mesh import HexMesh
+from ..ops.operators import GeneralOperators
+from ..solvers.rk4 import rk4_solve, rk4_solve_n
+
+__all__ = ["GeneralLinearWave", "facet_lumped_weights"]
+
+
+def _bilinear(facet_coords: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Bilinear map of a quad facet (vertices in basix quad order
+    v0=(0,0), v1=(1,0), v2=(0,1), v3=(1,1)) and its tangents.
+
+    Returns (x[nq, 3], xu[nq, 3], xv[nq, 3]).
+    """
+    v0, v1, v2, v3 = facet_coords
+    uu = u[:, None]
+    vv = v[:, None]
+    x = (
+        (1 - uu) * (1 - vv) * v0
+        + uu * (1 - vv) * v1
+        + (1 - uu) * vv * v2
+        + uu * vv * v3
+    )
+    xu = (1 - vv) * (v1 - v0) + vv * (v3 - v2)
+    xv = (1 - uu) * (v2 - v0) + uu * (v3 - v1)
+    return x, xu, xv
+
+
+def facet_lumped_weights(
+    mesh: HexMesh,
+    dofs: GeneralDofMap,
+    facets: np.ndarray,
+    p: int,
+    tol: float = 1e-9,
+) -> np.ndarray:
+    """Lumped facet-mass vector W[ndofs]: sum over the given facets of the
+    diagonal GLL facet quadrature weights (w_i w_j |J_s|), accumulated at
+    the matching volume dofs."""
+    nodes, w1d = gll_points_weights(p + 1)
+    U, V = np.meshgrid(nodes, nodes, indexing="ij")
+    Wq = np.outer(w1d, w1d).ravel()
+    u = U.ravel()
+    v = V.ravel()
+
+    # dof lookup by the same quantized key as build_dofmap
+    scale = max(np.abs(mesh.points).max(), 1.0)
+    q = scale * tol
+    keys = np.round(dofs.dof_coords / q).astype(np.int64)
+    lookup = {tuple(k): i for i, k in enumerate(keys)}
+
+    W = np.zeros(dofs.ndofs)
+    for f in np.asarray(facets):
+        fc = mesh.points[f]
+        x, xu, xv = _bilinear(fc, u, v)
+        Js = np.linalg.norm(np.cross(xu, xv), axis=1)
+        fkeys = np.round(x / q).astype(np.int64)
+        for n in range(x.shape[0]):
+            key = tuple(fkeys[n])
+            if key not in lookup:
+                raise ValueError(
+                    "facet node does not coincide with a volume dof — "
+                    "facet vertex ordering or mesh/tag mismatch"
+                )
+            W[lookup[key]] += Wq[n] * Js[n]
+    return W
+
+
+@dataclass(frozen=True)
+class GeneralLinearWave:
+    """LinearGLL physics on a general hex mesh (flat dof vectors).
+
+    ``facet_tags``: dict tag -> facet vertex array [n, 4]; tag 1 = source,
+    tag 2 = absorbing (forms.ufl:21-24 convention), overridable.
+    """
+
+    mesh: HexMesh
+    p: int
+    facet_tags: dict
+    c0: float = 1500.0
+    freq0: float = 0.5e6
+    p0: float = 60000.0
+    alpha: float = 4.0
+    source_tag: int = 1
+    abc_tag: int = 2
+    dtype: type = jnp.float64
+
+    @cached_property
+    def dofs(self) -> GeneralDofMap:
+        return build_dofmap(self.mesh, self.p)
+
+    @cached_property
+    def ops(self) -> GeneralOperators:
+        return GeneralOperators(self.mesh, self.dofs, dtype=self.dtype)
+
+    @property
+    def ndofs(self) -> int:
+        return self.dofs.ndofs
+
+    @property
+    def w0(self) -> float:
+        return 2.0 * np.pi * self.freq0
+
+    @property
+    def period(self) -> float:
+        return 1.0 / self.freq0
+
+    @cached_property
+    def m(self) -> np.ndarray:
+        return self.ops.lumped_mass
+
+    @cached_property
+    def inv_m(self) -> np.ndarray:
+        return (1.0 / self.m).astype(np.dtype(self.dtype))
+
+    def _tag_weights(self, tag: int) -> np.ndarray:
+        facets = self.facet_tags.get(tag)
+        if facets is None or len(facets) == 0:
+            return np.zeros(self.ndofs, dtype=np.dtype(self.dtype))
+        return facet_lumped_weights(
+            self.mesh, self.dofs, facets, self.p
+        ).astype(np.dtype(self.dtype))
+
+    @cached_property
+    def W1(self) -> np.ndarray:
+        return self._tag_weights(self.source_tag)
+
+    @cached_property
+    def W2(self) -> np.ndarray:
+        return self._tag_weights(self.abc_tag)
+
+    # -- physics (LinearGLL.hpp:141-192 semantics) -----------------------
+    def window(self, t):
+        Talpha = self.period * self.alpha
+        ramp = 0.5 * (1.0 - jnp.cos(self.freq0 * jnp.pi * t / self.alpha))
+        return jnp.where(t < Talpha, ramp, 1.0)
+
+    def g_amplitude(self, t):
+        return self.window(t) * self.p0 * self.w0 / self.c0 * jnp.cos(self.w0 * t)
+
+    def f0(self, t, u, v):
+        return v
+
+    def f1(self, t, u, v):
+        b = self.ops.stiffness(u, self.c0)
+        g = (self.c0**2 * self.g_amplitude(t)).astype(self.dtype)
+        b = b + g * self.W1 - self.c0 * (self.W2 * v)
+        return b * self.inv_m
+
+    # -- driver ------------------------------------------------------------
+    def zero_state(self):
+        z = jnp.zeros((self.ndofs,), dtype=self.dtype)
+        return z, z
+
+    def solve(self, t0, tf, dt, u0=None, v0=None):
+        if u0 is None:
+            u0, v0 = self.zero_state()
+        return rk4_solve(self.f0, self.f1, u0, v0, t0, tf, dt)
+
+    def solve_n(self, t0, dt, nsteps, u0=None, v0=None):
+        if u0 is None:
+            u0, v0 = self.zero_state()
+        return rk4_solve_n(self.f0, self.f1, u0, v0, t0, dt, nsteps)

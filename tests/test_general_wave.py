@@ -102,3 +102,58 @@ def test_general_wave_distorted_mesh_runs():
     u, v, _ = gm.solve(0.0, 10 * dt, dt)
     assert np.isfinite(np.asarray(v)).all()
     assert float(jnp.abs(v).max()) > 0
+
+
+def test_from_xdmf_roundtrip(tmp_path):
+    """mesh.xdmf + tags.xdmf -> model -> solve (the cpu_planar3d workflow)."""
+    h5py = pytest.importorskip("h5py")
+    mesh = box_mesh((3, 2, 2), (0.01, 0.006, 0.006))
+    f_src, hm = _box_face_facets(mesh, 0, 0)
+    f_abc, _ = _box_face_facets(mesh, 0, 1)
+    vtk = np.array([0, 1, 3, 2, 4, 5, 7, 6])
+    inv = np.argsort(vtk)
+    with h5py.File(tmp_path / "m.h5", "w") as f:
+        f["/geom"] = hm.points
+        f["/topo"] = hm.cells[:, inv]
+        # XDMF quads: basix (v0,v1,v3,v2) -> VTK winding (v0,v1,v3,v2)?
+        facets = np.concatenate([f_src, f_abc])
+        f["/ftopo"] = facets[:, [0, 1, 3, 2]]
+        f["/fvals"] = np.array([1] * len(f_src) + [2] * len(f_abc),
+                               dtype=np.int32)
+    (tmp_path / "m.xdmf").write_text(f"""<?xml version="1.0"?>
+<Xdmf Version="3.0"><Domain>
+<Grid Name="planar3d">
+<Topology TopologyType="Hexahedron" NumberOfElements="{hm.ncells}">
+<DataItem Dimensions="{hm.ncells} 8" Format="HDF">m.h5:/topo</DataItem>
+</Topology>
+<Geometry GeometryType="XYZ">
+<DataItem Dimensions="{len(hm.points)} 3" Format="HDF">m.h5:/geom</DataItem>
+</Geometry>
+</Grid>
+</Domain></Xdmf>""")
+    nfac = len(f_src) + len(f_abc)
+    (tmp_path / "t.xdmf").write_text(f"""<?xml version="1.0"?>
+<Xdmf Version="3.0"><Domain>
+<Grid Name="planar3d_boundaries">
+<Topology TopologyType="Quadrilateral" NumberOfElements="{nfac}">
+<DataItem Dimensions="{nfac} 4" Format="HDF">m.h5:/ftopo</DataItem>
+</Topology>
+<Geometry GeometryType="XYZ">
+<DataItem Dimensions="{len(hm.points)} 3" Format="HDF">m.h5:/geom</DataItem>
+</Geometry>
+<Attribute Name="tags" Center="Cell">
+<DataItem Dimensions="{nfac}" Format="HDF">m.h5:/fvals</DataItem>
+</Attribute>
+</Grid>
+</Domain></Xdmf>""")
+
+    from wave_fenics_tpu.models.general_wave import from_xdmf
+
+    # p=3: asymmetric interior GLL nodes catch any facet-winding mixup
+    # (p=2 nodes are winding-symmetric and would mask it)
+    model = from_xdmf(str(tmp_path / "m.xdmf"), str(tmp_path / "t.xdmf"),
+                      p=3, dtype=jnp.float64)
+    dt = 1e-9
+    u, v, _ = model.solve(0.0, 10 * dt, dt)
+    assert float(jnp.abs(v).max()) > 0
+    assert np.isfinite(np.asarray(v)).all()

@@ -187,3 +187,28 @@ class GeneralLinearWave:
         if u0 is None:
             u0, v0 = self.zero_state()
         return rk4_solve_n(self.f0, self.f1, u0, v0, t0, dt, nsteps)
+
+
+def from_xdmf(
+    mesh_path: str,
+    meshtags_path: str | None = None,
+    mesh_grid: str | None = None,
+    tags_grid: str | None = None,
+    p: int = 4,
+    **physics,
+) -> GeneralLinearWave:
+    """Build the wave model from DOLFINx-exported XDMF files — the complete
+    reference workflow (demo/cpu_planar3d/main.cpp:40-45): mesh + boundary
+    meshtags in, ready-to-solve model out."""
+    from ..core.io import read_xdmf, read_xdmf_meshtags
+
+    mesh = read_xdmf(mesh_path, mesh_grid)
+    facet_tags: dict = {}
+    if meshtags_path is not None:
+        facets, values = read_xdmf_meshtags(meshtags_path, tags_grid)
+        # XDMF/VTK quads are perimeter-wound (v0,v1,v2,v3); basix order is
+        # (v0,v1,v3,v2) — swap the last two for the bilinear facet map.
+        facets = facets[:, [0, 1, 3, 2]]
+        for tag in np.unique(values):
+            facet_tags[int(tag)] = facets[values == tag]
+    return GeneralLinearWave(mesh=mesh, p=p, facet_tags=facet_tags, **physics)

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.basis import lumped_weight_line
 from ..core.mesh import BOX_FACETS
-from ..models.linear_wave import LinearWave, lumped_boundary_weights
+from ..models.linear_wave import LinearWave
 from ..ops.pallas_wave import (PaddedLayout, build_tables, build_tables_flat,
                                make_apply, make_apply_flat)
 from ..ops.separable import separable_stiffness_tables
@@ -183,12 +183,6 @@ class ShardedPaddedWave:
             for fid in md.mesh.facet_tags.facets_of(tag):
                 axis, side = BOX_FACETS[fid]
                 oth = [d for d in range(3) if d != axis]
-                # global face plane weights / m
-                Wg = lumped_boundary_weights(md.mesh, p, (fid,))
-                m3 = np.einsum("i,j,k->ijk", *m3_lines)
-                gidx = [slice(None)] * 3
-                gidx[axis] = 0 if side == 0 else Wg.shape[axis] - 1
-                plane_g = (Wg / m3)[tuple(gidx)]  # [Noth0, Noth1] global
                 # blocked per-device padded planes; nonzero only on devices
                 # at the face side of `axis`; LOCAL lumped facet weights
                 # (halo-add sums the shared-edge contributions)
@@ -212,8 +206,6 @@ class ShardedPaddedWave:
                             )
                         wloc = np.outer(lines[0], lines[1])
                         # divide by global m on the local slice
-                        s0 = b0 * self.local_cells[oth[0]] * p
-                        s1 = b1 * self.local_cells[oth[1]] * p
                         mseg = np.outer(
                             self._m_slice(oth[0], b0), self._m_slice(oth[1], b1)
                         )

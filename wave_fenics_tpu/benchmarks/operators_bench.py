@@ -33,7 +33,8 @@ def main():
     ap = make_parser(size=32, degree=4, reps=50)
     ap.add_argument(
         "--op",
-        choices=["mass", "mass-fused", "spectral", "stiffness"],
+        choices=["mass", "mass-fused", "spectral", "stiffness",
+                 "stiffness-padded"],
         default="stiffness",
     )
     args = ap.parse_args()
@@ -44,7 +45,19 @@ def main():
     p = args.degree
     rng = np.random.default_rng(0)
 
-    if args.op == "mass":
+    if args.op == "stiffness-padded":
+        # production persistent-padded fused kernel (models hot path)
+        from ..models.linear_wave import LinearWave
+        from ..models.linear_wave_padded import PaddedLinearWave
+
+        model = LinearWave(mesh, p=p, c0=1500.0, dtype=dtype)
+        pm = PaddedLinearWave(model)
+        x = pm.from_grid(
+            jnp.asarray(rng.standard_normal(model.ops.grid_shape), dtype=dtype)
+        )
+        f = pm._apply
+        ndofs = model.ops.ndofs
+    elif args.op == "mass":
         hexm = mesh.to_hex_mesh()
         dofs = build_dofmap(hexm, p)
         ops = GeneralOperators(hexm, dofs, dtype=dtype, rule="gauss")

@@ -157,3 +157,54 @@ def test_from_xdmf_roundtrip(tmp_path):
     u, v, _ = model.solve(0.0, 10 * dt, dt)
     assert float(jnp.abs(v).max()) > 0
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_heterogeneous_c0_matches_dense_oracle():
+    """Per-cell sound speed: stiffness == dense assembly with per-cell
+    coefficient (two-layer medium)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from oracles import tables_3d
+
+    from wave_fenics_tpu.core import geometry
+    from wave_fenics_tpu.core.dofmap import build_dofmap
+    from wave_fenics_tpu.ops.operators import GeneralOperators
+
+    mesh = box_mesh((4, 2, 2), (0.02, 0.01, 0.01)).to_hex_mesh()
+    p = 3
+    dofs = build_dofmap(mesh, p)
+    c0_ref = 1500.0
+    # two layers: water then tissue
+    mids = mesh.cell_coords().mean(axis=1)
+    c0_cells = np.where(mids[:, 0] < 0.01, 1500.0, 1600.0)
+    ops = GeneralOperators(
+        mesh, dofs, dtype=jnp.float64,
+        coeff_cells=(c0_cells / c0_ref) ** 2,
+    )
+    # dense oracle with per-cell coefficient
+    Phi, dPhi = tables_3d(p)
+    G, _ = geometry.precompute_geometric_data(mesh, p, clamp=False)
+    K = np.zeros((dofs.ndofs, dofs.ndofs))
+    for c in range(mesh.ncells):
+        Ke = np.einsum("dqa,qde,eqb->ab", dPhi, G[c], dPhi, optimize=True)
+        idx = dofs.dofmap[c]
+        K[np.ix_(idx, idx)] += -(c0_cells[c] ** 2) * Ke
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(dofs.ndofs)
+    y = np.asarray(ops.stiffness(jnp.asarray(x), c0_ref))
+    np.testing.assert_allclose(y, K @ x, rtol=1e-9, atol=1e-6)
+
+
+def test_heterogeneous_model_runs():
+    mesh = box_mesh((4, 2, 2), (0.02, 0.01, 0.01))
+    f_src, hm = _box_face_facets(mesh, 0, 0)
+    f_abc, _ = _box_face_facets(mesh, 0, 1)
+    mids = hm.cell_coords().mean(axis=1)
+    c0_cells = np.where(mids[:, 0] < 0.01, 1500.0, 1600.0)
+    gm = GeneralLinearWave(
+        mesh=hm, p=2, facet_tags={1: f_src, 2: f_abc},
+        c0_cells=c0_cells, dtype=jnp.float64,
+    )
+    dt = 1e-9
+    u, v, _ = gm.solve(0.0, 10 * dt, dt)
+    assert np.isfinite(np.asarray(v)).all() and float(jnp.abs(v).max()) > 0

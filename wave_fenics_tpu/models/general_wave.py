@@ -110,6 +110,10 @@ class GeneralLinearWave:
     source_tag: int = 1
     abc_tag: int = 2
     dtype: type = jnp.float64
+    #: optional per-cell sound speed for heterogeneous media (e.g. tissue
+    #: layers); ``c0`` stays the reference speed used by the source/ABC
+    #: boundary terms. Shape [ncells].
+    c0_cells: object = None
 
     @cached_property
     def dofs(self) -> GeneralDofMap:
@@ -117,7 +121,12 @@ class GeneralLinearWave:
 
     @cached_property
     def ops(self) -> GeneralOperators:
-        return GeneralOperators(self.mesh, self.dofs, dtype=self.dtype)
+        coeff = None
+        if self.c0_cells is not None:
+            coeff = (np.asarray(self.c0_cells) / self.c0) ** 2
+        return GeneralOperators(
+            self.mesh, self.dofs, dtype=self.dtype, coeff_cells=coeff
+        )
 
     @property
     def ndofs(self) -> int:

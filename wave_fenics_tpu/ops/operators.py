@@ -160,6 +160,9 @@ class GeneralOperators:
     dtype: type = jnp.float32
     q: int | None = None
     rule: str = "gll"
+    #: optional per-cell stiffness coefficient (e.g. (c0(x)/c0_ref)^2 for
+    #: heterogeneous media); folded into G at setup. Shape [ncells].
+    coeff_cells: object = None
 
     def __post_init__(self):
         p = self.dofs.p
@@ -167,6 +170,9 @@ class GeneralOperators:
         G, detJw = geometry.precompute_geometric_data(
             self.mesh, p, self.q, self.rule
         )
+        if self.coeff_cells is not None:
+            cc = np.asarray(self.coeff_cells, dtype=G.dtype)
+            G = G * cc[:, None, None, None]
         nq1 = tab.nq
         nc = self.mesh.ncells
         npdt = np.dtype(self.dtype)

@@ -1,0 +1,58 @@
+"""Smoke tests for the benchmark CLIs (in-process, tiny sizes).
+
+Ensures every reference-metric harness stays runnable; numbers are not
+asserted (hardware benchmarks live outside pytest).
+"""
+
+import json
+import sys
+
+import pytest
+
+
+def _run_main(module, argv, capsys):
+    sys.argv = ["bench"] + argv
+    module.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_tsmm_cli(capsys):
+    from wave_fenics_tpu.benchmarks import tsmm
+
+    r = _run_main(tsmm, ["--ncells", "200", "--reps", "2"], capsys)
+    assert r["gflops"] > 0
+
+
+@pytest.mark.parametrize(
+    "op", ["mass", "mass-fused", "spectral", "stiffness", "stiffness-padded"]
+)
+def test_operators_cli(op, capsys):
+    from wave_fenics_tpu.benchmarks import operators_bench
+
+    r = _run_main(
+        operators_bench,
+        ["--op", op, "--size", "4", "--degree", "2", "--reps", "2", "--check"],
+        capsys,
+    )
+    assert r["gdofs_per_s"] > 0
+    if "max_rel_err_vs_f64_oracle" in r:
+        assert r["max_rel_err_vs_f64_oracle"] < 1e-4
+
+
+def test_cg_cli(capsys):
+    from wave_fenics_tpu.benchmarks import cg_bench
+
+    r = _run_main(cg_bench, ["--size", "4", "--degree", "2"], capsys)
+    assert r["iters"] >= 1
+
+
+def test_scatter_cli(capsys):
+    from wave_fenics_tpu.benchmarks import scatter_bench
+
+    r = _run_main(
+        scatter_bench,
+        ["--mode", "local", "--size", "4", "--reps", "2", "--check"],
+        capsys,
+    )
+    assert r["gdofs_per_s"] > 0

@@ -146,3 +146,29 @@ def test_stiffness_grad_is_symmetric_quadratic():
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(ops.stiffness(x, 2.0)), rtol=1e-11
     )
+
+
+def test_structured_heterogeneous_c0():
+    """Per-cell coefficient on the structured path == dense oracle."""
+    mesh = box_mesh((3, 2, 2), (1.0, 0.8, 0.9))
+    p = 3
+    dg = StructuredDofGrid(mesh, p)
+    rng = np.random.default_rng(13)
+    cc = 1.0 + 0.3 * rng.random(mesh.ncells)
+    ops = StructuredOperators(mesh, p, dtype=jnp.float64, coeff_cells=cc)
+    # dense oracle with per-cell coefficient
+    from wave_fenics_tpu.core import geometry
+    from oracles import tables_3d
+
+    Phi, dPhi = tables_3d(p)
+    G, _ = geometry.precompute_geometric_data(mesh.to_hex_mesh(), p,
+                                              clamp=False)
+    dm = dg.dofmap()
+    K = np.zeros((dg.ndofs, dg.ndofs))
+    c0 = 2.0
+    for c in range(mesh.ncells):
+        Ke = np.einsum("dqa,qde,eqb->ab", dPhi, G[c], dPhi, optimize=True)
+        K[np.ix_(dm[c], dm[c])] += -(c0**2) * cc[c] * Ke
+    x = rng.standard_normal(dg.ndofs)
+    y = np.asarray(ops.stiffness(jnp.asarray(x.reshape(dg.grid_shape)), c0))
+    np.testing.assert_allclose(y.ravel(), K @ x, rtol=1e-9, atol=1e-9)

@@ -47,6 +47,10 @@ class StructuredOperators:
     mesh: StructuredBoxMesh
     p: int
     dtype: type = jnp.float32
+    #: optional per-cell stiffness coefficient (heterogeneous media); when
+    #: set, stiffness() uses the per-cell kernel (separable/fused paths
+    #: require a uniform coefficient). Shape [ncells].
+    coeff_cells: object = None
 
     def __post_init__(self):
         tab = tabulate_1d(self.p)
@@ -59,9 +63,11 @@ class StructuredOperators:
         npdt = np.dtype(self.dtype)
         object.__setattr__(self, "_D", tab.D.astype(npdt))
         object.__setattr__(self, "_detJw", detJw.reshape(1, m, m, m).astype(npdt))
-        object.__setattr__(
-            self, "_Gdiag", Gdiag.reshape(1, m, m, m, 3).astype(npdt)
-        )
+        Gd = Gdiag.reshape(1, m, m, m, 3).astype(npdt)
+        if self.coeff_cells is not None:
+            cc = np.asarray(self.coeff_cells, dtype=npdt)
+            Gd = Gd * cc[:, None, None, None, None]
+        object.__setattr__(self, "_Gdiag", Gd)
         from .separable import grid_lines, separable_stiffness_tables
 
         A, _ = separable_stiffness_tables(self.p, self.mesh.h, self.dtype)
@@ -120,6 +126,9 @@ class StructuredOperators:
         grid-space formulation (ops.separable)."""
         import os
 
+        if self.coeff_cells is not None:
+            # heterogeneous coefficient: only the per-cell kernel applies
+            return self.stiffness_percell(x, c0)
         static_c0 = isinstance(c0, (int, float))
         if (
             static_c0

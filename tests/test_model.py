@@ -152,3 +152,27 @@ def test_p_convergence_plane_wave():
         )
     assert errs[3] < 0.2 * errs[2]
     assert errs[4] < 0.2 * errs[3]
+
+
+@pytest.mark.slow
+def test_probe_recording_matches_analytic():
+    """Recorded probe time series matches the analytic traveling wave in
+    steady state (the 'hydrophone' observable)."""
+    from wave_fenics_tpu.models.linear_wave import solve_recording
+
+    case = planar3d_case(ncells=(16, 2, 2), domain_length=6.0e-3,
+                         dtype=jnp.float64)
+    m = case.model
+    x_probe = 3.0e-3
+    nsteps = case.nsteps
+    u, v, series = solve_recording(
+        m, case.t0, case.dt, nsteps, np.array([[x_probe, 0.0, 0.0]])
+    )
+    ts = case.t0 + case.dt * np.arange(1, nsteps + 1)
+    # compare over the final periods (past ramp + transit)
+    sel = ts > (m.alpha * m.period + x_probe / m.c0 + 2 * m.period)
+    tau = ts[sel] - x_probe / m.c0
+    exact = m.p0 * np.sin(m.w0 * tau)
+    got = np.asarray(series)[sel, 0]
+    rel = np.linalg.norm(got - exact) / np.linalg.norm(exact)
+    assert rel < 1e-4, rel

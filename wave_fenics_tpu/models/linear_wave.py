@@ -166,3 +166,47 @@ class LinearWave:
         if u0 is None:
             u0, v0 = self.zero_state()
         return rk4_solve(self.f0, self.f1, u0, v0, t0, tf, dt)
+
+
+def probe_indices(
+    model: LinearWave, points: "np.ndarray"
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """Grid indices of the dofs nearest to the given physical points
+    (probe/"hydrophone" placement)."""
+    from ..core.dofmap import StructuredDofGrid
+
+    dg = StructuredDofGrid(model.mesh, model.p)
+    pts = np.atleast_2d(points)
+    idx = []
+    for d in range(3):
+        coords = dg.axis_coords(d)
+        idx.append(np.abs(coords[None, :] - pts[:, d : d + 1]).argmin(axis=1))
+    return tuple(np.asarray(i) for i in idx)
+
+
+def solve_recording(
+    model: LinearWave,
+    t0: float,
+    dt: float,
+    nsteps: int,
+    points: "np.ndarray",
+    u0=None,
+    v0=None,
+):
+    """RK4 solve recording the pressure time series at probe points.
+
+    Returns (u, v, series[nsteps, npoints]) — fully on-device; the series
+    is the only per-step output (tiny), so recording is ~free.
+    """
+    from ..solvers.rk4 import rk4_solve_n_recording
+
+    if u0 is None:
+        u0, v0 = model.zero_state()
+    ii, jj, kk = probe_indices(model, points)
+
+    def sample(t, u, v):
+        return u[ii, jj, kk]
+
+    return rk4_solve_n_recording(
+        model.f0, model.f1, u0, v0, t0, dt, nsteps, sample
+    )

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["rk4_step", "rk4_solve", "rk4_solve_n"]
+__all__ = ["rk4_step", "rk4_solve", "rk4_solve_n", "rk4_solve_n_recording"]
 
 # Butcher tableau of the reference (LinearGLL.hpp:233-236)
 _A = (0.0, 0.5, 0.5, 1.0)
@@ -107,3 +107,30 @@ def rk4_solve(
         u, v = rk4_step(f0, f1, u, v, t, jnp.asarray(rem, dtype=u0.dtype))
         nsteps += 1
     return u, v, nsteps
+
+
+def rk4_solve_n_recording(
+    f0: Callable,
+    f1: Callable,
+    u0: jax.Array,
+    v0: jax.Array,
+    t0,
+    dt: float,
+    nsteps: int,
+    sample: Callable,
+):
+    """Like :func:`rk4_solve_n` but also returns per-step observations
+    ``sample(t, u, v)`` stacked over steps (probe/"hydrophone" time series —
+    an observability feature the reference lacks)."""
+
+    def body(carry, i):
+        u, v, t = carry
+        u, v = rk4_step(f0, f1, u, v, t, dt)
+        t = t + dt
+        return (u, v, t), sample(t, u, v)
+
+    tdt = jnp.result_type(float)
+    (u, v, t), samples = lax.scan(
+        body, (u0, v0, jnp.asarray(t0, dtype=tdt)), jnp.arange(nsteps)
+    )
+    return u, v, samples

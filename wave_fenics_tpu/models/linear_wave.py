@@ -85,10 +85,18 @@ class LinearWave:
     source_tag: int = 1
     abc_tag: int = 2
     dtype: type = jnp.float32
+    #: optional per-cell sound speed (heterogeneous media); c0 remains the
+    #: reference speed used by the source/ABC boundary terms
+    c0_cells: object = None
 
     @cached_property
     def ops(self) -> StructuredOperators:
-        return StructuredOperators(self.mesh, self.p, dtype=self.dtype)
+        coeff = None
+        if self.c0_cells is not None:
+            coeff = (np.asarray(self.c0_cells) / self.c0) ** 2
+        return StructuredOperators(
+            self.mesh, self.p, dtype=self.dtype, coeff_cells=coeff
+        )
 
     @property
     def w0(self) -> float:

@@ -182,3 +182,18 @@ def test_sharded_padded_multitile_per_device():
     np.testing.assert_allclose(
         sw.to_global(v_p), np.asarray(v_ref), rtol=1e-10, atol=1e-12
     )
+
+
+def test_sharded_padded_non_power_of_two_mesh():
+    """Device meshes need not be powers of two (the reference's Cartesian
+    partitioner required 2^s ranks, mesh.hpp:263-271)."""
+    from wave_fenics_tpu.parallel.sharded_padded import ShardedPaddedWave
+
+    base = _model(shape=(6, 2, 2), p=3)
+    dt = 1e-9
+    u_ref, v_ref, _ = base.solve(0.0, 8 * dt, dt)
+    sw = ShardedPaddedWave(base, (3, 2, 1), tile_x=8)  # 6 devices
+    u_p, v_p, _ = sw.solve(0.0, 8 * dt, dt)
+    np.testing.assert_allclose(
+        sw.to_global(v_p), np.asarray(v_ref), rtol=1e-10, atol=1e-12
+    )

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.mesh import StructuredBoxMesh
 from ..models.linear_wave import LinearWave, lumped_boundary_weights
 from ..ops.operators import StructuredOperators
-from ..solvers.rk4 import rk4_solve, rk4_solve_n
+from ..solvers.rk4 import rk4_solve_n
 from .halo import halo_add
 from .partition import block_grid, make_device_mesh, unblock_grid
 

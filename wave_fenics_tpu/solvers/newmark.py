@@ -18,7 +18,6 @@ fully inside lax.scan — no host round-trips.
 
 from __future__ import annotations
 
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

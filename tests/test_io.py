@@ -87,3 +87,23 @@ def test_write_xdmf_rectilinear(tmp_path):
     with h5py.File(tmp_path / "out.h5") as f:
         np.testing.assert_array_equal(f["/u"][()], u)
         np.testing.assert_allclose(f["/x"][()], coords[0])
+
+
+def test_write_xdmf_time_series(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    from wave_fenics_tpu.core.dofmap import StructuredDofGrid
+    from wave_fenics_tpu.core.mesh import box_mesh
+
+    dg = StructuredDofGrid(box_mesh((2, 1, 1), (1.0, 0.5, 0.5)), 2)
+    coords = tuple(dg.axis_coords(d) for d in range(3))
+    rng = np.random.default_rng(0)
+    snaps = [
+        (1e-6 * s, {"u": rng.standard_normal(dg.grid_shape)})
+        for s in range(3)
+    ]
+    p = str(tmp_path / "series.xdmf")
+    mio.write_xdmf_time_series(p, coords, snaps)
+    with h5py.File(tmp_path / "series.h5") as f:
+        np.testing.assert_array_equal(f["/step000002/u"][()], snaps[2][1]["u"])
+    txt = (tmp_path / "series.xdmf").read_text()
+    assert txt.count("<Grid Name=\"t") == 3 and "Temporal" in txt

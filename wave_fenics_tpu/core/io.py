@@ -27,6 +27,7 @@ __all__ = [
     "save_npz",
     "load_npz",
     "write_xdmf_rectilinear",
+    "write_xdmf_time_series",
 ]
 
 # XDMF/VTK hexahedron vertex order -> basix order (see core.basis)
@@ -177,3 +178,57 @@ def load_npz(path: str) -> HexMesh:
     return HexMesh(
         points=d["points"], cells=d["cells"], facets=facets, facet_tag_values=vals
     )
+
+
+def write_xdmf_time_series(
+    path: str,
+    axis_coords: tuple[np.ndarray, np.ndarray, np.ndarray],
+    snapshots: list[tuple[float, dict[str, np.ndarray]]],
+) -> None:
+    """Write a temporal collection of dof-grid fields (ParaView-readable).
+
+    ``snapshots``: list of (time, {name: [Nx, Ny, Nz]}). All heavy data in
+    one HDF5 file; one XDMF temporal grid references it.
+    """
+    import h5py
+
+    base = os.path.splitext(path)[0]
+    h5name = base + ".h5"
+    x, y, z = [np.asarray(c, dtype=np.float64) for c in axis_coords]
+    shape = (x.size, y.size, z.size)
+    dims = f"{shape[0]} {shape[1]} {shape[2]}"
+    h5base = os.path.basename(h5name)
+
+    with h5py.File(h5name, "w") as f:
+        f["/x"], f["/y"], f["/z"] = x, y, z
+        for s, (t, fields) in enumerate(snapshots):
+            for name, arr in fields.items():
+                assert arr.shape == shape, (name, arr.shape, shape)
+                f[f"/step{s:06d}/{name}"] = np.asarray(arr, dtype=np.float64)
+
+    geom = f"""<Geometry GeometryType="VXVYVZ">
+<DataItem Dimensions="{z.size}" Format="HDF">{h5base}:/z</DataItem>
+<DataItem Dimensions="{y.size}" Format="HDF">{h5base}:/y</DataItem>
+<DataItem Dimensions="{x.size}" Format="HDF">{h5base}:/x</DataItem>
+</Geometry>"""
+    grids = []
+    for s, (t, fields) in enumerate(snapshots):
+        attrs = "\n".join(
+            f"""<Attribute Name="{n}" Center="Node">
+<DataItem Dimensions="{dims}" Format="HDF">{h5base}:/step{s:06d}/{n}</DataItem>
+</Attribute>"""
+            for n in fields
+        )
+        grids.append(f"""<Grid Name="t{s}"><Time Value="{t}"/>
+<Topology TopologyType="3DRectMesh" Dimensions="{dims}"/>
+{geom}
+{attrs}
+</Grid>""")
+    body = "\n".join(grids)
+    with open(base + ".xdmf", "w") as f:
+        f.write(f"""<?xml version="1.0"?>
+<Xdmf Version="3.0"><Domain>
+<Grid Name="series" GridType="Collection" CollectionType="Temporal">
+{body}
+</Grid>
+</Domain></Xdmf>""")

@@ -197,3 +197,17 @@ def test_sharded_padded_non_power_of_two_mesh():
     np.testing.assert_allclose(
         sw.to_global(v_p), np.asarray(v_ref), rtol=1e-10, atol=1e-12
     )
+
+
+def test_padded_high_degree_fallback():
+    """p=9 exceeds the flat kernel's halo window; the 3D kernel takes over."""
+    base = _model(shape=(2, 1, 1), p=9)
+    pm = PaddedLinearWave(base, tile_x=16)
+    assert pm._kernel_resolved == "3d"
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal(base.ops.grid_shape))
+    kv = pm._apply(pm.from_grid(x))
+    ref = base.ops.stiffness(x, base.c0) * base.inv_m
+    np.testing.assert_allclose(
+        np.asarray(pm.to_grid(kv)), np.asarray(ref), rtol=1e-9, atol=1e-6
+    )

@@ -49,9 +49,17 @@ class PaddedLinearWave:
     kernel: str = "flat"  # 'flat' (z_align=16) or '3d' (z_align=128)
 
     @cached_property
+    def _kernel_resolved(self) -> str:
+        # the flat kernel's 8-deep halo windows support p <= 8; fall back
+        # to the 3D-slab kernel for higher degrees
+        if self.kernel == "flat" and self.base.p > 8:
+            return "3d"
+        return self.kernel
+
+    @cached_property
     def layout(self) -> PaddedLayout:
         shape = tuple(n * self.base.p + 1 for n in self.base.mesh.shape)
-        if self.kernel == "flat":
+        if self._kernel_resolved == "flat":
             return PaddedLayout(
                 shape=shape, p=self.base.p,
                 tile_x=_flat_tile_x(self.base.p, self.tile_x), z_align=16,
@@ -71,7 +79,7 @@ class PaddedLinearWave:
         A, _ = separable_stiffness_tables(b.p, b.mesh.h, b.dtype)
         lines = grid_lines(b.mesh.shape, b.p, b.dtype)
         coeff = -float(b.c0) ** 2
-        if self.kernel == "flat":
+        if self._kernel_resolved == "flat":
             import jax.numpy as _jnp
 
             from ..ops.pallas_wave import build_tables_flat, make_apply_flat
@@ -198,7 +206,8 @@ class _FusedMixin:
     def _stage_fn(self):
         from ..ops.pallas_wave import build_tables_flat, make_rk_stage
 
-        assert self.kernel == "flat", "fused stages require the flat layout"
+        if self._kernel_resolved != "flat":
+            return None
         planes = _x_face_planes(self)
         if planes is None:
             return None

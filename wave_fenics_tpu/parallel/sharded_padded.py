@@ -68,9 +68,16 @@ class ShardedPaddedWave:
         return tuple(n // m for n, m in zip(self.model.mesh.shape, self.parts))
 
     @cached_property
+    def _kernel_resolved(self) -> str:
+        # flat kernel's 8-deep halo windows support p <= 8
+        if self.kernel == "flat" and self.model.p > 8:
+            return "3d"
+        return self.kernel
+
+    @cached_property
     def layout(self) -> PaddedLayout:
         shape = tuple(n * self.model.p + 1 for n in self.local_cells)
-        if self.kernel == "flat":
+        if self._kernel_resolved == "flat":
             from ..models.linear_wave_padded import _flat_tile_x
 
             return PaddedLayout(
@@ -107,7 +114,7 @@ class ShardedPaddedWave:
         ]
         coeff = -float(md.c0) ** 2
 
-        flat = self.kernel == "flat"
+        flat = self._kernel_resolved == "flat"
 
         def tables_for(bx, by, bz):
             inv_m = [
@@ -165,7 +172,7 @@ class ShardedPaddedWave:
 
     @cached_property
     def _apply_raw(self):
-        if self.kernel == "flat":
+        if self._kernel_resolved == "flat":
             return make_apply_flat(self.layout, self.model.dtype)
         return make_apply(self.layout, self.model.dtype, yz_matmul=True)
 

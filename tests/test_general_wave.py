@@ -208,3 +208,23 @@ def test_heterogeneous_model_runs():
     dt = 1e-9
     u, v, _ = gm.solve(0.0, 10 * dt, dt)
     assert np.isfinite(np.asarray(v)).all() and float(jnp.abs(v).max()) > 0
+
+
+def test_energy_diagnostics_on_general_model():
+    """diagnostics.energy works for the general (flat-vector) model too."""
+    from wave_fenics_tpu.models.diagnostics import energy
+
+    mesh = box_mesh((3, 2, 2), (1.0, 0.5, 0.5))
+    _, hm = _box_face_facets(mesh, 0, 0)
+    gm = GeneralLinearWave(mesh=hm, p=3, facet_tags={}, c0=1.0,
+                           dtype=jnp.float64)
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.standard_normal(gm.ndofs))
+    v = jnp.zeros_like(u)
+    E = float(energy(gm, u, v))
+    assert E > 0
+    # closed domain: energy conserved over a short RK run
+    dt = 1e-3
+    u1, v1, _ = gm.solve(0.0, 100 * dt, dt, u, v)
+    E1 = float(energy(gm, u1, v1))
+    np.testing.assert_allclose(E1, E, rtol=1e-5)

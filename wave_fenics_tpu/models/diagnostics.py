@@ -14,13 +14,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .linear_wave import LinearWave
-
 __all__ = ["energy", "l2_norm"]
 
 
-def energy(model: LinearWave, u: jax.Array, v: jax.Array) -> jax.Array:
-    """Total acoustic energy of the (u, v) state on the model's grid."""
+def energy(model, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Total acoustic energy of the (u, v) state.
+
+    Works for any model exposing ``ops.mass``/``ops.stiffness`` and ``c0``
+    (LinearWave grids and GeneralLinearWave flat vectors alike)."""
     ops = model.ops
     kin = jnp.vdot(v, ops.mass(v)) / model.c0**2
     # ops.stiffness returns -c0^2 K u; undo the sign/scaling for <u, K u>
@@ -28,6 +29,6 @@ def energy(model: LinearWave, u: jax.Array, v: jax.Array) -> jax.Array:
     return 0.5 * (kin + pot)
 
 
-def l2_norm(model: LinearWave, u: jax.Array) -> jax.Array:
+def l2_norm(model, u: jax.Array) -> jax.Array:
     """||u||_{L2} = sqrt(<u, M u>) (mass-weighted, mesh-independent)."""
     return jnp.sqrt(jnp.vdot(u, model.ops.mass(u)))

@@ -59,3 +59,34 @@ def test_dof_coords_match_between_paths():
     dm_s = dg.dofmap().ravel()
     dm_g = gdm.dofmap.ravel()
     np.testing.assert_allclose(grid_coords[dm_s], gdm.dof_coords[dm_g], atol=1e-12)
+
+
+def test_morton_order_is_permutation_and_local():
+    from wave_fenics_tpu.core.dofmap import morton_cell_order
+
+    mesh = box_mesh((4, 4, 4), (1.0, 1.0, 1.0)).to_hex_mesh()
+    perm = morton_cell_order(mesh)
+    assert sorted(perm.tolist()) == list(range(64))
+    # locality: average centroid distance between consecutive cells is
+    # much smaller than random order
+    c = mesh.cell_coords().mean(axis=1)
+    d_m = np.linalg.norm(np.diff(c[perm], axis=0), axis=1).mean()
+    rng = np.random.default_rng(0)
+    d_r = np.linalg.norm(
+        np.diff(c[rng.permutation(64)], axis=0), axis=1
+    ).mean()
+    assert d_m < 0.6 * d_r
+
+
+def test_build_dofmap_morton_reorder_consistent():
+    from wave_fenics_tpu.core.dofmap import build_dofmap, morton_cell_order
+
+    mesh = box_mesh((3, 3, 2), (1.0, 1.0, 1.0)).to_hex_mesh()
+    d1 = build_dofmap(mesh, 2)
+    d2 = build_dofmap(mesh, 2, reorder="morton")
+    assert d2.ndofs == d1.ndofs
+    # same dof identification up to renumbering: cell sets of coords match
+    perm = morton_cell_order(mesh)
+    np.testing.assert_allclose(
+        d2.dof_coords[d2.dofmap], d1.dof_coords[d1.dofmap[perm]], atol=1e-12
+    )

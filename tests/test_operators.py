@@ -41,7 +41,7 @@ def test_structured_mass_vs_dense(p):
     )
 
 
-@pytest.mark.parametrize("p", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("p", [1, 2, 3, 4, 5, 6])
 def test_structured_stiffness_vs_dense(p):
     mesh = box_mesh((2, 1, 2), (1.0, 0.7, 1.3))
     dg = StructuredDofGrid(mesh, p)

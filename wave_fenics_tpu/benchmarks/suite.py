@@ -17,7 +17,10 @@ import sys
 
 
 def _run(out_path: str, acc: list, mod: str, *args: str) -> dict | None:
-    cmd = [sys.executable, "-m", f"wave_fenics_tpu.benchmarks.{mod}", *args]
+    if mod == "bench.py":
+        cmd = [sys.executable, "bench.py", *args]
+    else:
+        cmd = [sys.executable, "-m", f"wave_fenics_tpu.benchmarks.{mod}", *args]
     try:
         out = subprocess.run(
             cmd, capture_output=True, text=True, timeout=900, check=True
@@ -60,6 +63,13 @@ def main():
         "--degree", "4", "--reps", reps, "--check")
     run("cg_bench", "--size", size, "--degree", "2")
     run("scatter_bench", "--mode", "local", "--size", size, "--check")
+    if args.platform != "cpu":
+        # headline solves (real chip only): validated padded path and the
+        # fused-stage candidate
+        hc = ("--cells", "32", "16", "16") if args.quick else (
+            "--cells", "64", "32", "32")
+        run("bench.py", *hc, "--steps", "20", "--solver", "padded")
+        run("bench.py", *hc, "--steps", "20", "--solver", "fused")
 
     print(json.dumps({"suite": args.out, "n": len(results),
                       "errors": sum(1 for r in results if r and "error" in r)}))

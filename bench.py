@@ -1,46 +1,30 @@
 """Headline benchmark: planar3d HIFU RK4 throughput on one TPU chip.
 
 Prints ONE JSON line: GDoF*steps/second for the p=4 3D planar wave solve
-(the reference's north-star workload, demo/cpu_planar3d). Baseline target
-from BASELINE.md: >= 1.0 GDoF*steps/sec/chip at p=4 on TPU v5e, so
-vs_baseline = value / 1.0.
+(the reference's north-star workload, demo/cpu_planar3d — solve-time metric
+of demo/cpu_planar3d/main.cpp:85-93). Baseline target from BASELINE.md:
+>= 1.0 GDoF*steps/sec/chip at p=4 on TPU v5e, so vs_baseline = value / 1.0.
+
+Structure: the top-level invocation is a pure orchestrator that never
+initializes a jax backend. For each candidate solver it launches a
+subprocess canary (build model, run ONE step, sync) under a tight timeout —
+a Mosaic mis-compile that *hangs* (observed TPU failure mode that raises
+nothing) costs minutes, not the full watchdog. The first solver whose
+canary passes runs the timed benchmark, again in a subprocess.
 
 Usage: python bench.py [--cells NX NY NZ] [--degree P] [--steps N]
+                       [--solver auto|fused|padded|base]
 """
 
 import argparse
 import json
 import os
 import signal
-
-import jax
-import jax.numpy as jnp
-
-
-def _watchdog(seconds: int):
-    """Emit an honest failure line instead of hanging forever if the TPU
-    tunnel is wedged (observed failure mode of this backend)."""
-
-    def _fire(signum, frame):
-        print(
-            json.dumps(
-                {
-                    "metric": "planar3d RK4 GDoF*steps/s (p=4, 1 chip) "
-                    "[FAILED: device unresponsive within watchdog]",
-                    "value": 0.0,
-                    "unit": "GDoF*steps/s",
-                    "vs_baseline": 0.0,
-                }
-            ),
-            flush=True,
-        )
-        os._exit(0)
-
-    signal.signal(signal.SIGALRM, _fire)
-    signal.alarm(seconds)
+import subprocess
+import sys
 
 
-def main():
+def _parser():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cells", type=int, nargs=3, default=(64, 32, 32))
     ap.add_argument("--degree", type=int, default=4)
@@ -48,11 +32,41 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--solver", choices=["auto", "fused", "padded", "base"],
                     default="auto")
-    ap.add_argument("--watchdog", type=int, default=1500,
-                    help="seconds before emitting a failure line (0=off)")
-    args = ap.parse_args()
-    if args.watchdog:
-        _watchdog(args.watchdog)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) via config update "
+                         "(the env var route hangs in this image)")
+    ap.add_argument("--canary-timeout", type=int, default=420,
+                    help="seconds per solver canary subprocess")
+    ap.add_argument("--watchdog", type=int, default=1380,
+                    help="overall seconds before emitting a failure line "
+                         "(0=off)")
+    ap.add_argument("--worker", choices=["canary", "timed"], default=None,
+                    help=argparse.SUPPRESS)
+    return ap
+
+
+def _fail_line(degree, why):
+    print(
+        json.dumps(
+            {
+                "metric": f"planar3d RK4 GDoF*steps/s (p={degree}, 1 chip) "
+                f"[FAILED: {why}]",
+                "value": 0.0,
+                "unit": "GDoF*steps/s",
+                "vs_baseline": 0.0,
+            }
+        ),
+        flush=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Worker side (runs in a subprocess; owns the single TPU client)
+# ---------------------------------------------------------------------------
+
+def _build(args, solver):
+    import jax
+    import jax.numpy as jnp
 
     from wave_fenics_tpu.models.planar3d import planar3d_case
 
@@ -61,72 +75,151 @@ def main():
         dtype=jnp.float32,
     )
     m = case.model
-    ndofs = m.ops.ndofs
     dt = case.dt
-    nsteps = args.steps
 
-    # production TPU hot path: padded-layout fused-kernel model
-    solver = args.solver
-    if solver == "auto":
-        # 'padded' is the hardware-validated production path (1.03-1.09
-        # GDoF*steps/s measured); 'fused' is opt-in until validated on-chip
-        # (a kernel hang would not trigger the compile-error fallback).
-        solver = "padded" if jax.default_backend() == "tpu" else "base"
     if solver in ("fused", "padded"):
         from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
 
         pm = PaddedLinearWave(m, tile_x=16)
+        if solver == "fused" and pm._stage_fn is None:
+            raise RuntimeError("fused stage kernel unavailable for this case")
         u0, v0 = pm.zero_state()
 
-        if solver == "fused" and pm._stage_fn is not None:
-            @jax.jit
-            def run(u, v):
-                u, v, _ = pm.solve_fused_n(0.0, dt, nsteps, u, v)
-                return u, v
-        else:
-            @jax.jit
-            def run(u, v):
-                u, v, _ = pm.solve(0.0, nsteps * dt, dt, u, v)
-                return u, v
+        def make_run(nsteps):
+            if solver == "fused":
+                @jax.jit
+                def run(u, v):
+                    u, v, _ = pm.solve_fused_n(0.0, dt, nsteps, u, v)
+                    return u, v
+            else:
+                @jax.jit
+                def run(u, v):
+                    u, v, _ = pm.solve_n(0.0, dt, nsteps, u, v)
+                    return u, v
+            return run
     else:
         u0, v0 = m.zero_state()
 
-        @jax.jit
-        def run(u, v):
-            u, v, _ = m.solve(0.0, nsteps * dt, dt, u, v)
-            return u, v
+        def make_run(nsteps):
+            @jax.jit
+            def run(u, v):
+                u, v, _ = m.solve(0.0, nsteps * dt, dt, u, v)
+                return u, v
+            return run
+
+    return m.ops.ndofs, u0, v0, make_run
+
+
+def _worker(args):
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    solver = args.solver
+    if solver == "auto":  # workers get a concrete solver from the parent,
+        solver = "base"   # but keep direct --worker invocations runnable
+    backend = jax.default_backend()
+    if solver in ("fused", "padded") and backend == "cpu":
+        print(f"CANARY_SKIP backend={backend}", flush=True)
+        return
 
     from wave_fenics_tpu.utils.timing import timeit
 
+    if args.worker == "canary":
+        ndofs, u0, v0, make_run = _build(args, solver)
+        run = make_run(1)
+        elapsed = timeit(run, u0, v0, reps=1, warmup=1)
+        print(f"CANARY_OK backend={backend} step_s={elapsed:.4f}", flush=True)
+        return
+
+    ndofs, u0, v0, make_run = _build(args, solver)
+    run = make_run(args.steps)
     # transfer-based sync: block_until_ready is unreliable on tunneled
     # backends, so timeit forces a device->host element fetch
-    try:
-        elapsed = timeit(run, u0, v0, reps=3, warmup=args.warmup)
-    except Exception:
-        if solver == "fused":
-            # fall back to the validated padded-kernel path
-            @jax.jit
-            def run(u, v):
-                u, v, _ = pm.solve(0.0, nsteps * dt, dt, u, v)
-                return u, v
-
-            elapsed = timeit(run, u0, v0, reps=3, warmup=args.warmup)
-        else:
-            raise
-
-    signal.alarm(0)
-    gdof_steps = ndofs * nsteps / elapsed / 1e9
+    elapsed = timeit(run, u0, v0, reps=3, warmup=args.warmup)
+    gdof_steps = ndofs * args.steps / elapsed / 1e9
     print(
         json.dumps(
             {
                 "metric": f"planar3d RK4 GDoF*steps/s (p={args.degree}, "
-                f"{ndofs} dofs, 1 chip)",
+                f"{ndofs} dofs, 1 chip, {solver})",
                 "value": round(gdof_steps, 4),
                 "unit": "GDoF*steps/s",
                 "vs_baseline": round(gdof_steps / 1.0, 4),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator side (no jax backend init — the worker owns the TPU client)
+# ---------------------------------------------------------------------------
+
+def _spawn(args, worker, solver, timeout):
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--worker", worker, "--solver", solver,
+        "--cells", *map(str, args.cells),
+        "--degree", str(args.degree), "--steps", str(args.steps),
+        "--warmup", str(args.warmup),
+    ]
+    if args.platform:
+        cmd += ["--platform", args.platform]
+    try:
+        proc = subprocess.run(
+            cmd, timeout=timeout, capture_output=True, text=True
+        )
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    if proc.returncode != 0:
+        return None, (proc.stderr or "").strip().splitlines()[-1:] or "error"
+    return proc.stdout, None
+
+
+def main():
+    args = _parser().parse_args()
+    if args.worker:
+        _worker(args)
+        return
+
+    if args.watchdog:
+        def _fire(signum, frame):
+            _fail_line(args.degree, "watchdog expired")
+            os._exit(0)
+
+        signal.signal(signal.SIGALRM, _fire)
+        signal.alarm(args.watchdog)
+
+    candidates = (
+        ["fused", "padded", "base"] if args.solver == "auto"
+        else [args.solver]
+    )
+
+    chosen = None
+    for solver in candidates:
+        out, err = _spawn(args, "canary", solver, args.canary_timeout)
+        if out is not None and "CANARY_OK" in out:
+            chosen = solver
+            print(f"# canary ok: {solver}", file=sys.stderr, flush=True)
+            break
+        print(f"# canary failed for {solver}: {err or out!r}",
+              file=sys.stderr, flush=True)
+    if chosen is None:
+        _fail_line(args.degree, "no solver passed its canary "
+                                "(device unresponsive or kernels broken)")
+        return
+
+    out, err = _spawn(args, "timed", chosen, max(args.canary_timeout * 2, 600))
+    if out is None or '"metric"' not in out:
+        _fail_line(args.degree, f"timed run failed ({err})")
+        return
+    signal.alarm(0)
+    # forward the worker's single JSON line
+    for line in out.splitlines():
+        if line.startswith("{"):
+            print(line, flush=True)
 
 
 if __name__ == "__main__":

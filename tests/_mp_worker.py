@@ -1,0 +1,74 @@
+"""Worker process for the multi-process distributed test.
+
+Launched by tests/test_multiprocess.py, one instance per process. Each
+process owns 2 virtual CPU devices; together they form the 4-device global
+mesh for a ShardedPaddedWave solve. This is the repo's analogue of the
+reference's real multi-node MPI runs (demo/gpu_cg/submit-multinode.sh,
+demo/gpu_scatter_mpi/main.cpp:105-160): it exercises cross-process
+sharding metadata, host->device transfer of blocked arrays, and Gloo
+collectives across the process boundary.
+
+Usage: python _mp_worker.py PORT PROC_ID NUM_PROCS OUTDIR
+"""
+
+import json
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_enable_x64", True)
+
+
+def main():
+    port, pid, nprocs, outdir = (
+        int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+
+    from wave_fenics_tpu.parallel.distributed import (
+        initialize, process_summary,
+    )
+
+    initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nprocs,
+        process_id=pid,
+    )
+    assert jax.process_count() == nprocs, "distributed init did not take"
+    print(process_summary(), flush=True)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from wave_fenics_tpu.core.mesh import FacetTags, box_mesh
+    from wave_fenics_tpu.models.linear_wave import LinearWave
+    from wave_fenics_tpu.parallel.sharded_padded import ShardedPaddedWave
+
+    tags = FacetTags({1: (0,), 2: (1,)})
+    mesh = box_mesh((4, 4, 2), (1.0e-2, 1.0e-2, 0.5e-2), facet_tags=tags)
+    model = LinearWave(mesh, p=3, c0=1500.0, freq0=0.5e6, dtype=jnp.float64)
+    sw = ShardedPaddedWave(model, parts=(4, 1, 1))
+
+    dt = 1.0e-8
+    nsteps = 5
+    u, v, _ = sw.solve_n(0.0, dt, nsteps)
+
+    # gather the blocked global arrays to every process, reduce to the
+    # plain dof grid, and let process 0 write it for the parent to check
+    u_all = multihost_utils.process_allgather(u, tiled=True)
+    v_all = multihost_utils.process_allgather(v, tiled=True)
+    if pid == 0:
+        ug = sw.to_global(np.asarray(u_all))
+        vg = sw.to_global(np.asarray(v_all))
+        np.save(os.path.join(outdir, "u.npy"), ug)
+        np.save(os.path.join(outdir, "v.npy"), vg)
+        print(json.dumps({"u_l2": float(np.linalg.norm(ug)),
+                          "v_l2": float(np.linalg.norm(vg))}), flush=True)
+    print(f"proc {pid} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -211,3 +211,28 @@ def test_padded_high_degree_fallback():
     np.testing.assert_allclose(
         np.asarray(pm.to_grid(kv)), np.asarray(ref), rtol=1e-9, atol=1e-6
     )
+
+
+def test_sharded_overlap_on_off_equivalent():
+    """The overlapped x-face exchange (faces recomputed from u, ppermute
+    issued before the kernel) equals the post-kernel halo-add path, and both
+    keep the duplicated interface plane bitwise-consistent across copies."""
+    from wave_fenics_tpu.parallel.sharded_padded import ShardedPaddedWave
+
+    base = _model(shape=(4, 2, 2), p=3)
+    dt = 1e-9
+    sw_ov = ShardedPaddedWave(base, (2, 2, 1), tile_x=8, overlap_x=True)
+    sw_no = ShardedPaddedWave(base, (2, 2, 1), tile_x=8, overlap_x=False)
+    u_o, v_o, _ = sw_ov.solve(0.0, 10 * dt, dt)
+    u_n, v_n, _ = sw_no.solve(0.0, 10 * dt, dt)
+    np.testing.assert_allclose(
+        sw_ov.to_global(v_o), sw_no.to_global(v_n), rtol=1e-10, atol=1e-13
+    )
+    # duplicated x-interface plane: the two copies must be EXACTLY equal
+    # (both compute faces_mine + faces_received with swapped operands)
+    lay = sw_ov.layout
+    vb = np.asarray(v_o)
+    inter = lay.interior
+    left = vb[0, 0, 0][inter][-1]   # hi plane of block bx=0
+    right = vb[1, 0, 0][inter][0]   # lo plane of block bx=1
+    np.testing.assert_array_equal(left, right)

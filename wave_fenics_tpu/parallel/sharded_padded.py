@@ -50,6 +50,13 @@ class ShardedPaddedWave:
     tile_x: int = 16
     devices: tuple | None = None
     kernel: str = "flat"  # 'flat' (z_align=16) or '3d' (z_align=128)
+    #: overlap the x-axis halo exchange with the interior kernel: the
+    #: interface-plane values are recomputed from u by a cheap XLA slab
+    #: formula and ppermuted BEFORE the Pallas kernel runs, so XLA's async
+    #: collective-permute rides ICI while the MXU chews the interior — the
+    #: update_fwd_begin/end split of the reference
+    #: (demo/gpu_scatter_mpi/VectorUpdater.hpp:106-143), TPU-style.
+    overlap_x: bool = True
 
     def __post_init__(self):
         for n, m in zip(self.model.mesh.shape, self.parts):
@@ -176,6 +183,139 @@ class ShardedPaddedWave:
             return make_apply_flat(self.layout, self.model.dtype)
         return make_apply(self.layout, self.model.dtype, yz_matmul=True)
 
+    # -- overlapped x-face exchange operands -------------------------------
+    @cached_property
+    def _face_consts(self) -> dict:
+        """Block-independent np constants for the x-interface face formula.
+
+        The stiffness output on a block's boundary x-plane, single-sided
+        (the quantity today's halo-add exchanges), separates as
+
+            kv[face] = coeff * ( (A_x[edge,:] . u_slab) * Ly(x)Lz
+                               + B_y(A_y) u_plane * Lx[edge] Lz
+                               + B_z(A_z) u_plane * Lx[edge] Ly ) / m
+
+        — a (p+1)-deep slab contraction plus two in-plane 1D passes, cheap
+        enough to recompute from u so the exchange no longer depends on the
+        Pallas kernel's output.
+        """
+        md = self.model
+        p = md.p
+        npdt = np.dtype(md.dtype)
+        A, _ = separable_stiffness_tables(p, md.mesh.h, md.dtype)
+        Ll = [
+            lumped_weight_line(n, p, 1.0).astype(npdt)
+            for n in self.local_cells
+        ]
+        return {
+            "Ax0": A[0][0].astype(npdt),
+            "Axp": A[0][p].astype(npdt),
+            "Ay": A[1].astype(npdt),
+            "Az": A[2].astype(npdt),
+            "Ly": Ll[1],
+            "Lz": Ll[2],
+            "Lyz": np.outer(Ll[1], Ll[2]).astype(npdt),
+            "Lx0": float(Ll[0][0]),
+            "coeff": -float(md.c0) ** 2,
+        }
+
+    @cached_property
+    def _face_inv(self):
+        """Blocked [mx,my,mz,ny,nz] 1/m planes for each block's lo/hi
+        x-interface plane, or None when overlap is off / no x exchange."""
+        if self.parts[0] == 1 or not self.overlap_x:
+            return None
+        md = self.model
+        p = md.p
+        mx, my, mz = self.parts
+        ny, nz = self.layout.shape[1], self.layout.shape[2]
+        nlx = self.local_cells[0]
+        npdt = np.dtype(md.dtype)
+        inv = np.zeros((2, mx, my, mz, ny, nz), dtype=npdt)
+        mx_line = self._global_m_lines[0]
+        for bx in range(mx):
+            g_lo = bx * nlx * p
+            g_hi = g_lo + nlx * p
+            for by in range(my):
+                msy = self._m_slice(1, by)
+                for bz in range(mz):
+                    myz = np.outer(msy, self._m_slice(2, bz))
+                    inv[0, bx, by, bz] = 1.0 / (mx_line[g_lo] * myz)
+                    inv[1, bx, by, bz] = 1.0 / (mx_line[g_hi] * myz)
+        sh = NamedSharding(self.mesh, P("x", "y", "z", None, None))
+        return (
+            jax.device_put(jnp.asarray(inv[0]), sh),
+            jax.device_put(jnp.asarray(inv[1]), sh),
+        )
+
+    def _faces_x(self, t, u, v, inv_lo, inv_hi, planes):
+        """Single-sided x-interface plane values of f1, computed from u
+        (local shard terms). Returns (face_lo, face_hi), each [ny, nz]."""
+        from ..ops.separable import apply_block_axis
+
+        md = self.model
+        lay = self.layout
+        p = md.p
+        nx, ny, nz = lay.shape
+        x0 = lay.x0
+        fc = self._face_consts
+        yint = slice(p, p + ny)
+        zint = slice(p, p + nz)
+        slab_lo = u[x0 : x0 + p + 1, yint, zint]
+        slab_hi = u[x0 + nx - 1 - p : x0 + nx, yint, zint]
+
+        def face(slab, arow, edge, inv):
+            plane = slab[edge]
+            tx = jnp.tensordot(jnp.asarray(arow), slab, axes=(0, 0))
+            ty = apply_block_axis(plane[None], fc["Ay"], p, 1)[0]
+            tz = apply_block_axis(plane[None], fc["Az"], p, 2)[0]
+            val = fc["coeff"] * (
+                tx * fc["Lyz"]
+                + ty * (fc["Lx0"] * fc["Lz"])[None, :]
+                + tz * (fc["Lx0"] * fc["Ly"])[:, None]
+            )
+            return val * inv
+
+        faces = [
+            face(slab_lo, fc["Ax0"], 0, inv_lo),
+            face(slab_hi, fc["Axp"], p, inv_hi),
+        ]
+
+        # boundary (source/ABC) contributions restricted to the x planes
+        gt = (md.c0**2 * md.g_amplitude(t)).astype(md.dtype)
+        c0 = md.c0
+        xpl = (x0, x0 + nx - 1)
+        for pidx, attr, pl_ in planes:
+            axis = next(d for d in range(3) if not isinstance(pidx[d], slice))
+            if axis == 0:
+                tgt = 0 if pidx[0] == x0 else 1
+                seg = pl_[yint, zint]
+                if attr == "w1":
+                    faces[tgt] = faces[tgt] + gt * seg
+                else:
+                    faces[tgt] = faces[tgt] - c0 * seg * v[pidx[0], yint, zint]
+            elif axis == 1:
+                ri = pidx[1] - p
+                for tgt in (0, 1):
+                    seg = pl_[xpl[tgt], zint]
+                    if attr == "w1":
+                        faces[tgt] = faces[tgt].at[ri, :].add(gt * seg)
+                    else:
+                        faces[tgt] = faces[tgt].at[ri, :].add(
+                            -c0 * seg * v[xpl[tgt], pidx[1], zint]
+                        )
+            else:
+                ci = pidx[2] - p
+                for tgt in (0, 1):
+                    seg = pl_[xpl[tgt], yint]
+                    if attr == "w1":
+                        faces[tgt] = faces[tgt].at[:, ci].add(gt * seg)
+                    else:
+                        faces[tgt] = faces[tgt].at[:, ci].add(
+                            -c0 * seg * v[xpl[tgt], yint, pidx[2]]
+                        )
+        return faces[0], faces[1]
+
     # -- boundary planes (blocked; zero off the global faces) -------------
     @cached_property
     def _boundary_planes(self):
@@ -240,7 +380,7 @@ class ShardedPaddedWave:
         return out
 
     # -- halo-add on padded blocks ---------------------------------------
-    def _halo_add_padded(self, a: jax.Array) -> jax.Array:
+    def _halo_add_padded(self, a: jax.Array, skip_x: bool = False) -> jax.Array:
         """Halo-add the interior interface planes of a local padded block."""
         lay = self.layout
         p = self.model.p
@@ -248,7 +388,7 @@ class ShardedPaddedWave:
         for axis, (name, size) in enumerate(
             zip(("x", "y", "z"), self.parts)
         ):
-            if size == 1:
+            if size == 1 or (axis == 0 and skip_x):
                 continue
             n_ax = lay.shape[axis]
             lo_i = offs[axis]
@@ -268,8 +408,20 @@ class ShardedPaddedWave:
         return a
 
     # -- physics ----------------------------------------------------------
-    def _f1_local(self, t, u, v, tables, planes):
+    def _f1_local(self, t, u, v, tables, planes, face_inv=None):
         md = self.model
+        if face_inv is not None:
+            # overlapped x exchange: face values depend only on u, so the
+            # ppermute is issued BEFORE the interior kernel and XLA's async
+            # collective-permute rides ICI while the kernel runs
+            face_lo, face_hi = self._faces_x(t, u, v, *face_inv, planes)
+            size = self.parts[0]
+            from_right = lax.ppermute(
+                face_lo, "x", [(i, i - 1) for i in range(1, size)]
+            )
+            from_left = lax.ppermute(
+                face_hi, "x", [(i, i + 1) for i in range(size - 1)]
+            )
         kv = self._apply_raw(u, *tables)
         for pidx, attr, plane in planes:
             if attr == "w1":
@@ -278,6 +430,20 @@ class ShardedPaddedWave:
                 )
             else:
                 kv = kv.at[pidx].add(-md.c0 * plane * v[pidx])
+        if face_inv is not None:
+            lay = self.layout
+            p = md.p
+            nx, ny, nz = lay.shape
+            x0 = lay.x0
+            yint = slice(p, p + ny)
+            zint = slice(p, p + nz)
+            # both copies of each interface plane compute the SAME sum
+            # (mine + received), so the duplicated-plane invariant holds
+            # exactly; edge devices receive ppermute zeros and keep their
+            # single-sided (global-face) value
+            kv = kv.at[x0, yint, zint].set(face_lo + from_left)
+            kv = kv.at[x0 + nx - 1, yint, zint].set(face_hi + from_right)
+            return self._halo_add_padded(kv, skip_x=True)
         return self._halo_add_padded(kv)
 
     # -- driver ------------------------------------------------------------
@@ -300,9 +466,14 @@ class ShardedPaddedWave:
             u0, v0 = self.zero_state()
         tables, deps = self._tables
         planes = self._boundary_planes
+        face_inv = self._face_inv
         state_spec = P("x", "y", "z", None, None, None)
         table_specs = tuple(t.sharding.spec for t in tables)
         plane_specs = tuple(p[2].sharding.spec for p in planes)
+        face_specs = (
+            () if face_inv is None
+            else tuple(f.sharding.spec for f in face_inv)
+        )
 
         def local_solve(u, v, *ops):
             tbl = [o.reshape(o.shape[o.ndim - nd:])
@@ -316,22 +487,32 @@ class ShardedPaddedWave:
                  ))
                 for i in range(len(planes))
             ]
+            fin = None
+            if face_inv is not None:
+                fin = tuple(
+                    o.reshape(o.shape[3:])
+                    for o in ops[len(tables) + len(planes):]
+                )
             usq = u.reshape(u.shape[3:])
             vsq = v.reshape(v.shape[3:])
             f0 = lambda t, uu, vv: vv
-            f1 = lambda t, uu, vv: self._f1_local(t, uu, vv, tbl, pls)
+            f1 = lambda t, uu, vv: self._f1_local(t, uu, vv, tbl, pls, fin)
             uo, vo = rk4_solve_n(f0, f1, usq, vsq, t0, dt, nsteps)
             return uo.reshape(u.shape), vo.reshape(v.shape)
 
         sm = shard_map(
             local_solve,
             mesh=self.mesh,
-            in_specs=(state_spec, state_spec) + table_specs + plane_specs,
+            in_specs=(state_spec, state_spec) + table_specs + plane_specs
+            + face_specs,
             out_specs=(state_spec, state_spec),
             # pallas_call outputs carry no varying-mesh-axes metadata
             check_vma=False,
         )
-        u, v = jax.jit(sm)(u0, v0, *tables, *[p[2] for p in planes])
+        u, v = jax.jit(sm)(
+            u0, v0, *tables, *[p[2] for p in planes],
+            *(face_inv if face_inv is not None else ()),
+        )
         return u, v, nsteps
 
     # -- host conversion ---------------------------------------------------

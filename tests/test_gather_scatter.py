@@ -87,3 +87,34 @@ def test_gather1d_scatter1d_roundtrip(p):
     mult = np.ones(N)
     mult[p:-1:p] = 2.0
     np.testing.assert_allclose(np.asarray(back), mult[:, None] * np.asarray(arr))
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_ell_scatter_matches_sorted(seed):
+    """Transpose-gather scatter == sorted-scatter baseline, including
+    high-valence dofs (bucket widths beyond 8)."""
+    rng = np.random.default_rng(seed)
+    ndofs = 400
+    dofmap = rng.integers(0, ndofs, size=(50, 27))
+    dofmap.ravel()[:ndofs] = np.arange(ndofs)  # every dof appears
+    ye = jnp.asarray(rng.standard_normal(dofmap.shape))
+    ref = gs.scatter_indexed(ye, jnp.asarray(dofmap), ndofs)
+    ell = gs.build_ell_scatter(dofmap, ndofs)
+    got = gs.scatter_ell(ye, ell)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12)
+
+
+def test_ell_scatter_on_real_dofmap():
+    """On a real CG dofmap the buckets are exactly the 1/2/4/8 multiplicity
+    classes and the gather-scatter roundtrip matches the structured path."""
+    p = 2
+    mesh = box_mesh((3, 2, 2), (1.0, 1.0, 1.0))
+    dg = StructuredDofGrid(mesh, p)
+    dofmap = dg.dofmap()
+    ell = gs.build_ell_scatter(dofmap, dg.ndofs)
+    assert sorted(s.shape[1] for _, s in ell.buckets) == [1, 2, 4, 8]
+    rng = np.random.default_rng(1)
+    ye = jnp.asarray(rng.standard_normal((dg.ncells, (p + 1) ** 3)))
+    ref = gs.scatter_indexed(ye, jnp.asarray(dofmap), dg.ndofs)
+    got = gs.scatter_ell(ye, ell)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12)

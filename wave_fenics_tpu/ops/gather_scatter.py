@@ -23,8 +23,11 @@ cells in C-order over (cx, cy, cz) — see core.dofmap.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = [
@@ -34,6 +37,9 @@ __all__ = [
     "scatter_grid",
     "gather_indexed",
     "scatter_indexed",
+    "EllScatter",
+    "build_ell_scatter",
+    "scatter_ell",
 ]
 
 
@@ -136,3 +142,71 @@ def scatter_indexed(ye: jax.Array, dofmap: jax.Array, ndofs: int) -> jax.Array:
         .at[dofmap.ravel()]
         .add(ye.ravel(), mode="promise_in_bounds")
     )
+
+
+# ---------------------------------------------------------------------------
+# ELL transpose-gather scatter: scatter-add re-expressed as gathers
+# ---------------------------------------------------------------------------
+#
+# The scatter operator S (y[d] = sum over element entries e with
+# dofmap[e] == d of ye[e]) is a fixed sparse matrix whose row d has
+# mult(d) entries — the number of cells sharing dof d (<= 8 interior on
+# conforming hex meshes; arbitrary at unstructured vertices). Transposing
+# the access turns the TPU-hostile scatter-add (common/cuda/scatter.cu:57-65
+# solves this with atomicAdd) into multiplicity-bucketed fixed-width
+# GATHERS + row sums: for each dof, read its mult source entries from the
+# flat element tensor and add them. Gathers vectorize on TPU; write-side
+# indexing reduces to one unique-index set per bucket. Deterministic by
+# construction (fixed summation order), like everything else here.
+
+
+@dataclass(frozen=True)
+class EllScatter:
+    """Precomputed transpose tables: per multiplicity bucket ``(dofs, src)``.
+
+    ``src[n, w]`` indexes the flat element vector (value ``nsrc`` = the
+    zero-pad slot); ``dofs[n]`` are the (unique, sorted) destination dofs.
+    """
+
+    buckets: tuple[tuple[np.ndarray, np.ndarray], ...]
+    ndofs: int
+    nsrc: int
+
+
+def build_ell_scatter(dofmap: np.ndarray, ndofs: int) -> EllScatter:
+    """Build transpose-gather tables from an explicit dofmap (host, once)."""
+    flat = np.asarray(dofmap).ravel()
+    nsrc = flat.size
+    order = np.argsort(flat, kind="stable").astype(np.int32)
+    counts = np.bincount(flat, minlength=ndofs)
+    assert counts.min() >= 1, "every dof must appear in the dofmap"
+    starts = np.zeros(ndofs + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+
+    # bucket widths: next power of two >= multiplicity
+    buckets = []
+    logc = np.ceil(np.log2(np.maximum(counts, 1))).astype(np.int64)
+    for lw in np.unique(logc):
+        w = int(1 << lw)
+        dofs = np.where(logc == lw)[0].astype(np.int32)
+        idx = starts[dofs][:, None] + np.arange(w)[None, :]
+        valid = np.arange(w)[None, :] < counts[dofs][:, None]
+        src = np.where(
+            valid, order[np.minimum(idx, nsrc - 1)], nsrc
+        ).astype(np.int32)
+        buckets.append((dofs, src))
+    return EllScatter(buckets=tuple(buckets), ndofs=ndofs, nsrc=nsrc)
+
+
+def scatter_ell(ye: jax.Array, ell: EllScatter) -> jax.Array:
+    """y[d] = sum of ye.ravel()[src[d]] — the gather-formulated scatter-add."""
+    yp = jnp.concatenate(
+        [ye.ravel(), jnp.zeros((1,), dtype=ye.dtype)]
+    )
+    out = jnp.zeros((ell.ndofs,), dtype=ye.dtype)
+    for dofs, src in ell.buckets:
+        vals = yp.at[src].get(mode="promise_in_bounds").sum(axis=1)
+        out = out.at[dofs].set(
+            vals, mode="promise_in_bounds", unique_indices=True
+        )
+    return out

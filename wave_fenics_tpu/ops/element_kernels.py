@@ -45,7 +45,8 @@ def apply_axis(u: jax.Array, M: jax.Array, axis: int) -> jax.Array:
     """
     specs = {1: "qi,cijk->cqjk", 2: "qj,cijk->ciqk", 3: "qk,cijk->cijq"}
     return jnp.einsum(
-        specs[axis], M, u, preferred_element_type=_pet(u.dtype)
+        specs[axis], M, u, preferred_element_type=_pet(u.dtype),
+        precision=jax.lax.Precision.HIGHEST
     ).astype(u.dtype)
 
 
@@ -147,6 +148,7 @@ def stiffness_element_full(
     """
     w = grad3(u, B, D)  # [3, c, q, q, q]
     fw = coeff * jnp.einsum(
-        "cqrsde,dcqrs->ecqrs", G, w, preferred_element_type=_pet(u.dtype)
+        "cqrsde,dcqrs->ecqrs", G, w, preferred_element_type=_pet(u.dtype),
+        precision=jax.lax.Precision.HIGHEST
     ).astype(u.dtype)
     return grad3_t(fw, B, D)

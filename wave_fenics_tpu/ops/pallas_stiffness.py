@@ -104,6 +104,7 @@ def _kernel_mxu(
         tz = jnp.einsum(
             "xyz,zo->xyo", U[p : p + Tx, 8 : 8 + Ty, :], bzt_ref[:],
             preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(dtype)
         out_ref[:] += tz * lxy_ref[:]
 
@@ -111,7 +112,8 @@ def _kernel_mxu(
         # y-term: swap y<->z, lane-contract the band matrix, swap back
         Uy = jnp.swapaxes(U[p : p + Tx, :, 128 : 128 + Tz], 1, 2)
         ty = jnp.einsum(
-            "xzy,yo->xzo", Uy, byt_ref[:], preferred_element_type=f32
+            "xzy,yo->xzo", Uy, byt_ref[:], preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST
         ).astype(dtype)
         out_ref[:] += jnp.swapaxes(ty, 1, 2) * lxz_ref[:]
 

@@ -159,10 +159,12 @@ def _kernel(
             ty = jnp.einsum(
                 "xzy,yo->xzo", jnp.swapaxes(Uc, 1, 2), cvy_ref[:],
                 preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST,
             ).astype(dtype)
             out_ref[:] += jnp.swapaxes(ty, 1, 2) * lxz_ref[:]
             tz = jnp.einsum(
-                "xyz,zo->xyo", Uc, cvz_ref[:], preferred_element_type=f32
+                "xyz,zo->xyo", Uc, cvz_ref[:], preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST
             ).astype(dtype)
             out_ref[:] += tz * lxy_ref[:]
         else:
@@ -368,7 +370,8 @@ def _kernel_flat(
 
         # x-term (MXU): out = W @ U, W the per-tile [Tx, span] band matrix
         tx = jnp.einsum(
-            "os,sf->of", wxt_ref[0], U, preferred_element_type=f32
+            "os,sf->of", wxt_ref[0], U, preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST
         ).astype(dtype)
         out_ref[:] = tx * fx_ref[:]
 
@@ -599,7 +602,8 @@ def _kernel_rk_stage(
         U = slab_u[ix % 2] + ca * slab_k[ix % 2]  # un on the halo'd window
 
         tx = jnp.einsum(
-            "os,sf->of", wxt_ref[0], U, preferred_element_type=f32
+            "os,sf->of", wxt_ref[0], U, preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST
         ).astype(dtype)
         kv2 = tx * fx_ref[:]
 

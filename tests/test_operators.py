@@ -172,3 +172,56 @@ def test_structured_heterogeneous_c0():
     x = rng.standard_normal(dg.ndofs)
     y = np.asarray(ops.stiffness(jnp.asarray(x.reshape(dg.grid_shape)), c0))
     np.testing.assert_allclose(y.ravel(), K @ x, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("p", [1, 2, 4])
+def test_separable_and_fused_bp1_mass(p):
+    """The structured BP1 (Gauss-quadrature consistent mass) paths — XLA
+    separable Kronecker application and the fused Pallas kernel — match the
+    general explicit-dofmap Gauss mass (itself dense-oracle-verified)."""
+    from wave_fenics_tpu.ops.pallas_mass import mass_fused
+    from wave_fenics_tpu.ops.separable import (
+        mass_separable,
+        separable_mass_tables,
+    )
+
+    mesh = box_mesh((3, 2, 2), (1.0, 0.8, 0.7))
+    dg = StructuredDofGrid(mesh, p)
+    g_dofs = build_dofmap(mesh.to_hex_mesh(), p)
+    g_ops = GeneralOperators(
+        mesh.to_hex_mesh(), g_dofs, dtype=jnp.float64, rule="gauss", q=p + 2
+    )
+    mapping = np.full(dg.ndofs, -1, dtype=np.int64)
+    mapping[dg.dofmap().ravel()] = g_dofs.dofmap.ravel()
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(dg.ndofs)
+    xg = np.zeros(g_dofs.ndofs)
+    xg[mapping] = x
+
+    M1 = separable_mass_tables(p, mesh.h, jnp.float64)
+    xs = jnp.asarray(x.reshape(dg.grid_shape))
+    ys = np.asarray(mass_separable(xs, M1, p)).ravel()
+    yg = np.asarray(g_ops.mass(jnp.asarray(xg)))
+    np.testing.assert_allclose(ys, yg[mapping], rtol=1e-12, atol=1e-14)
+    yf = np.asarray(mass_fused(xs, M1, p)).ravel()
+    np.testing.assert_allclose(yf, ys, rtol=1e-12, atol=1e-14)
+
+
+def test_mass_gauss_dispatch():
+    """StructuredOperators.mass_gauss == the separable reference path."""
+    from wave_fenics_tpu.ops.separable import (
+        mass_separable,
+        separable_mass_tables,
+    )
+
+    p = 3
+    mesh = box_mesh((2, 2, 2), (1.0, 1.0, 1.0))
+    ops = StructuredOperators(mesh, p, dtype=jnp.float64)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal(ops.grid_shape))
+    M1 = separable_mass_tables(p, mesh.h, jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(ops.mass_gauss(x)),
+        np.asarray(mass_separable(x, M1, p)),
+        rtol=1e-12,
+    )

@@ -4,10 +4,19 @@ Reference: E = 2^s hex cells, degree p mass system, CG with kmax=50,
 rtol=1e-4; metric ``Dofs*iteration/second`` = ndofs_global/(t/iters)
 (demo/gpu_cg/main.cpp:104-120, utils.hpp:58-64).
 
+Operators:
+- ``--op bp1`` (default): the consistent Gauss-quadrature mass
+  (bp1.ufl:20-21 semantics) — on TPU one fused Pallas pass per matvec
+  (ops.pallas_mass); CG runs entirely in the zero-padded layout (axpy/dot
+  are padding-safe), matching how the production solver holds state.
+- ``--op spectral``: diagonal (GLL-collocated) mass via the explicit
+  gather -> transform -> scatter roundtrip (spectral_mass.hpp:84-89) —
+  the data-movement-bound variant.
+
 Single chip by default; --ndev N runs the sharded matvec over an N-device
 mesh (virtual CPU devices or a real slice).
 
-Run: python -m wave_fenics_tpu.benchmarks.cg_bench --s 18 --p 4
+Run: python -m wave_fenics_tpu.benchmarks.cg_bench --size 64 --p 4
 """
 
 from __future__ import annotations
@@ -25,13 +34,43 @@ from .common import (apply_platform, cells_from_args, make_parser,
                      report, resolve_dtype)
 
 
+def _bp1_setup(mesh, p, dtype, precond):
+    """Padded-layout consistent-mass matvec + optional Jacobi precond."""
+    from ..ops.pallas_mass import make_mass_apply
+    from ..ops.pallas_wave import PaddedLayout
+    from ..ops.separable import separable_mass_tables
+
+    grid = tuple(n * p + 1 for n in mesh.shape)
+    layout = PaddedLayout(grid, p, tile_x=16, z_align=16)
+    M1 = separable_mass_tables(p, mesh.h, dtype)
+    apply = make_mass_apply(layout, M1, dtype)
+
+    pre = None
+    if precond:
+        # Kronecker diagonal: product of assembled 1D mass diagonals
+        lines = []
+        for d in range(3):
+            n = mesh.shape[d]
+            diag = np.zeros(n * p + 1)
+            dA = np.diag(np.asarray(M1[d], np.float64))
+            for c in range(n):
+                diag[c * p : c * p + p + 1] += dA
+            lines.append(layout.padded_line(1.0 / diag, d))
+        inv_diag = jnp.asarray(
+            np.einsum("i,j,k->ijk", *lines).astype(np.dtype(dtype))
+        )
+        pre = lambda r: inv_diag * r
+    return layout, apply, pre
+
+
 def main():
     ap = make_parser(size=32, degree=2, reps=1)
     ap.add_argument("--kmax", type=int, default=50)
     ap.add_argument("--rtol", type=float, default=1e-4)
     ap.add_argument("--ndev", type=int, default=1)
+    ap.add_argument("--op", choices=["bp1", "spectral"], default="bp1")
     ap.add_argument("--precond", action="store_true",
-                    help="Jacobi (lumped-mass) preconditioning")
+                    help="Jacobi preconditioning")
     args = ap.parse_args()
     apply_platform(args)
     dtype = resolve_dtype(args.dtype)
@@ -40,6 +79,8 @@ def main():
     p = args.degree
     rng = np.random.default_rng(0)
 
+    precond = None
+    unpad = lambda x: x
     if args.ndev > 1:
         from ..parallel.partition import decompose3d
         from ..parallel.sharded_wave import ShardedLinearWave
@@ -49,18 +90,24 @@ def main():
         b = sw.from_global(rng.standard_normal(model.ops.grid_shape))
         matvec, dot = sw.spectral_mass, sw.dot
         ndofs = model.ops.ndofs
+    elif args.op == "bp1":
+        ops = StructuredOperators(mesh, p, dtype=dtype)
+        ndofs = ops.ndofs
+        layout, matvec, precond = _bp1_setup(mesh, p, dtype, args.precond)
+        b = layout.pad(
+            jnp.asarray(rng.standard_normal(ops.grid_shape), dtype=dtype)
+        )
+        dot, unpad = None, layout.unpad
     else:
         ops = StructuredOperators(mesh, p, dtype=dtype)
         b = jnp.asarray(rng.standard_normal(ops.grid_shape), dtype=dtype)
         matvec, dot = ops.spectral_mass, None
         ndofs = ops.ndofs
-
-    precond = None
-    if args.precond and args.ndev == 1:
-        inv_diag = jnp.asarray(
-            1.0 / ops.lumped_mass.reshape(ops.grid_shape), dtype=dtype
-        )
-        precond = lambda r: inv_diag * r
+        if args.precond:
+            inv_diag = jnp.asarray(
+                1.0 / ops.lumped_mass.reshape(ops.grid_shape), dtype=dtype
+            )
+            precond = lambda r: inv_diag * r
 
     @jax.jit
     def solve(b):
@@ -71,9 +118,9 @@ def main():
     iters = int(k)
     t = timeit(solve, b, reps=3, warmup=1)
     report(
-        metric="CG BP1 (diagonal mass)",
+        metric=f"CG {args.op} mass (Dofs*iteration/s, utils.hpp:58-64)",
         s=args.s, degree=p, ndofs=ndofs, iters=iters, ndev=args.ndev,
-        dtype=args.dtype,
+        dtype=args.dtype, precond=bool(args.precond),
         ms_total=round(t * 1e3, 3),
         dofs_iter_per_s=round(ndofs * iters / t, 1),
         gdofs_iter_per_s=round(ndofs * iters / t / 1e9, 4),

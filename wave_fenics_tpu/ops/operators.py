@@ -117,6 +117,29 @@ class StructuredOperators:
         """Collocated mass matvec via the lumped vector (pointwise)."""
         return self.lumped_mass * x
 
+    def mass_gauss(self, x: jax.Array, q: int | None = None) -> jax.Array:
+        """Consistent (non-lumped) mass matvec with Gauss quadrature — the
+        CEED BP1 operator (demo/gpu_cg/bp1.ufl:20-21, quadrature p+2).
+
+        On a uniform box the operator is an exact Kronecker product of 1D
+        assembled mass matrices, so the matvec is three sequential banded
+        contractions (ops.separable.mass_separable); on TPU a single fused
+        Pallas pass (ops.pallas_mass) reads/writes HBM once.
+        """
+        import os
+
+        from .separable import mass_separable, separable_mass_tables
+
+        M1 = separable_mass_tables(self.p, self.mesh.h, self.dtype, q=q)
+        if (
+            jax.default_backend() == "tpu"
+            and not os.environ.get("WAVE_FENICS_TPU_NO_PALLAS")
+        ):
+            from .pallas_mass import mass_fused
+
+            return mass_fused(x, M1, self.p)
+        return mass_separable(x, M1, self.p)
+
     def stiffness(self, x: jax.Array, c0: float | jax.Array = 1.0) -> jax.Array:
         """y = -c0^2 * K x (sign convention of the reference skernel,
         common/operators.hpp:114-133).
@@ -172,6 +195,8 @@ class GeneralOperators:
     #: optional per-cell stiffness coefficient (e.g. (c0(x)/c0_ref)^2 for
     #: heterogeneous media); folded into G at setup. Shape [ncells].
     coeff_cells: object = None
+    #: 'ell' (transpose-gather, default) or 'sorted' (XLA sorted scatter)
+    scatter_mode: str = "ell"
 
     def __post_init__(self):
         p = self.dofs.p
@@ -205,9 +230,20 @@ class GeneralOperators:
         xe = gs.gather_indexed(x, self._dofmap)
         return xe.reshape(-1, m, m, m)
 
+    @cached_property
+    def _ell(self) -> gs.EllScatter:
+        return gs.build_ell_scatter(self._dofmap, self.ndofs)
+
     def scatter(self, ye: jax.Array) -> jax.Array:
-        nc = ye.shape[0]
-        return gs.scatter_indexed(ye.reshape(nc, -1), self._dofmap, self.ndofs)
+        """Element->dof scatter-add. Default: the ELL transpose-gather
+        formulation (TPU-friendly — no indexed scatter on the hot path);
+        ``scatter_mode='sorted'`` keeps the XLA sorted-scatter baseline."""
+        if self.scatter_mode == "sorted":
+            nc = ye.shape[0]
+            return gs.scatter_indexed(
+                ye.reshape(nc, -1), self._dofmap, self.ndofs
+            )
+        return gs.scatter_ell(ye, self._ell)
 
     def mass(self, x: jax.Array) -> jax.Array:
         """y = M x — general sum-factorized B^T diag(detJw) B per element

@@ -30,7 +30,8 @@ def _parser():
     ap.add_argument("--degree", type=int, default=4)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=2)
-    ap.add_argument("--solver", choices=["auto", "fused", "padded", "base"],
+    ap.add_argument("--solver",
+                    choices=["auto", "step", "fused", "padded", "base"],
                     default="auto")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) via config update "
@@ -77,16 +78,23 @@ def _build(args, solver):
     m = case.model
     dt = case.dt
 
-    if solver in ("fused", "padded"):
+    if solver in ("step", "fused", "padded"):
         from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
 
         pm = PaddedLinearWave(m, tile_x=16)
         if solver == "fused" and pm._stage_fn is None:
             raise RuntimeError("fused stage kernel unavailable for this case")
+        if solver == "step" and pm._step_fn is None:
+            raise RuntimeError("fused step kernel unavailable for this case")
         u0, v0 = pm.zero_state()
 
         def make_run(nsteps):
-            if solver == "fused":
+            if solver == "step":
+                @jax.jit
+                def run(u, v):
+                    u, v, _ = pm.solve_step_n(0.0, dt, nsteps, u, v)
+                    return u, v
+            elif solver == "fused":
                 @jax.jit
                 def run(u, v):
                     u, v, _ = pm.solve_fused_n(0.0, dt, nsteps, u, v)
@@ -94,7 +102,7 @@ def _build(args, solver):
             else:
                 @jax.jit
                 def run(u, v):
-                    u, v, _ = pm.solve_n(0.0, dt, nsteps, u, v)
+                    u, v = pm.solve_n(0.0, dt, nsteps, u, v)
                     return u, v
             return run
     else:
@@ -193,7 +201,7 @@ def main():
         signal.alarm(args.watchdog)
 
     candidates = (
-        ["fused", "padded", "base"] if args.solver == "auto"
+        ["step", "fused", "padded", "base"] if args.solver == "auto"
         else [args.solver]
     )
 

@@ -111,3 +111,54 @@ def test_clamp_table():
     out = basis.clamp_table(t)
     np.testing.assert_array_equal(out[:3], [1.0, -1.0, 0.0])
     assert out[3] == 0.5
+
+
+# Golden dof-coordinate tables for the basix hexahedron Lagrange layout,
+# frozen as literals (reference consumes this layout via
+# element.get_tensor_product_representation(), common/operators.hpp:24,
+# common/permute.hpp:10-28). The p=2 table is the DefElement / Basix
+# documentation listing for Q2 (vertices in basix vertex order, edge
+# midpoints in basix edge order, face centres in basix face order,
+# cell centre); p=3 additionally freezes the convention details that
+# matter for imports: edge interiors run low->high vertex, face interiors
+# are lattices with the v0->v1 axis fastest, cell interiors x-fastest.
+# Guards hex_basix_to_lex_permutation against regressions.
+_BASIX_HEX_GRID_P2 = [
+    (0, 0, 0), (2, 0, 0), (0, 2, 0), (2, 2, 0),
+    (0, 0, 2), (2, 0, 2), (0, 2, 2), (2, 2, 2),
+    (1, 0, 0), (0, 1, 0), (0, 0, 1), (2, 1, 0), (2, 0, 1), (1, 2, 0),
+    (0, 2, 1), (2, 2, 1), (1, 0, 2), (0, 1, 2), (2, 1, 2), (1, 2, 2),
+    (1, 1, 0), (1, 0, 1), (0, 1, 1), (2, 1, 1), (1, 2, 1), (1, 1, 2),
+    (1, 1, 1),
+]
+_BASIX_HEX_GRID_P3 = [
+    (0, 0, 0), (3, 0, 0), (0, 3, 0), (3, 3, 0),
+    (0, 0, 3), (3, 0, 3), (0, 3, 3), (3, 3, 3),
+    (1, 0, 0), (2, 0, 0), (0, 1, 0), (0, 2, 0), (0, 0, 1), (0, 0, 2),
+    (3, 1, 0), (3, 2, 0), (3, 0, 1), (3, 0, 2), (1, 3, 0), (2, 3, 0),
+    (0, 3, 1), (0, 3, 2), (3, 3, 1), (3, 3, 2), (1, 0, 3), (2, 0, 3),
+    (0, 1, 3), (0, 2, 3), (3, 1, 3), (3, 2, 3), (1, 3, 3), (2, 3, 3),
+    (1, 1, 0), (2, 1, 0), (1, 2, 0), (2, 2, 0),
+    (1, 0, 1), (2, 0, 1), (1, 0, 2), (2, 0, 2),
+    (0, 1, 1), (0, 2, 1), (0, 1, 2), (0, 2, 2),
+    (3, 1, 1), (3, 2, 1), (3, 1, 2), (3, 2, 2),
+    (1, 3, 1), (2, 3, 1), (1, 3, 2), (2, 3, 2),
+    (1, 1, 3), (2, 1, 3), (1, 2, 3), (2, 2, 3),
+    (1, 1, 1), (2, 1, 1), (1, 2, 1), (2, 2, 1),
+    (1, 1, 2), (2, 1, 2), (1, 2, 2), (2, 2, 2),
+]
+
+
+@pytest.mark.parametrize(
+    "p,table", [(2, _BASIX_HEX_GRID_P2), (3, _BASIX_HEX_GRID_P3)]
+)
+def test_hex_permutation_golden_table(p, table):
+    """hex_basix_to_lex_permutation against the frozen basix dof layout."""
+    from wave_fenics_tpu.core.basis import hex_basix_to_lex_permutation
+
+    n = p + 1
+    perm = hex_basix_to_lex_permutation(p)
+    golden = np.empty(n**3, dtype=np.int64)
+    for basix_id, (i, j, k) in enumerate(table):
+        golden[i + n * j + n * n * k] = basix_id
+    np.testing.assert_array_equal(perm, golden)

@@ -236,3 +236,43 @@ def test_sharded_overlap_on_off_equivalent():
     left = vb[0, 0, 0][inter][-1]   # hi plane of block bx=0
     right = vb[1, 0, 0][inter][0]   # lo plane of block bx=1
     np.testing.assert_array_equal(left, right)
+
+
+def test_fused_step_solve_matches_base():
+    """Communication-avoiding fused RK4 STEP kernel (one pallas call per
+    timestep, ops.pallas_rk4step) == reference-semantics solve (f64)."""
+    base = _model(shape=(4, 2, 2), p=4)
+    pm = PaddedLinearWave(base, tile_x=16)
+    assert pm._step_fn is not None
+    dt = 1e-9
+    u1, v1, _ = base.solve(0.0, 25 * dt, dt)
+    u2, v2, _ = pm.solve_step_n(0.0, dt, 25)
+    vmax = float(jnp.max(jnp.abs(v1)))
+    assert float(jnp.max(jnp.abs(pm.to_grid(u2) - u1))) < 1e-12 * max(vmax, 1)
+    assert float(jnp.max(jnp.abs(pm.to_grid(v2) - v1))) < 1e-12 * vmax
+
+
+@pytest.mark.parametrize("p", [2, 3, 5])
+def test_fused_step_other_degrees(p):
+    """Step-kernel window bookkeeping holds for p != 4 (off0 rounding)."""
+    base = _model(shape=(4, 2, 2), p=p)
+    pm = PaddedLinearWave(base, tile_x=16)
+    assert pm._step_fn is not None
+    dt = 1e-9
+    u1, v1, _ = pm.solve_fused_n(0.0, dt, 10)
+    u2, v2, _ = pm.solve_step_n(0.0, dt, 10)
+    vmax = float(jnp.max(jnp.abs(v1)))
+    assert float(jnp.max(jnp.abs(u2 - u1))) < 1e-12 * max(vmax, 1)
+    assert float(jnp.max(jnp.abs(v2 - v1))) < 1e-12 * vmax
+
+
+def test_fused_step_fallback_when_unavailable():
+    """p=8 needs a 24-row slab halo > tile_x=16: solve_step_n must fall
+    back to the per-stage path rather than mis-window."""
+    base = _model(shape=(4, 2, 2), p=8)
+    pm = PaddedLinearWave(base, tile_x=16)
+    assert pm._step_fn is None  # off0(8)=24 > tile_x=16
+    dt = 1e-9
+    u1, v1, _ = pm.solve_fused_n(0.0, dt, 5)
+    u2, v2, _ = pm.solve_step_n(0.0, dt, 5)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))

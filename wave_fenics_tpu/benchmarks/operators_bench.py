@@ -34,7 +34,7 @@ def main():
     ap.add_argument(
         "--op",
         choices=["mass", "mass-fused", "spectral", "stiffness",
-                 "stiffness-padded"],
+                 "stiffness-padded", "bp1-mass"],
         default="stiffness",
     )
     args = ap.parse_args()
@@ -57,6 +57,14 @@ def main():
         )
         f = pm._apply
         ndofs = model.ops.ndofs
+    elif args.op == "bp1-mass":
+        # fused consistent Gauss mass (CEED BP1), padded layout
+        from .cg_bench import _bp1_setup
+
+        layout, f, _ = _bp1_setup(mesh, p, dtype, False)
+        grid = tuple(n * p + 1 for n in mesh.shape)
+        x = layout.pad(jnp.asarray(rng.standard_normal(grid), dtype=dtype))
+        ndofs = int(np.prod(grid))
     elif args.op == "mass":
         hexm = mesh.to_hex_mesh()
         dofs = build_dofmap(hexm, p)
@@ -100,6 +108,29 @@ def main():
         out["max_rel_err_vs_f64_oracle"] = float(
             np.abs(y - y64).max() / scale
         )
+    elif args.check and args.op == "bp1-mass":
+        # oracle: NumPy f64 banded Kronecker application
+        from ..ops.separable import separable_mass_tables
+
+        M1 = [np.asarray(a, np.float64)
+              for a in separable_mass_tables(p, mesh.h, np.float64)]
+        xg = np.asarray(layout.unpad(x), dtype=np.float64)
+        ref = xg
+        m = p + 1
+        for d in range(3):
+            n = mesh.shape[d]
+            nxt = np.zeros_like(ref)
+            for c in range(n):
+                sl = [slice(None)] * 3
+                sl[d] = slice(c * p, c * p + m)
+                blk = np.take(ref, range(c * p, c * p + m), axis=d)
+                nxt[tuple(sl)] += np.moveaxis(
+                    np.einsum("im,m...->i...", M1[d],
+                              np.moveaxis(blk, d, 0)), 0, d)
+            ref = nxt
+        y = np.asarray(layout.unpad(f(x)), dtype=np.float64)
+        scale = np.abs(ref).max() or 1.0
+        out["max_rel_err_vs_f64_oracle"] = float(np.abs(y - ref).max() / scale)
     report(**out)
 
 

@@ -61,7 +61,15 @@ def main():
         "--degree", "4", "--reps", reps, "--check")
     run("operators_bench", "--op", "mass-fused", "--size", size,
         "--degree", "4", "--reps", reps, "--check")
-    run("cg_bench", "--size", size, "--degree", "2")
+    # CEED BP1: fused consistent-mass matvec + CG record, p = 1..5
+    # (reference campaign: demo/gpu_cg/submit.sh:4-15, bp1.ufl:20-21)
+    cg_size = "16" if args.quick else "64"
+    for p in (1, 2, 3, 4, 5):
+        # (--check omitted here: the NumPy f64 oracle at 64^3 cells is
+        # minutes-slow; correctness is covered by tests/test_operators.py)
+        run("operators_bench", "--op", "bp1-mass", "--size", cg_size,
+            "--degree", str(p), "--reps", reps)
+        run("cg_bench", "--size", cg_size, "--degree", str(p))
     run("scatter_bench", "--mode", "local", "--size", size, "--check")
     if args.platform != "cpu":
         # headline solves (real chip only): validated padded path and the

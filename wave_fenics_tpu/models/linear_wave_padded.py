@@ -256,8 +256,62 @@ class _FusedMixin:
         return u, v, nsteps
 
 
+class _StepMixin:
+    @cached_property
+    def _step_fn(self):
+        """Fully fused RK4 STEP kernel (ops.pallas_rk4step): one Pallas call
+        and one HBM pass per timestep. Requires the flat layout, x-face
+        source/ABC, and tile_x >= the 3p slab halo."""
+        from ..ops.pallas_rk4step import _off0, build_step_tables, make_rk4_step
+
+        if self._kernel_resolved != "flat":
+            return None
+        if self.layout.tile_x < _off0(self.base.p):
+            return None
+        planes = _x_face_planes(self)
+        if planes is None:
+            return None
+        w1, w2, src_x, abc_x = planes
+        b = self.base
+        A, _ = separable_stiffness_tables(b.p, b.mesh.h, b.dtype)
+        lines = grid_lines(b.mesh.shape, b.p, b.dtype)
+        tables = build_step_tables(
+            self.layout, A, lines, -float(b.c0) ** 2, self._m_lines,
+            w1, w2, src_x, abc_x, dtype=b.dtype,
+        )
+        return make_rk4_step(self.layout, tables, b.c0, dtype=b.dtype)
+
+    def solve_step_n(self, t0, dt, nsteps, u0=None, v0=None):
+        """RK4 with ONE fused kernel per step (communication-avoiding:
+        2 reads + 2 writes of state per step vs 40 for per-stage kernels).
+        Falls back to :meth:`solve_fused_n` when the step kernel does not
+        apply."""
+        step = self._step_fn
+        if step is None:
+            return self.solve_fused_n(t0, dt, nsteps, u0, v0)
+        if u0 is None:
+            u0, v0 = self.zero_state()
+        b = self.base
+        dtf = float(dt)
+
+        def body(carry, _):
+            u, v, t = carry
+            gs = [b.g_amplitude(t + c * dtf) for c in _RK_C]
+            u, v = step(u, v, dtf, *gs)
+            return (u, v, t + dtf), None
+
+        (u, v, _), _ = jax.lax.scan(
+            body,
+            (u0, v0, jnp.asarray(t0, dtype=u0.dtype)),
+            jnp.arange(nsteps),
+        )
+        return u, v, nsteps
+
+
 # Graft the fused-stage methods onto the (frozen) dataclass. The
 # cached_property descriptor keeps the __set_name__ binding it received in
 # _FusedMixin ('_stage_fn'), which matches the attribute name here.
 PaddedLinearWave._stage_fn = _FusedMixin._stage_fn
 PaddedLinearWave.solve_fused_n = _FusedMixin.solve_fused_n
+PaddedLinearWave._step_fn = _StepMixin._step_fn
+PaddedLinearWave.solve_step_n = _StepMixin.solve_step_n

@@ -395,23 +395,20 @@ def _kernel_flat(
         out_ref[:] += acc_ref[:] * (sx_ref[:] * gy_ref[:])
 
 
-def build_tables_flat(
+def axis_cv_tables(
     layout: PaddedLayout,
     A: list[np.ndarray],
     lines: list[np.ndarray],
     coeff: float,
     inv_m_lines: list[np.ndarray] | None = None,
-    dtype=jnp.float32,
 ) -> tuple[np.ndarray, ...]:
-    """(WXT, CVY, CVZ, FX, GZ, GY, SX) for the flattened kernel."""
+    """Raw per-axis stencil/line tables shared by the flat-layout kernels:
+    (cvx, cvy, cvz, sLx, sLy, sLz) — banded coefficient vectors [K, L_d]
+    (face corrections + own-axis 1/m folded in) and the scaled lumped lines
+    embedded in the padded extents."""
     Nx, Ny, Nz = layout.shape
     p = layout.p
-    Tx = layout.tile_x
-    Lx, Ly, Lz = layout.padded_shape
     K = 2 * p + 1
-    span = Tx + 16
-    F = Ly * Lz
-    npdt = np.dtype(dtype)
 
     Lxl, Lyl, Lzl = lines
     if inv_m_lines is None:
@@ -434,6 +431,30 @@ def build_tables_flat(
     cvx = padded_cv(A[0], Nx, 0, ix_)  # [K, Lx]
     cvy = padded_cv(A[1], Ny, 1, iy_)  # [K, Ly]
     cvz = padded_cv(A[2], Nz, 2, iz_)  # [K, Lz]
+    return cvx, cvy, cvz, pl_(sLx, 0), pl_(sLy, 1), pl_(sLz, 2)
+
+
+def build_tables_flat(
+    layout: PaddedLayout,
+    A: list[np.ndarray],
+    lines: list[np.ndarray],
+    coeff: float,
+    inv_m_lines: list[np.ndarray] | None = None,
+    dtype=jnp.float32,
+) -> tuple[np.ndarray, ...]:
+    """(WXT, CVY, CVZ, FX, GZ, GY, SX) for the flattened kernel."""
+    Nx, Ny, Nz = layout.shape
+    p = layout.p
+    Tx = layout.tile_x
+    Lx, Ly, Lz = layout.padded_shape
+    K = 2 * p + 1
+    span = Tx + 16
+    F = Ly * Lz
+    npdt = np.dtype(dtype)
+
+    cvx, cvy, cvz, pLx, pLy, pLz = axis_cv_tables(
+        layout, A, lines, coeff, inv_m_lines
+    )
 
     ntiles = Lx // Tx
     WXT = np.zeros((ntiles, Tx, span))
@@ -446,10 +467,10 @@ def build_tables_flat(
 
     CVY = np.repeat(cvy, Lz, axis=1)  # [K, F], value depends on y = j // Lz
     CVZ = np.tile(cvz, (1, Ly))  # [K, F], value depends on z = j % Lz
-    FX = np.outer(pl_(sLy, 1), pl_(sLz, 2)).reshape(1, F)
-    GZ = np.tile(pl_(sLz, 2), Ly).reshape(1, F)
-    GY = np.repeat(pl_(sLy, 1), Lz).reshape(1, F)
-    SX = pl_(sLx, 0).reshape(Lx, 1)
+    FX = np.outer(pLy, pLz).reshape(1, F)
+    GZ = np.tile(pLz, Ly).reshape(1, F)
+    GY = np.repeat(pLy, Lz).reshape(1, F)
+    SX = pLx.reshape(Lx, 1)
     return (
         WXT.astype(npdt), CVY.astype(npdt), CVZ.astype(npdt),
         FX.astype(npdt), GZ.astype(npdt), GY.astype(npdt), SX.astype(npdt),

@@ -122,11 +122,11 @@ class PaddedLinearWave:
                     (lay.padded_shape[oth[0]], lay.padded_shape[oth[1]]),
                     dtype=npdt,
                 )
-                o0 = lay.x0 if oth[0] == 0 else lay.p
-                o1 = lay.p  # oth[1] is never axis 0
+                o0 = lay.x0 if oth[0] == 0 else lay.h
+                o1 = lay.h  # oth[1] is never axis 0
                 pp[o0 : o0 + plane.shape[0], o1 : o1 + plane.shape[1]] = plane
                 # padded index of the face plane
-                off = lay.x0 if axis == 0 else lay.p
+                off = lay.x0 if axis == 0 else lay.h
                 pidx = [slice(None)] * 3
                 pidx[axis] = off if side == 0 else off + n_ax - 1
                 out.append((axis, tuple(pidx), attr, jnp.asarray(pp)))

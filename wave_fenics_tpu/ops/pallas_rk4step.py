@@ -48,7 +48,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_wave import PaddedLayout, axis_cv_tables
 
-__all__ = ["build_step_tables", "make_rk4_step"]
+__all__ = [
+    "build_step_tables",
+    "build_step_tables_from_cv",
+    "make_rk4_step",
+    "make_rk4_step_raw",
+]
 
 _RK_A = (0.0, 0.5, 0.5, 1.0)
 _RK_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
@@ -197,6 +202,32 @@ def build_step_tables(
     flattened-plane stencil/line tables, slab-aligned SX / source / ABC
     row masks, and the 1/m-premultiplied facet-weight planes.
     """
+    cvx, cvy, cvz, pLx, pLy, pLz = axis_cv_tables(
+        layout, A, lines, coeff, inv_m_lines
+    )
+    return build_step_tables_from_cv(
+        layout, cvx, cvy, cvz, pLx, pLy, pLz,
+        w1_flat, w2_flat, src_x, abc_x, dtype,
+    )
+
+
+def build_step_tables_from_cv(
+    layout: PaddedLayout,
+    cvx: np.ndarray, cvy: np.ndarray, cvz: np.ndarray,
+    pLx: np.ndarray, pLy: np.ndarray, pLz: np.ndarray,
+    w1_flat: np.ndarray,
+    w2_flat: np.ndarray,
+    src_x: int,
+    abc_x: int,
+    dtype=jnp.float32,
+) -> tuple[np.ndarray, ...]:
+    """Step tables from pre-built padded coefficient/line vectors.
+
+    Used directly by the distributed value-halo path, which slices GLOBAL
+    assembled vectors per device (halo regions carry the true neighbor
+    coefficients instead of single-device face corrections). ``src_x`` /
+    ``abc_x`` are padded x-rows, or -1 when the face is not on this block.
+    """
     Nx, Ny, Nz = layout.shape
     p = layout.p
     Tx = layout.tile_x
@@ -206,10 +237,6 @@ def build_step_tables(
     S0 = Tx + 2 * off0
     F = Ly * Lz
     npdt = np.dtype(dtype)
-
-    cvx, cvy, cvz, pLx, pLy, pLz = axis_cv_tables(
-        layout, A, lines, coeff, inv_m_lines
-    )
 
     ntiles = Lx // Tx
     o2, o1, o0 = off0 - 2 * p, off0 - p, off0
@@ -252,14 +279,13 @@ def build_step_tables(
             SXS.astype(npdt), SRC.astype(npdt), ABC.astype(npdt), W1, W2)
 
 
-def make_rk4_step(
+def make_rk4_step_raw(
     layout: PaddedLayout,
-    tables: tuple,
     c0: float,
     dtype=jnp.float32,
 ):
-    """Fused-step callable ``step(u0, v0, dt, g0, g1, g2, g3) -> (u1, v1)``
-    on padded 3D arrays. ``tables`` from :func:`build_step_tables`."""
+    """Fused-step callable with runtime tables (for shard_map operands):
+    ``step(u0, v0, dt, g0, g1, g2, g3, *tables) -> (u1, v1)``."""
     p = layout.p
     Tx = layout.tile_x
     Lx, Ly, Lz = layout.padded_shape
@@ -275,9 +301,6 @@ def make_rk4_step(
             f"(the 3p-deep slab halo must stay inside the all-pad x tiles)"
         )
 
-    (WXA, WXB, WXC, CVY, CVZ, FX, GZ, GY, SXS, SRC, ABC, W1, W2) = [
-        jnp.asarray(t) for t in tables
-    ]
     n2, n1, n0 = Tx + 4 * p, Tx + 2 * p, Tx
 
     kern = functools.partial(
@@ -291,7 +314,8 @@ def make_rk4_step(
     fullF = pl.BlockSpec((1, F), full2, memory_space=pltpu.VMEM)
     vout = pl.BlockSpec((Tx, F), tile2, memory_space=pltpu.VMEM)
 
-    def step(u0, v0, dt, g0, g1, g2, g3):
+    def step(u0, v0, dt, g0, g1, g2, g3, *tables):
+        (WXA, WXB, WXC, CVY, CVZ, FX, GZ, GY, SXS, SRC, ABC, W1, W2) = tables
         scal = jnp.stack(
             [jnp.asarray(s, dtype) for s in (dt, g0, g1, g2, g3)]
         ).reshape(1, 5)
@@ -342,5 +366,23 @@ def make_rk4_step(
         )
         u1, v1 = outs
         return u1.reshape(Lx, Ly, Lz), v1.reshape(Lx, Ly, Lz)
+
+    return step
+
+
+def make_rk4_step(
+    layout: PaddedLayout,
+    tables: tuple,
+    c0: float,
+    dtype=jnp.float32,
+):
+    """Fused-step callable ``step(u0, v0, dt, g0, g1, g2, g3) -> (u1, v1)``
+    on padded 3D arrays, with ``tables`` (from :func:`build_step_tables`)
+    closed over as constants (single-device convenience)."""
+    raw = make_rk4_step_raw(layout, c0, dtype)
+    jts = tuple(jnp.asarray(t) for t in tables)
+
+    def step(u0, v0, dt, g0, g1, g2, g3):
+        return raw(u0, v0, dt, g0, g1, g2, g3, *jts)
 
     return step

@@ -48,18 +48,28 @@ def _r128(n):
 class PaddedLayout:
     """Aligned padded storage for a dof grid [Nx, Ny, Nz].
 
-    Interior at offset (tile_x, p, p); padded dims:
-    x = (ceil(Nx/tile_x) + 2) * tile_x, y = r8(Ny + 2p), and z rounded to
-    ``z_align`` (128 for the 3D-slab kernel; 16 for the flattened-(y,z)
+    Interior at offset (tile_x, halo, halo); padded dims:
+    x = (ceil(Nx/tile_x) + 2) * tile_x, y = r8(Ny + 2*halo), and z rounded
+    to ``z_align`` (128 for the 3D-slab kernel; 16 for the flattened-(y,z)
     kernel, whose DMA sees a 2D [x, Ly*Lz] view with Ly*Lz a multiple of
     128 — much less z-padding waste).
-    The padding must stay zero — operators preserve this invariant.
+
+    ``halo`` defaults to p (single-device: zero padding the stencils fall
+    off). Distributed value-halo layouts use halo = 3p so a whole fused
+    RK4 step can run on neighbor VALUES exchanged once per step
+    (parallel.sharded_padded step mode). The padding beyond valid halo
+    data must stay zero — operators preserve this invariant.
     """
 
     shape: tuple[int, int, int]
     p: int
     tile_x: int = 16
     z_align: int = 128
+    halo: int | None = None
+
+    @property
+    def h(self) -> int:
+        return self.p if self.halo is None else self.halo
 
     @property
     def ntx(self) -> int:
@@ -73,32 +83,33 @@ class PaddedLayout:
     def padded_shape(self) -> tuple[int, int, int]:
         Nx, Ny, Nz = self.shape
         za = self.z_align
+        h = self.h
         return (
             (self.ntx + 2) * self.tile_x,
-            _r8(Ny + 2 * self.p),
-            -(-(Nz + 2 * self.p) // za) * za,
+            _r8(Ny + 2 * h),
+            -(-(Nz + 2 * h) // za) * za,
         )
 
     @property
     def interior(self) -> tuple[slice, slice, slice]:
         Nx, Ny, Nz = self.shape
-        p = self.p
+        h = self.h
         return (
             slice(self.x0, self.x0 + Nx),
-            slice(p, p + Ny),
-            slice(p, p + Nz),
+            slice(h, h + Ny),
+            slice(h, h + Nz),
         )
 
     def pad(self, x: jax.Array) -> jax.Array:
         Nx, Ny, Nz = self.shape
         Lx, Ly, Lz = self.padded_shape
-        p = self.p
+        h = self.h
         return jnp.pad(
             x,
             (
                 (self.x0, Lx - Nx - self.x0),
-                (p, Ly - Ny - p),
-                (p, Lz - Nz - p),
+                (h, Ly - Ny - h),
+                (h, Lz - Nz - h),
             ),
         )
 
@@ -108,7 +119,7 @@ class PaddedLayout:
     def padded_line(self, vals: np.ndarray, axis: int) -> np.ndarray:
         """Embed a length-N axis line into the padded axis extent."""
         L = self.padded_shape[axis]
-        off = self.x0 if axis == 0 else self.p
+        off = self.x0 if axis == 0 else self.h
         out = np.zeros(L, dtype=np.asarray(vals).dtype)
         out[off : off + len(vals)] = vals
         return out

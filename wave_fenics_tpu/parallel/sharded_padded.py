@@ -337,8 +337,8 @@ class ShardedPaddedWave:
                 nl1 = self.local_cells[oth[1]] * p + 1
                 L0 = lay.padded_shape[oth[0]]
                 L1 = lay.padded_shape[oth[1]]
-                o0 = lay.x0 if oth[0] == 0 else lay.p
-                o1 = lay.p
+                o0 = lay.x0 if oth[0] == 0 else lay.h
+                o1 = lay.h
                 blocked = np.zeros((mx, my, mz, L0, L1), dtype=npdt)
                 # local facet-lumped weights per block (single-sided at
                 # local edges) over the block's global slice of the plane
@@ -369,7 +369,7 @@ class ShardedPaddedWave:
                         bidx[oth[1]] = b1
                         blocked[tuple(bidx)] = pp
                 pidx = [slice(None)] * 3
-                off = lay.x0 if axis == 0 else lay.p
+                off = lay.x0 if axis == 0 else lay.h
                 n_ax = self.local_cells[axis] * p + 1
                 pidx[axis] = off if side == 0 else off + n_ax - 1
                 arr = jax.device_put(
@@ -384,7 +384,7 @@ class ShardedPaddedWave:
         """Halo-add the interior interface planes of a local padded block."""
         lay = self.layout
         p = self.model.p
-        offs = (lay.x0, lay.p, lay.p)
+        offs = (lay.x0, lay.h, lay.h)
         for axis, (name, size) in enumerate(
             zip(("x", "y", "z"), self.parts)
         ):
@@ -515,11 +515,267 @@ class ShardedPaddedWave:
         )
         return u, v, nsteps
 
+    # -- distributed value-halo fused-step mode ----------------------------
+    #
+    # Instead of one partial-sum halo-add per RK STAGE (4 x 1-plane
+    # exchanges per step), exchange 3p-deep VALUE halos of (u, v) once per
+    # step and run the communication-avoiding fused RK4 step kernel
+    # (ops.pallas_rk4step) locally. Tables carry GLOBAL assembled stencil
+    # coefficients sliced per block (halo regions hold the true neighbor
+    # coefficients; face corrections only at true domain faces), so each
+    # device computes the full stencil for every row it owns — no partial
+    # sums, no per-stage communication. This is the distributed form of
+    # the reference's update_fwd_begin/end overlap
+    # (demo/gpu_scatter_mpi/VectorUpdater.hpp:106-143): fewer, deeper
+    # messages and zero intermediate HBM traffic.
+
+    @cached_property
+    def _step_layout(self) -> PaddedLayout | None:
+        if self._kernel_resolved != "flat":
+            return None
+        from ..models.linear_wave_padded import _flat_tile_x
+        from ..ops.pallas_rk4step import _off0
+
+        p = self.model.p
+        shape = tuple(n * p + 1 for n in self.local_cells)
+        tx = _flat_tile_x(p, max(self.tile_x, _off0(p)))
+        return PaddedLayout(shape=shape, p=p, tile_x=tx, z_align=16,
+                            halo=3 * p)
+
+    def _embed_global(self, gvec: np.ndarray, axis: int, b: int,
+                      lay: PaddedLayout) -> np.ndarray:
+        """Slice a global per-dof axis vector for block ``b`` including the
+        3p halo, embedded at the block's padded offsets (zeros outside the
+        domain)."""
+        h = 3 * self.model.p
+        off = lay.x0 if axis == 0 else lay.h
+        L = lay.padded_shape[axis]
+        Nloc = lay.shape[axis]
+        g0 = b * (Nloc - 1)
+        out = np.zeros((gvec.shape[:-1] + (L,)), dtype=gvec.dtype)
+        lo = max(0, g0 - h)
+        hi = min(gvec.shape[-1], g0 + Nloc + h)
+        out[..., off - (g0 - lo) : off + (hi - g0)] = gvec[..., lo:hi]
+        return out
+
+    @cached_property
+    def _step_tables(self):
+        """Blocked sharded step tables + per-axis deps, or None when the
+        step path does not apply (non-flat kernel, non-x-face tags, or a
+        tile too small for the 3p slab halo)."""
+        from ..ops.pallas_rk4step import (_off0, build_step_tables_from_cv)
+        from ..ops.pallas_stiffness import _cvec, build_stencil_coeffs
+
+        lay = self._step_layout
+        if lay is None or lay.tile_x < _off0(self.model.p):
+            return None
+        md = self.model
+        p = md.p
+        mx, my, mz = self.parts
+        # x-face source/ABC only (planar3d shape); otherwise fall back
+        tags = md.mesh.facet_tags
+        faces = {}
+        for tag, attr in ((md.source_tag, "w1"), (md.abc_tag, "w2")):
+            fl = tags.facets_of(tag)
+            if len(fl) != 1 or BOX_FACETS[fl[0]][0] != 0 or attr in faces:
+                return None
+            faces[attr] = BOX_FACETS[fl[0]][1]
+        if faces.get("w1") != 0 or faces.get("w2") != 1:
+            return None
+
+        coeff = -float(md.c0) ** 2
+        A, _ = separable_stiffness_tables(p, md.mesh.h, md.dtype)
+        gshape = tuple(n * p + 1 for n in md.mesh.shape)
+        K = 2 * p + 1
+        glines = [lumped_weight_line(n, p, 1.0) for n in md.mesh.shape]
+        ginv = [1.0 / m for m in self._global_m_lines]
+
+        def gcv(Ad, Ng, inv):
+            C = build_stencil_coeffs(coeff * Ad, p)
+            body = np.stack([_cvec(C, k, Ng, p) for k in range(K)])
+            body[p, 0] -= coeff * Ad[p, p]
+            body[p, Ng - 1] -= coeff * Ad[0, 0]
+            return body * inv[None, :]
+
+        gcvs = [gcv(A[d], gshape[d], ginv[d]) for d in range(3)]
+        gsl = [glines[d] * ginv[d] for d in range(3)]  # scaled lines
+        # global facet-weight-over-mass lines for the x-face planes
+        wly = lumped_weight_line(md.mesh.shape[1], p, md.mesh.h[1])
+        wlz = lumped_weight_line(md.mesh.shape[2], p, md.mesh.h[2])
+        w_y = wly * ginv[1]
+        w_z = wlz * ginv[2]
+        mx_line = self._global_m_lines[0]
+
+        def tables_for(bx, by, bz):
+            cvx = self._embed_global(gcvs[0], 0, bx, lay)
+            cvy = self._embed_global(gcvs[1], 1, by, lay)
+            cvz = self._embed_global(gcvs[2], 2, bz, lay)
+            pLx = self._embed_global(gsl[0], 0, bx, lay)
+            pLy = self._embed_global(gsl[1], 1, by, lay)
+            pLz = self._embed_global(gsl[2], 2, bz, lay)
+            py = self._embed_global(w_y, 1, by, lay)
+            pz = self._embed_global(w_z, 2, bz, lay)
+            w1 = np.outer(py / mx_line[0], pz).ravel()
+            w2 = np.outer(py / mx_line[-1], pz).ravel()
+            # global face rows in this block's padded x coordinates
+            Nloc = lay.shape[0]
+            g0 = bx * (Nloc - 1)
+            h = 3 * p
+            def prow(g):
+                r = g - g0
+                return lay.x0 + r if -h <= r < Nloc + h else -1
+            return build_step_tables_from_cv(
+                lay, cvx, cvy, cvz, pLx, pLy, pLz, w1, w2,
+                prow(0), prow(gshape[0] - 1), md.dtype,
+            )
+
+        # table index -> block-axis deps for
+        # (WXA, WXB, WXC, CVY, CVZ, FX, GZ, GY, SXS, SRC, ABC, W1, W2)
+        deps = {0: (0,), 1: (0,), 2: (0,), 3: (1,), 4: (2,), 5: (1, 2),
+                6: (2,), 7: (1,), 8: (0,), 9: (0,), 10: (0,), 11: (1, 2),
+                12: (1, 2)}
+        ms = (mx, my, mz)
+        shape0 = [t.shape for t in tables_for(0, 0, 0)]
+        nt = len(shape0)
+        blocked = [
+            np.zeros(tuple(ms[a] for a in deps[ti]) + shape0[ti],
+                     dtype=np.dtype(md.dtype))
+            for ti in range(nt)
+        ]
+        for bx in range(mx):
+            for by in range(my):
+                for bz in range(mz):
+                    ts = tables_for(bx, by, bz)
+                    b = (bx, by, bz)
+                    for ti in range(nt):
+                        idx = tuple(b[a] for a in deps[ti])
+                        blocked[ti][idx] = ts[ti]
+        axis_names = ("x", "y", "z")
+        out = []
+        for ti in range(nt):
+            d = deps[ti]
+            spec = P(*[axis_names[a] for a in d], *([None] * len(shape0[ti])))
+            out.append(
+                jax.device_put(
+                    jnp.asarray(blocked[ti]), NamedSharding(self.mesh, spec)
+                )
+            )
+        return tuple(out), deps
+
+    def _refresh_value_halos(self, a: jax.Array) -> jax.Array:
+        """Overwrite the 3p-deep halo regions with neighbor interior VALUES
+        (owner->ghost forward scatter, VectorUpdater.hpp:106-152 semantics).
+        Axis order x->y->z fills corner halos transitively.
+
+        The duplicated interface plane is canonicalized to the LOW-side
+        block's value (the two copies could otherwise drift at ulp level:
+        their x-band matmuls sum the same taps at different window
+        offsets), so the duplicate-plane invariant holds bitwise."""
+        lay = self._step_layout
+        h = 3 * self.model.p
+        offs = (lay.x0, lay.h, lay.h)
+        for axis, (name, size) in enumerate(zip(("x", "y", "z"), self.parts)):
+            if size == 1:
+                continue
+            n_ax = lay.shape[axis]
+            o = offs[axis]
+            lo_slab = lax.slice_in_dim(a, o + 1, o + 1 + h, axis=axis)
+            # h halo rows + the owner's copy of the interface plane
+            hi_slab = lax.slice_in_dim(
+                a, o + n_ax - 1 - h, o + n_ax, axis=axis
+            )
+            from_right = lax.ppermute(
+                lo_slab, name, [(i, i - 1) for i in range(1, size)]
+            )
+            from_left = lax.ppermute(
+                hi_slab, name, [(i, i + 1) for i in range(size - 1)]
+            )
+            a = lax.dynamic_update_slice_in_dim(
+                a, from_right, o + n_ax, axis=axis
+            )
+            halo_part = lax.slice_in_dim(from_left, 0, h, axis=axis)
+            a = lax.dynamic_update_slice_in_dim(a, halo_part, o - h, axis=axis)
+            # interface plane: take the low-side owner's value (edge blocks
+            # receive ppermute zeros and keep their own plane)
+            own = lax.slice_in_dim(a, o, o + 1, axis=axis)
+            recv = lax.slice_in_dim(from_left, h, h + 1, axis=axis)
+            has_left = lax.axis_index(name) > 0
+            a = lax.dynamic_update_slice_in_dim(
+                a, jnp.where(has_left, recv, own), o, axis=axis
+            )
+        return a
+
+    def zero_state_step(self):
+        mx, my, mz = self.parts
+        shape = (mx, my, mz) + self._step_layout.padded_shape
+        z = jax.device_put(
+            jnp.zeros(shape, dtype=self.model.dtype),
+            NamedSharding(self.mesh, P("x", "y", "z", None, None, None)),
+        )
+        return z, z
+
+    def solve_step_n(self, t0, dt, nsteps, u0=None, v0=None):
+        """Distributed RK4, one fused kernel + one value-halo exchange per
+        step. Falls back to :meth:`solve_n` when the step path does not
+        apply."""
+        from ..ops.pallas_rk4step import make_rk4_step_raw
+
+        st = self._step_tables
+        if st is None:
+            return self.solve_n(t0, dt, nsteps, u0, v0)
+        tables, deps = st
+        if u0 is None:
+            u0, v0 = self.zero_state_step()
+        md = self.model
+        lay = self._step_layout
+        raw = make_rk4_step_raw(lay, md.c0, md.dtype)
+        dtf = float(dt)
+        from ..models.linear_wave_padded import _RK_C
+
+        state_spec = P("x", "y", "z", None, None, None)
+        table_specs = tuple(t.sharding.spec for t in tables)
+
+        def local_solve(u, v, *ops):
+            tbl = [
+                o.reshape(o.shape[o.ndim - (t.ndim - len(deps[i])):])
+                for i, (o, t) in enumerate(zip(ops, tables))
+            ]
+            usq = u.reshape(u.shape[3:])
+            vsq = v.reshape(v.shape[3:])
+
+            def body(carry, _):
+                uu, vv, t = carry
+                uu = self._refresh_value_halos(uu)
+                vv = self._refresh_value_halos(vv)
+                gs = [md.g_amplitude(t + c * dtf) for c in _RK_C]
+                uu, vv = raw(uu, vv, dtf, *gs, *tbl)
+                return (uu, vv, t + dtf), None
+
+            (uo, vo, _), _ = lax.scan(
+                body, (usq, vsq, jnp.asarray(t0, dtype=md.dtype)),
+                jnp.arange(nsteps),
+            )
+            return uo.reshape(u.shape), vo.reshape(v.shape)
+
+        sm = shard_map(
+            local_solve,
+            mesh=self.mesh,
+            in_specs=(state_spec, state_spec) + table_specs,
+            out_specs=(state_spec, state_spec),
+            check_vma=False,
+        )
+        u, v = jax.jit(sm)(u0, v0, *tables)
+        return u, v, nsteps
+
+    def to_global_step(self, blocked: jax.Array) -> np.ndarray:
+        return self.to_global(blocked, self._step_layout)
+
     # -- host conversion ---------------------------------------------------
-    def to_global(self, blocked: jax.Array) -> np.ndarray:
+    def to_global(self, blocked: jax.Array, lay: PaddedLayout | None = None
+                  ) -> np.ndarray:
         """Blocked padded state -> global dof grid (numpy)."""
         b = np.asarray(blocked)
-        lay = self.layout
+        lay = lay or self.layout
         mx, my, mz = self.parts
         p = self.model.p
         nx, ny, nz = lay.shape

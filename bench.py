@@ -123,6 +123,14 @@ def _worker(args):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    try:  # persistent compile cache: canary + timed share one compile
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.wave_fenics_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     solver = args.solver
     if solver == "auto":  # workers get a concrete solver from the parent,

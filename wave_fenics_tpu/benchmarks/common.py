@@ -32,11 +32,25 @@ def make_parser(**defaults) -> argparse.ArgumentParser:
 
 
 def apply_platform(args) -> None:
-    """Apply --platform before the first jax operation."""
-    if getattr(args, "platform", "default") == "cpu":
-        import jax
+    """Apply --platform before the first jax operation, and enable the
+    persistent compilation cache (each benchmark entry runs in a fresh
+    subprocess; without the cache every entry pays the full 20-60s tunnel
+    compile on every suite run)."""
+    import os
 
+    import jax
+
+    if getattr(args, "platform", "default") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    cache = os.environ.get(
+        "WAVE_FENICS_TPU_CACHE", os.path.expanduser("~/.wave_fenics_jax_cache")
+    )
+    if cache != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
 
 
 def resolve_dtype(name: str):

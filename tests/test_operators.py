@@ -188,8 +188,11 @@ def test_separable_and_fused_bp1_mass(p):
     mesh = box_mesh((3, 2, 2), (1.0, 0.8, 0.7))
     dg = StructuredDofGrid(mesh, p)
     g_dofs = build_dofmap(mesh.to_hex_mesh(), p)
+    # q = 2p+3 exactness = p+2 Gauss points per direction (the CEED BP1
+    # rule; see separable_mass_tables — degree p+2 would under-integrate)
     g_ops = GeneralOperators(
-        mesh.to_hex_mesh(), g_dofs, dtype=jnp.float64, rule="gauss", q=p + 2
+        mesh.to_hex_mesh(), g_dofs, dtype=jnp.float64, rule="gauss",
+        q=2 * p + 3,
     )
     mapping = np.full(dg.ndofs, -1, dtype=np.int64)
     mapping[dg.dofmap().ravel()] = g_dofs.dofmap.ravel()

@@ -78,6 +78,7 @@ def main():
             "--cells", "64", "32", "32")
         run("bench.py", *hc, "--steps", "20", "--solver", "padded")
         run("bench.py", *hc, "--steps", "20", "--solver", "fused")
+        run("bench.py", *hc, "--steps", "20", "--solver", "step")
 
     print(json.dumps({"suite": args.out, "n": len(results),
                       "errors": sum(1 for r in results if r and "error" in r)}))

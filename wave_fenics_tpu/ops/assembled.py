@@ -85,9 +85,10 @@ class EAOperator:
         xe = gs.gather_indexed(x, self.dofs.dofmap)  # [nc, nd]
         ye = jnp.einsum(
             "cab,cb->ca", self._A, xe,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
-            if self.dtype != jnp.float64 else jnp.float64,
+            preferred_element_type=(
+                jnp.float32 if self.dtype != jnp.float64 else jnp.float64
+            ),
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(x.dtype)
         return gs.scatter_indexed(ye, self.dofs.dofmap, self.dofs.ndofs)
 

@@ -75,6 +75,13 @@ class PaddedLinearWave:
 
     @cached_property
     def _apply(self):
+        # Constants built here are cached across traces; without the
+        # compile-time-eval guard a first access from inside a jit trace
+        # would cache tracers (leak) instead of concrete arrays.
+        with jax.ensure_compile_time_eval():
+            return self._build_apply()
+
+    def _build_apply(self):
         b = self.base
         A, _ = separable_stiffness_tables(b.p, b.mesh.h, b.dtype)
         lines = grid_lines(b.mesh.shape, b.p, b.dtype)
@@ -102,6 +109,10 @@ class PaddedLinearWave:
     def _boundary_planes(self):
         """[(index_tuple, w1_plane_or_None, w2_plane_or_None), ...] with
         planes premultiplied by 1/m, padded to the plane's padded dims."""
+        with jax.ensure_compile_time_eval():
+            return self._build_boundary_planes()
+
+    def _build_boundary_planes(self):
         b = self.base
         lay = self.layout
         m3 = np.einsum("i,j,k->ijk", *self._m_lines)
@@ -204,6 +215,10 @@ _RK_C = (0.0, 0.5, 0.5, 1.0)
 class _FusedMixin:
     @cached_property
     def _stage_fn(self):
+        with jax.ensure_compile_time_eval():
+            return self._build_stage_fn()
+
+    def _build_stage_fn(self):
         from ..ops.pallas_wave import build_tables_flat, make_rk_stage
 
         if self._kernel_resolved != "flat":
@@ -262,6 +277,10 @@ class _StepMixin:
         """Fully fused RK4 STEP kernel (ops.pallas_rk4step): one Pallas call
         and one HBM pass per timestep. Requires the flat layout, x-face
         source/ABC, and tile_x >= the 3p slab halo."""
+        with jax.ensure_compile_time_eval():
+            return self._build_step_fn()
+
+    def _build_step_fn(self):
         from ..ops.pallas_rk4step import _off0, build_step_tables, make_rk4_step
 
         if self._kernel_resolved != "flat":
@@ -312,6 +331,8 @@ class _StepMixin:
 # cached_property descriptor keeps the __set_name__ binding it received in
 # _FusedMixin ('_stage_fn'), which matches the attribute name here.
 PaddedLinearWave._stage_fn = _FusedMixin._stage_fn
+PaddedLinearWave._build_stage_fn = _FusedMixin._build_stage_fn
 PaddedLinearWave.solve_fused_n = _FusedMixin.solve_fused_n
 PaddedLinearWave._step_fn = _StepMixin._step_fn
+PaddedLinearWave._build_step_fn = _StepMixin._build_step_fn
 PaddedLinearWave.solve_step_n = _StepMixin.solve_step_n

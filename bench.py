@@ -183,15 +183,55 @@ def _spawn(args, worker, solver, timeout):
     ]
     if args.platform:
         cmd += ["--platform", args.platform]
+    # Own the whole worker process tree. An orphaned worker holds the
+    # single TPU client and silently queues every later run behind it
+    # (observed: a 0.07s canary taking 9 minutes of pure wait) — so the
+    # worker gets its own session, timeout/termination kills the group,
+    # and PDEATHSIG reaps the worker even when the orchestrator itself
+    # is SIGKILLed (e.g. an outer subprocess timeout).
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True, preexec_fn=_die_with_parent,
+    )
+    _ACTIVE_WORKERS.add(proc)
     try:
-        proc = subprocess.run(
-            cmd, timeout=timeout, capture_output=True, text=True
-        )
+        out, errtxt = proc.communicate(timeout=timeout)
     except subprocess.TimeoutExpired:
+        _kill_group(proc)
+        proc.communicate()
         return None, "timeout"
+    finally:
+        _ACTIVE_WORKERS.discard(proc)
     if proc.returncode != 0:
-        return None, (proc.stderr or "").strip().splitlines()[-1:] or "error"
-    return proc.stdout, None
+        return None, (errtxt or "").strip().splitlines()[-1:] or "error"
+    return out, None
+
+
+_ACTIVE_WORKERS: set = set()
+
+
+def _die_with_parent():
+    """In the worker: ask Linux to SIGKILL us if the orchestrator dies."""
+    try:
+        import ctypes
+
+        PR_SET_PDEATHSIG = 1
+        ctypes.CDLL("libc.so.6").prctl(PR_SET_PDEATHSIG, signal.SIGKILL)
+    except Exception:
+        pass
+
+
+def _kill_group(proc):
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        pass
+
+
+def _reap_and_exit(signum, frame):
+    for proc in list(_ACTIVE_WORKERS):
+        _kill_group(proc)
+    os._exit(128 + signum)
 
 
 def main():
@@ -200,14 +240,26 @@ def main():
         _worker(args)
         return
 
+    # if the orchestrator itself is killed (driver watchdog, outer
+    # `timeout`), take the worker process group down with us
+    signal.signal(signal.SIGTERM, _reap_and_exit)
+    signal.signal(signal.SIGINT, _reap_and_exit)
+
     if args.watchdog:
         def _fire(signum, frame):
             _fail_line(args.degree, "watchdog expired")
+            for proc in list(_ACTIVE_WORKERS):
+                _kill_group(proc)
             os._exit(0)
 
         signal.signal(signal.SIGALRM, _fire)
         signal.alarm(args.watchdog)
 
+    # auto order: fastest hardware-validated solver first (step 1.62,
+    # fused 1.42, padded 1.09 GDoF*steps/s on v5e). A canary that *hangs*
+    # gets its subprocess killed mid-dispatch, which can wedge the chip
+    # lease for a long time on this backend — so an unvalidated kernel
+    # must never run before a known-good one.
     candidates = (
         ["step", "fused", "padded", "base"] if args.solver == "auto"
         else [args.solver]

@@ -74,11 +74,13 @@ def main():
     if args.platform != "cpu":
         # headline solves (real chip only): validated padded path and the
         # fused-stage candidate
+        # 50 steps: at 20 the ~30ms tunnel dispatch RTT costs ~33% of the
+        # measured rate (measured: step 0.88 at 20 steps vs 1.58 at 50)
         hc = ("--cells", "32", "16", "16") if args.quick else (
             "--cells", "64", "32", "32")
-        run("bench.py", *hc, "--steps", "20", "--solver", "padded")
-        run("bench.py", *hc, "--steps", "20", "--solver", "fused")
-        run("bench.py", *hc, "--steps", "20", "--solver", "step")
+        run("bench.py", *hc, "--steps", "50", "--solver", "padded")
+        run("bench.py", *hc, "--steps", "50", "--solver", "fused")
+        run("bench.py", *hc, "--steps", "50", "--solver", "step")
 
     print(json.dumps({"suite": args.out, "n": len(results),
                       "errors": sum(1 for r in results if r and "error" in r)}))

@@ -33,6 +33,10 @@ def _parser():
     ap.add_argument("--solver",
                     choices=["auto", "step", "fused", "padded", "base"],
                     default="auto")
+    ap.add_argument("--tile-x", type=int, default=16,
+                    help="padded-layout x tile (multiple of 8 and p; larger "
+                         "tiles cut the step kernel's halo read "
+                         "amplification at the cost of more x padding)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) via config update "
                          "(the env var route hangs in this image)")
@@ -81,7 +85,7 @@ def _build(args, solver):
     if solver in ("step", "fused", "padded"):
         from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
 
-        pm = PaddedLinearWave(m, tile_x=16)
+        pm = PaddedLinearWave(m, tile_x=args.tile_x)
         if solver == "fused" and pm._stage_fn is None:
             raise RuntimeError("fused stage kernel unavailable for this case")
         if solver == "step" and pm._step_fn is None:
@@ -179,7 +183,7 @@ def _spawn(args, worker, solver, timeout):
         "--worker", worker, "--solver", solver,
         "--cells", *map(str, args.cells),
         "--degree", str(args.degree), "--steps", str(args.steps),
-        "--warmup", str(args.warmup),
+        "--warmup", str(args.warmup), "--tile-x", str(args.tile_x),
     ]
     if args.platform:
         cmd += ["--platform", args.platform]

@@ -25,7 +25,8 @@ def test_tsmm_cli(capsys):
 
 
 @pytest.mark.parametrize(
-    "op", ["mass", "mass-fused", "spectral", "stiffness", "stiffness-padded"]
+    "op", ["mass", "mass-fused", "spectral", "spectral-roundtrip",
+           "stiffness", "stiffness-padded"]
 )
 def test_operators_cli(op, capsys):
     from wave_fenics_tpu.benchmarks import operators_bench

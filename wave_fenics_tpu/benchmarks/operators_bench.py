@@ -33,8 +33,8 @@ def main():
     ap = make_parser(size=32, degree=4, reps=50)
     ap.add_argument(
         "--op",
-        choices=["mass", "mass-fused", "spectral", "stiffness",
-                 "stiffness-padded", "bp1-mass"],
+        choices=["mass", "mass-fused", "spectral", "spectral-roundtrip",
+                 "stiffness", "stiffness-padded", "bp1-mass"],
         default="stiffness",
     )
     args = ap.parse_args()
@@ -79,6 +79,7 @@ def main():
         f = {
             "mass-fused": ops.mass,
             "spectral": ops.spectral_mass,
+            "spectral-roundtrip": ops.spectral_mass_roundtrip,
             "stiffness": lambda a: ops.stiffness(a, 1500.0),
         }[args.op]
 
@@ -94,12 +95,15 @@ def main():
            "dtype": args.dtype, "ms_per_apply": round(t * 1e3, 4),
            "gdofs_per_s": round(ndofs / t / 1e9, 4)}
 
-    if args.check and args.op in ("mass-fused", "spectral", "stiffness"):
+    if args.check and args.op in (
+        "mass-fused", "spectral", "spectral-roundtrip", "stiffness"
+    ):
         ops64 = StructuredOperators(mesh, p, dtype=jnp.float64)
         x64 = jnp.asarray(np.asarray(x), dtype=jnp.float64)
         g64 = {
             "mass-fused": ops64.mass,
             "spectral": ops64.spectral_mass,
+            "spectral-roundtrip": ops64.spectral_mass_roundtrip,
             "stiffness": lambda a: ops64.stiffness_percell(a, 1500.0),
         }[args.op]
         y = np.asarray(f(x), dtype=np.float64)

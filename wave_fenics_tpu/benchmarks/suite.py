@@ -59,6 +59,8 @@ def main():
             "--degree", str(p), "--reps", reps)
     run("operators_bench", "--op", "spectral", "--size", size,
         "--degree", "4", "--reps", reps, "--check")
+    run("operators_bench", "--op", "spectral-roundtrip", "--size", size,
+        "--degree", "4", "--reps", reps, "--check")
     run("operators_bench", "--op", "mass-fused", "--size", size,
         "--degree", "4", "--reps", reps, "--check")
     # CEED BP1: fused consistent-mass matvec + CG record, p = 1..5

@@ -94,8 +94,22 @@ class StructuredOperators:
 
     # -- operators ------------------------------------------------------
     def spectral_mass(self, x: jax.Array) -> jax.Array:
-        """y = M x via gather -> pointwise detJw -> scatter
-        (common/cuda/spectral_mass.hpp:84-89 semantics)."""
+        """y = M x for the GLL-collocated (spectral) mass.
+
+        The reference implements this as gather -> pointwise detJw ->
+        atomic scatter (common/cuda/spectral_mass.hpp:84-89) because its
+        dofs are indirection-mapped. On a structured grid the globally
+        assembled M is diagonal, so the whole apply is one fused
+        elementwise multiply by the precomputed diagonal — pure HBM
+        bandwidth, no data movement. The reference-shaped 3-pass route is
+        kept as :meth:`spectral_mass_roundtrip` (same values to fp
+        roundoff; exercised by the oracle/determinism tests and the
+        scatter benchmark)."""
+        return self.lumped_mass * x
+
+    def spectral_mass_roundtrip(self, x: jax.Array) -> jax.Array:
+        """y = M x via gather -> pointwise detJw -> scatter — the
+        reference's data-movement shape (spectral_mass.hpp:84-89)."""
         return self.scatter(ek.spectral_mass_element(self.gather(x), self._detJw))
 
     @cached_property
@@ -251,7 +265,14 @@ class GeneralOperators:
         return self.scatter(ek.mass_element(self.gather(x), self._B, self._detJw))
 
     def spectral_mass(self, x: jax.Array) -> jax.Array:
-        """Diagonal path; requires collocated quadrature."""
+        """y = M x for the collocated (diagonal) mass: one multiply by the
+        assembled diagonal (see StructuredOperators.spectral_mass)."""
+        assert self._tab.collocated
+        return jnp.asarray(self.lumped_mass) * x
+
+    def spectral_mass_roundtrip(self, x: jax.Array) -> jax.Array:
+        """Reference-shaped gather -> detJw -> scatter path
+        (spectral_mass.hpp:84-89); requires collocated quadrature."""
         assert self._tab.collocated
         return self.scatter(ek.spectral_mass_element(self.gather(x), self._detJw))
 

@@ -28,7 +28,9 @@ def _parser():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cells", type=int, nargs=3, default=(64, 32, 32))
     ap.add_argument("--degree", type=int, default=4)
-    ap.add_argument("--steps", type=int, default=50)
+    # 100: the ~30ms tunnel dispatch RTT is <2% of the timed window
+    # (at 50 it still costs ~10% of the measured steady-state rate)
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--solver",
                     choices=["auto", "step", "fused", "padded", "base"],

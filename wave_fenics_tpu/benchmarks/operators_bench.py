@@ -34,7 +34,8 @@ def main():
     ap.add_argument(
         "--op",
         choices=["mass", "mass-fused", "spectral", "spectral-roundtrip",
-                 "stiffness", "stiffness-padded", "bp1-mass"],
+                 "stiffness", "stiffness-general", "stiffness-padded",
+                 "bp1-mass"],
         default="stiffness",
     )
     args = ap.parse_args()
@@ -65,12 +66,16 @@ def main():
         grid = tuple(n * p + 1 for n in mesh.shape)
         x = layout.pad(jnp.asarray(rng.standard_normal(grid), dtype=dtype))
         ndofs = int(np.prod(grid))
-    elif args.op == "mass":
+    elif args.op in ("mass", "stiffness-general"):
+        # explicit-dofmap (imported/unstructured mesh) path: jnp.take
+        # gather + ELL transpose-gather scatter (mass.hpp:74-95 shape)
         hexm = mesh.to_hex_mesh()
         dofs = build_dofmap(hexm, p)
-        ops = GeneralOperators(hexm, dofs, dtype=dtype, rule="gauss")
+        rule = "gauss" if args.op == "mass" else "gll"
+        ops = GeneralOperators(hexm, dofs, dtype=dtype, rule=rule)
         x = jnp.asarray(rng.standard_normal(ops.ndofs), dtype=dtype)
-        f = ops.mass
+        f = ops.mass if args.op == "mass" else (
+            lambda a: ops.stiffness(a, 1500.0))
         ndofs = ops.ndofs
     else:
         ops = StructuredOperators(mesh, p, dtype=dtype)

@@ -73,6 +73,12 @@ def main():
             "--degree", str(p), "--reps", reps)
         run("cg_bench", "--size", cg_size, "--degree", str(p))
     run("scatter_bench", "--mode", "local", "--size", size, "--check")
+    # explicit-dofmap (unstructured-mesh) operator path at p=4
+    gsize = "8" if args.quick else "16"
+    run("operators_bench", "--op", "mass", "--size", gsize, "--degree", "4",
+        "--reps", reps)
+    run("operators_bench", "--op", "stiffness-general", "--size", gsize,
+        "--degree", "4", "--reps", reps)
     if args.platform != "cpu":
         # headline solves (real chip only): validated padded path and the
         # fused-stage candidate

@@ -70,7 +70,8 @@ def _kernel_rk4_step(
     fx_ref, gz_ref, gy_ref, sxs_ref, src_ref, abc_ref, w1_ref, w2_ref,
     u1_out, v1_out,
     slab_u, slab_v, acc_ref, accu_ref, accv_ref, sem_u, sem_v,
-    *, p, Tx, Ly, Lz, dtype, c0,
+    *, p, Tx, Ly, Lz, dtype, c0, precision=jax.lax.Precision.HIGHEST,
+    ablate=frozenset(),
 ):
     ix = pl.program_id(0)
     n = pl.num_programs(0)
@@ -114,29 +115,34 @@ def _kernel_rk4_step(
 
         def apply_A(xin, wx_ref, o, nrows):
             """A x on output rows [o, o+nrows): xin = x on [o-p, o+nrows+p)."""
-            tx = jnp.einsum(
-                "os,sf->of", wx_ref[0], xin, preferred_element_type=f32,
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(dtype)
-            out = tx * fx_ref[:]
             xc = xin[p : p + nrows]
             sx = sxs_ref[0, o : o + nrows]
-            acc_ref[0:nrows] = cvy_ref[p][None, :] * xc
-            for k in range(K):
-                if k == p:
-                    continue
-                acc_ref[0:nrows] += cvy_ref[k][None, :] * pltpu.roll(
-                    xc, ((p - k) * Lz) % F, 1
-                )
-            out += acc_ref[0:nrows] * (sx * gz_ref[:])
-            acc_ref[0:nrows] = cvz_ref[p][None, :] * xc
-            for k in range(K):
-                if k == p:
-                    continue
-                acc_ref[0:nrows] += cvz_ref[k][None, :] * pltpu.roll(
-                    xc, (p - k) % F, 1
-                )
-            out += acc_ref[0:nrows] * (sx * gy_ref[:])
+            if "x" in ablate:
+                out = xc * fx_ref[:]
+            else:
+                tx = jnp.einsum(
+                    "os,sf->of", wx_ref[0], xin,
+                    preferred_element_type=f32, precision=precision,
+                ).astype(dtype)
+                out = tx * fx_ref[:]
+            if "y" not in ablate:
+                acc_ref[0:nrows] = cvy_ref[p][None, :] * xc
+                for k in range(K):
+                    if k == p:
+                        continue
+                    acc_ref[0:nrows] += cvy_ref[k][None, :] * pltpu.roll(
+                        xc, ((p - k) * Lz) % F, 1
+                    )
+                out += acc_ref[0:nrows] * (sx * gz_ref[:])
+            if "z" not in ablate:
+                acc_ref[0:nrows] = cvz_ref[p][None, :] * xc
+                for k in range(K):
+                    if k == p:
+                        continue
+                    acc_ref[0:nrows] += cvz_ref[k][None, :] * pltpu.roll(
+                        xc, (p - k) % F, 1
+                    )
+                out += acc_ref[0:nrows] * (sx * gy_ref[:])
             return out
 
         def bc(kv, vn, gj, o, nrows):
@@ -283,6 +289,8 @@ def make_rk4_step_raw(
     layout: PaddedLayout,
     c0: float,
     dtype=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST,
+    ablate: frozenset = frozenset(),
 ):
     """Fused-step callable with runtime tables (for shard_map operands):
     ``step(u0, v0, dt, g0, g1, g2, g3, *tables) -> (u1, v1)``."""
@@ -304,7 +312,8 @@ def make_rk4_step_raw(
     n2, n1, n0 = Tx + 4 * p, Tx + 2 * p, Tx
 
     kern = functools.partial(
-        _kernel_rk4_step, p=p, Tx=Tx, Ly=Ly, Lz=Lz, dtype=dtype, c0=float(c0)
+        _kernel_rk4_step, p=p, Tx=Tx, Ly=Ly, Lz=Lz, dtype=dtype,
+        c0=float(c0), precision=precision, ablate=frozenset(ablate),
     )
     grid_n = Lx // Tx
     interpret = jax.default_backend() != "tpu"

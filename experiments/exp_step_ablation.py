@@ -63,8 +63,10 @@ def main():
     # NOTE: Mosaic's dot lowering supports only DEFAULT and HIGHEST
     variants = [
         ("highest", dict(precision=P.HIGHEST)),
-        ("default", dict(precision=P.DEFAULT)),
-        ("no-x", dict(ablate=frozenset("x"))),
+        ("chunk3", dict(yz_chunk=3)),
+        ("chunk6", dict(yz_chunk=6)),
+        ("chunk9", dict(yz_chunk=9)),
+        ("chunk18", dict(yz_chunk=18)),
         ("no-yz", dict(ablate=frozenset("yz"))),
         ("no-xyz (traffic+axpy floor)", dict(ablate=frozenset("xyz"))),
     ]
@@ -89,16 +91,16 @@ def main():
             "ms_per_step": round(t / nsteps * 1e3, 4),
             "gdof_steps": round(ndofs * nsteps / t / 1e9, 4),
         }), flush=True)
-        if name in ("highest", "default"):
+        if name in ("highest", "chunk6"):
             finals[name] = run(u0, v0)
 
-    uh = np.asarray(finals["highest"][0])
-    scale = np.abs(uh).max() or 1.0
-    for name in ("default",):
-        du = np.abs(np.asarray(finals[name][0]) - uh).max() / scale
+    if "chunk6" in finals:
+        uh = np.asarray(finals["highest"][0])
+        scale = np.abs(uh).max() or 1.0
+        du = np.abs(np.asarray(finals["chunk6"][0]) - uh).max() / scale
         print(json.dumps(
-            {"precision_check": name, "steps": nsteps,
-             "max_rel_diff_vs_highest": float(du)}
+            {"check": "chunk6 vs chunk1", "steps": nsteps,
+             "max_rel_diff": float(du)}
         ), flush=True)
 
 

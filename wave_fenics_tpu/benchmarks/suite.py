@@ -54,8 +54,13 @@ def main():
     run = lambda *a: _run(args.out, results, *a, *plat)
 
     run("tsmm", "--ncells", "20000" if args.quick else "100000", "--reps", reps)
+    # ~constant dof count across degrees (s*p ~ 128 -> ~2.2M dofs), like the
+    # reference's fixed-cell-count campaign; at a fixed small size the low
+    # degrees are per-apply-overhead-bound instead
+    stiff_size = {1: 128, 2: 64, 3: 42, 4: 32, 5: 26, 6: 21}
     for p in args.degrees:
-        run("operators_bench", "--op", "stiffness", "--size", size,
+        s = str(stiff_size.get(p, size)) if not args.quick else size
+        run("operators_bench", "--op", "stiffness", "--size", s,
             "--degree", str(p), "--reps", reps)
     run("operators_bench", "--op", "spectral", "--size", size,
         "--degree", "4", "--reps", reps, "--check")

@@ -67,11 +67,11 @@ def _off0(p: int) -> int:
 def _kernel_rk4_step(
     u0_hbm, v0_hbm, scal_ref,
     wxa_ref, wxb_ref, wxc_ref, cvy_ref, cvz_ref,
-    fx_ref, gz_ref, gy_ref, sxs_ref, src_ref, abc_ref, w1_ref, w2_ref,
+    fx_ref, sxs_ref, src_ref, abc_ref, w1_ref, w2_ref,
     u1_out, v1_out,
     slab_u, slab_v, acc_ref, accu_ref, accv_ref, sem_u, sem_v,
     *, p, Tx, Ly, Lz, dtype, c0, precision=jax.lax.Precision.HIGHEST,
-    ablate=frozenset(),
+    ablate=frozenset(), yz_chunk=1,
 ):
     ix = pl.program_id(0)
     n = pl.num_programs(0)
@@ -114,7 +114,15 @@ def _kernel_rk4_step(
         V0 = slab_v[ix % 2]
 
         def apply_A(xin, wx_ref, o, nrows):
-            """A x on output rows [o, o+nrows): xin = x on [o-p, o+nrows+p)."""
+            """A x on output rows [o, o+nrows): xin = x on [o-p, o+nrows+p).
+
+            y/z stencils: the line factors (gz, gy) are folded into the
+            CVY/CVZ tables at build time, so both directions share ONE
+            accumulator and the per-term products need no extra line
+            multiply. ``yz_chunk`` groups that many roll-terms into a
+            single value expression between accumulator-ref updates
+            (fewer VMEM round-trips of the accumulator; the stencil is
+            VMEM-traffic-bound, measured ~47% of the step)."""
             xc = xin[p : p + nrows]
             sx = sxs_ref[0, o : o + nrows]
             if "x" in ablate:
@@ -125,24 +133,25 @@ def _kernel_rk4_step(
                     preferred_element_type=f32, precision=precision,
                 ).astype(dtype)
                 out = tx * fx_ref[:]
+            terms = []
             if "y" not in ablate:
-                acc_ref[0:nrows] = cvy_ref[p][None, :] * xc
-                for k in range(K):
-                    if k == p:
-                        continue
-                    acc_ref[0:nrows] += cvy_ref[k][None, :] * pltpu.roll(
-                        xc, ((p - k) * Lz) % F, 1
-                    )
-                out += acc_ref[0:nrows] * (sx * gz_ref[:])
+                terms += [(cvy_ref, k, ((p - k) * Lz) % F) for k in range(K)]
             if "z" not in ablate:
-                acc_ref[0:nrows] = cvz_ref[p][None, :] * xc
-                for k in range(K):
-                    if k == p:
-                        continue
-                    acc_ref[0:nrows] += cvz_ref[k][None, :] * pltpu.roll(
-                        xc, (p - k) % F, 1
-                    )
-                out += acc_ref[0:nrows] * (sx * gy_ref[:])
+                terms += [(cvz_ref, k, (p - k) % F) for k in range(K)]
+            if terms:
+                first = True
+                for i in range(0, len(terms), yz_chunk):
+                    e = None
+                    for ref, k, sh in terms[i : i + yz_chunk]:
+                        xs = xc if sh == 0 else pltpu.roll(xc, sh, 1)
+                        t = ref[k][None, :] * xs
+                        e = t if e is None else e + t
+                    if first:
+                        acc_ref[0:nrows] = e
+                        first = False
+                    else:
+                        acc_ref[0:nrows] += e
+                out += acc_ref[0:nrows] * sx
             return out
 
         def bc(kv, vn, gj, o, nrows):
@@ -233,6 +242,10 @@ def build_step_tables_from_cv(
     assembled vectors per device (halo regions carry the true neighbor
     coefficients instead of single-device face corrections). ``src_x`` /
     ``abc_x`` are padded x-rows, or -1 when the face is not on this block.
+
+    The flattened-plane line factors (gz = tile(pLz), gy = repeat(pLy))
+    are folded into the CVY/CVZ stencil tables so the kernel's y/z
+    directions share one accumulator with no per-direction line multiply.
     """
     Nx, Ny, Nz = layout.shape
     p = layout.p
@@ -260,11 +273,11 @@ def build_step_tables_from_cv(
         bands.append(W.astype(npdt))
     WXA, WXB, WXC = bands
 
-    CVY = np.repeat(cvy, Lz, axis=1).astype(npdt)  # [K, F]
-    CVZ = np.tile(cvz, (1, Ly)).astype(npdt)
+    gz = np.tile(pLz, Ly).reshape(1, F)
+    gy = np.repeat(pLy, Lz).reshape(1, F)
+    CVY = (np.repeat(cvy, Lz, axis=1) * gz).astype(npdt)  # [K, F], gz folded
+    CVZ = (np.tile(cvz, (1, Ly)) * gy).astype(npdt)       # [K, F], gy folded
     FX = np.outer(pLy, pLz).reshape(1, F).astype(npdt)
-    GZ = np.tile(pLz, Ly).reshape(1, F).astype(npdt)
-    GY = np.repeat(pLy, Lz).reshape(1, F).astype(npdt)
 
     # slab-aligned row tables: SXS[t, r] = SX[t*Tx - off0 + r]
     SXS = np.zeros((ntiles, S0, 1))
@@ -281,7 +294,7 @@ def build_step_tables_from_cv(
 
     W1 = np.asarray(w1_flat).reshape(1, F).astype(npdt)
     W2 = np.asarray(w2_flat).reshape(1, F).astype(npdt)
-    return (WXA, WXB, WXC, CVY, CVZ, FX, GZ, GY,
+    return (WXA, WXB, WXC, CVY, CVZ, FX,
             SXS.astype(npdt), SRC.astype(npdt), ABC.astype(npdt), W1, W2)
 
 
@@ -291,6 +304,7 @@ def make_rk4_step_raw(
     dtype=jnp.float32,
     precision=jax.lax.Precision.HIGHEST,
     ablate: frozenset = frozenset(),
+    yz_chunk: int = 1,
 ):
     """Fused-step callable with runtime tables (for shard_map operands):
     ``step(u0, v0, dt, g0, g1, g2, g3, *tables) -> (u1, v1)``."""
@@ -314,6 +328,7 @@ def make_rk4_step_raw(
     kern = functools.partial(
         _kernel_rk4_step, p=p, Tx=Tx, Ly=Ly, Lz=Lz, dtype=dtype,
         c0=float(c0), precision=precision, ablate=frozenset(ablate),
+        yz_chunk=yz_chunk,
     )
     grid_n = Lx // Tx
     interpret = jax.default_backend() != "tpu"
@@ -324,7 +339,7 @@ def make_rk4_step_raw(
     vout = pl.BlockSpec((Tx, F), tile2, memory_space=pltpu.VMEM)
 
     def step(u0, v0, dt, g0, g1, g2, g3, *tables):
-        (WXA, WXB, WXC, CVY, CVZ, FX, GZ, GY, SXS, SRC, ABC, W1, W2) = tables
+        (WXA, WXB, WXC, CVY, CVZ, FX, SXS, SRC, ABC, W1, W2) = tables
         scal = jnp.stack(
             [jnp.asarray(s, dtype) for s in (dt, g0, g1, g2, g3)]
         ).reshape(1, 5)
@@ -344,7 +359,7 @@ def make_rk4_step_raw(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((K, F), full2, memory_space=pltpu.VMEM),
                 pl.BlockSpec((K, F), full2, memory_space=pltpu.VMEM),
-                fullF, fullF, fullF,
+                fullF,
                 pl.BlockSpec((1, S0, 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, S0, 1), lambda i: (i, 0, 0),
@@ -371,7 +386,7 @@ def make_rk4_step_raw(
             ),
         )(
             u0.reshape(Lx, F), v0.reshape(Lx, F), scal,
-            WXA, WXB, WXC, CVY, CVZ, FX, GZ, GY, SXS, SRC, ABC, W1, W2,
+            WXA, WXB, WXC, CVY, CVZ, FX, SXS, SRC, ABC, W1, W2,
         )
         u1, v1 = outs
         return u1.reshape(Lx, Ly, Lz), v1.reshape(Lx, Ly, Lz)

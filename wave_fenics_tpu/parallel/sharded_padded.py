@@ -630,10 +630,11 @@ class ShardedPaddedWave:
             )
 
         # table index -> block-axis deps for
-        # (WXA, WXB, WXC, CVY, CVZ, FX, GZ, GY, SXS, SRC, ABC, W1, W2)
-        deps = {0: (0,), 1: (0,), 2: (0,), 3: (1,), 4: (2,), 5: (1, 2),
-                6: (2,), 7: (1,), 8: (0,), 9: (0,), 10: (0,), 11: (1, 2),
-                12: (1, 2)}
+        # (WXA, WXB, WXC, CVY, CVZ, FX, SXS, SRC, ABC, W1, W2)
+        # CVY/CVZ carry the folded gz/gy line factors, so they depend on
+        # BOTH plane axes.
+        deps = {0: (0,), 1: (0,), 2: (0,), 3: (1, 2), 4: (1, 2), 5: (1, 2),
+                6: (0,), 7: (0,), 8: (0,), 9: (1, 2), 10: (1, 2)}
         ms = (mx, my, mz)
         shape0 = [t.shape for t in tables_for(0, 0, 0)]
         nt = len(shape0)

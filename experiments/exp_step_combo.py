@@ -55,7 +55,9 @@ def main():
 
     built = {}
     finals = {}
-    for tx, chunk in [(16, 1), (48, 9), (48, 6), (32, 9), (48, 18)]:
+    # NB: (48, >=6) exceeds VMEM at compile (chunk value-expressions scale
+    # with the window rows)
+    for tx, chunk in [(48, 1), (48, 3), (32, 9), (32, 6)]:
         if tx not in built:
             built[tx] = build(tx)
         pm, lay, jts = built[tx]
@@ -77,16 +79,16 @@ def main():
             "ms_per_step": round(t / nsteps * 1e3, 4),
             "gdof_steps": round(ndofs * nsteps / t / 1e9, 4),
         }), flush=True)
-        if (tx, chunk) in ((16, 1), (48, 9)):
+        if (tx, chunk) in ((48, 1), (48, 3)):
             pm_ = built[tx][0]
             u1, v1 = run(u0, v0)
             finals[(tx, chunk)] = np.asarray(pm_.to_grid(u1))
 
     if len(finals) == 2:
-        a, b_ = finals[(16, 1)], finals[(48, 9)]
+        a, b_ = finals[(48, 1)], finals[(48, 3)]
         scale = np.abs(a).max() or 1.0
         print(json.dumps({
-            "check": "(48,9) vs (16,1)", "steps": nsteps,
+            "check": "(48,3) vs (48,1)", "steps": nsteps,
             "max_rel_diff": float(np.abs(a - b_).max() / scale),
         }), flush=True)
 

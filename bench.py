@@ -47,8 +47,8 @@ def _parser():
     ap.add_argument("--watchdog", type=int, default=1380,
                     help="overall seconds before emitting a failure line "
                          "(0=off)")
-    ap.add_argument("--worker", choices=["canary", "timed"], default=None,
-                    help=argparse.SUPPRESS)
+    ap.add_argument("--worker", choices=["canary", "timed", "both"],
+                    default=None, help=argparse.SUPPRESS)
     return ap
 
 
@@ -148,14 +148,14 @@ def _worker(args):
 
     from wave_fenics_tpu.utils.timing import timeit
 
-    if args.worker == "canary":
-        ndofs, u0, v0, make_run = _build(args, solver)
+    ndofs, u0, v0, make_run = _build(args, solver)
+    if args.worker in ("canary", "both"):
         run = make_run(1)
         elapsed = timeit(run, u0, v0, reps=1, warmup=1)
         print(f"CANARY_OK backend={backend} step_s={elapsed:.4f}", flush=True)
-        return
+        if args.worker == "canary":
+            return
 
-    ndofs, u0, v0, make_run = _build(args, solver)
     run = make_run(args.steps)
     # transfer-based sync: block_until_ready is unreliable on tunneled
     # backends, so timeit forces a device->host element fetch
@@ -179,10 +179,22 @@ def _worker(args):
 # Orchestrator side (no jax backend init — the worker owns the TPU client)
 # ---------------------------------------------------------------------------
 
-def _spawn(args, worker, solver, timeout):
+def _run_candidate(args, solver, canary_timeout, timed_timeout):
+    """One worker process runs canary THEN timed (mode 'both') — a single
+    TPU client for both phases (client setup through the tunnel can take
+    minutes, so two processes per measurement doubles the exposure).
+
+    The orchestrator streams the worker's stdout: the CANARY_OK line must
+    arrive within ``canary_timeout``; the JSON result then gets a fresh
+    ``timed_timeout``. Returns (json_line, None) or (None, reason).
+    """
+    import select
+    import tempfile
+    import time
+
     cmd = [
         sys.executable, os.path.abspath(__file__),
-        "--worker", worker, "--solver", solver,
+        "--worker", "both", "--solver", solver,
         "--cells", *map(str, args.cells),
         "--degree", str(args.degree), "--steps", str(args.steps),
         "--warmup", str(args.warmup), "--tile-x", str(args.tile_x),
@@ -194,23 +206,50 @@ def _spawn(args, worker, solver, timeout):
     # (observed: a 0.07s canary taking 9 minutes of pure wait) — so the
     # worker gets its own session, timeout/termination kills the group,
     # and PDEATHSIG reaps the worker even when the orchestrator itself
-    # is SIGKILLed (e.g. an outer subprocess timeout).
+    # is SIGKILLed (e.g. an outer subprocess timeout). stderr goes to a
+    # spool file so a chatty compile can never fill a pipe and deadlock.
+    errf = tempfile.TemporaryFile(mode="w+")
     proc = subprocess.Popen(
-        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cmd, stdout=subprocess.PIPE, stderr=errf, text=True,
         start_new_session=True, preexec_fn=_die_with_parent,
     )
     _ACTIVE_WORKERS.add(proc)
+    got_canary = False
+    json_line = None
+    deadline = time.monotonic() + canary_timeout
     try:
-        out, errtxt = proc.communicate(timeout=timeout)
-    except subprocess.TimeoutExpired:
-        _kill_group(proc)
-        proc.communicate()
-        return None, "timeout"
+        os.set_blocking(proc.stdout.fileno(), False)
+        buf = ""
+        while True:
+            if time.monotonic() > deadline:
+                _kill_group(proc)
+                proc.wait()
+                return None, (
+                    "canary timeout" if not got_canary else "timed timeout"
+                )
+            r, _, _ = select.select([proc.stdout], [], [], 1.0)
+            chunk = proc.stdout.read() if r else None
+            if chunk:
+                buf += chunk
+                while "\n" in buf:
+                    line, buf = buf.split("\n", 1)
+                    if "CANARY_OK" in line and not got_canary:
+                        got_canary = True
+                        print(f"# canary ok: {solver}",
+                              file=sys.stderr, flush=True)
+                        deadline = time.monotonic() + timed_timeout
+                    elif line.startswith("{"):
+                        json_line = line
+            elif proc.poll() is not None:
+                break
+        if json_line is not None and proc.returncode == 0:
+            return json_line, None
+        errf.seek(0)
+        tail = errf.read().strip().splitlines()[-1:]
+        return None, (tail or [f"worker exit {proc.returncode}, no result"])
     finally:
         _ACTIVE_WORKERS.discard(proc)
-    if proc.returncode != 0:
-        return None, (errtxt or "").strip().splitlines()[-1:] or "error"
-    return out, None
+        errf.close()
 
 
 _ACTIVE_WORKERS: set = set()
@@ -271,29 +310,19 @@ def main():
         else [args.solver]
     )
 
-    chosen = None
+    timed_timeout = max(args.canary_timeout * 2, 600)
     for solver in candidates:
-        out, err = _spawn(args, "canary", solver, args.canary_timeout)
-        if out is not None and "CANARY_OK" in out:
-            chosen = solver
-            print(f"# canary ok: {solver}", file=sys.stderr, flush=True)
-            break
-        print(f"# canary failed for {solver}: {err or out!r}",
+        out, err = _run_candidate(
+            args, solver, args.canary_timeout, timed_timeout
+        )
+        if out is not None:
+            signal.alarm(0)
+            print(out, flush=True)
+            return
+        print(f"# candidate {solver} failed: {err}",
               file=sys.stderr, flush=True)
-    if chosen is None:
-        _fail_line(args.degree, "no solver passed its canary "
-                                "(device unresponsive or kernels broken)")
-        return
-
-    out, err = _spawn(args, "timed", chosen, max(args.canary_timeout * 2, 600))
-    if out is None or '"metric"' not in out:
-        _fail_line(args.degree, f"timed run failed ({err})")
-        return
-    signal.alarm(0)
-    # forward the worker's single JSON line
-    for line in out.splitlines():
-        if line.startswith("{"):
-            print(line, flush=True)
+    _fail_line(args.degree, "no solver produced a result "
+                            "(device unresponsive or kernels broken)")
 
 
 if __name__ == "__main__":

@@ -304,7 +304,7 @@ def make_rk4_step_raw(
     dtype=jnp.float32,
     precision=jax.lax.Precision.HIGHEST,
     ablate: frozenset = frozenset(),
-    yz_chunk: int = 1,
+    yz_chunk: int = 9,
 ):
     """Fused-step callable with runtime tables (for shard_map operands):
     ``step(u0, v0, dt, g0, g1, g2, g3, *tables) -> (u1, v1)``."""

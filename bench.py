@@ -127,7 +127,9 @@ def _build(args, solver):
 def _worker(args):
     import jax
 
-    if args.platform:
+    # "default" (the suite's no-override sentinel) must NOT reach
+    # jax_platforms: it is not a backend name and kills the worker
+    if args.platform and args.platform != "default":
         jax.config.update("jax_platforms", args.platform)
     try:  # persistent compile cache: canary + timed share one compile
         jax.config.update(
@@ -142,7 +144,8 @@ def _worker(args):
     if solver == "auto":  # workers get a concrete solver from the parent,
         solver = "base"   # but keep direct --worker invocations runnable
     backend = jax.default_backend()
-    if solver in ("fused", "padded") and backend == "cpu":
+    if solver in ("step", "fused", "padded") and backend == "cpu":
+        # interpret-mode Pallas on the full grid takes hours, not seconds
         print(f"CANARY_SKIP backend={backend}", flush=True)
         return
 

@@ -99,7 +99,7 @@ def main():
         scale = np.abs(uh).max() or 1.0
         du = np.abs(np.asarray(finals["chunk6"][0]) - uh).max() / scale
         print(json.dumps(
-            {"check": "chunk6 vs chunk1", "steps": nsteps,
+            {"check": "chunk6 vs default-chunk baseline", "steps": nsteps,
              "max_rel_diff": float(du)}
         ), flush=True)
 

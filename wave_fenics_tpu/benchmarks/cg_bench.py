@@ -80,7 +80,6 @@ def main():
     rng = np.random.default_rng(0)
 
     precond = None
-    unpad = lambda x: x
     if args.ndev > 1:
         from ..parallel.partition import decompose3d
         from ..parallel.sharded_wave import ShardedLinearWave
@@ -97,7 +96,7 @@ def main():
         b = layout.pad(
             jnp.asarray(rng.standard_normal(ops.grid_shape), dtype=dtype)
         )
-        dot, unpad = None, layout.unpad
+        dot = None
     else:
         ops = StructuredOperators(mesh, p, dtype=dtype)
         b = jnp.asarray(rng.standard_normal(ops.grid_shape), dtype=dtype)

@@ -36,7 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_stiffness import _cvec, build_stencil_coeffs
+from .pallas_stiffness import banded_1d_coeffs
 from .pallas_wave import PaddedLayout
 
 __all__ = ["build_mass_tables", "make_mass_apply", "mass_fused"]
@@ -107,10 +107,7 @@ def _padded_cv(layout: PaddedLayout, Ad: np.ndarray, n: int, axis: int):
     embedded into the padded axis extent (zeros elsewhere)."""
     p = layout.p
     K = 2 * p + 1
-    C = build_stencil_coeffs(Ad, p)
-    body = np.stack([_cvec(C, k, n, p) for k in range(K)])
-    body[p, 0] -= Ad[p, p]       # phantom-cell self-terms at domain faces
-    body[p, n - 1] -= Ad[0, 0]
+    body = banded_1d_coeffs(Ad, n, p)
     return np.stack([layout.padded_line(body[k], axis) for k in range(K)])
 
 
@@ -206,10 +203,26 @@ def make_mass_apply(
     return apply
 
 
+_FUSED_CACHE: dict = {}
+
+
 def mass_fused(
     x: jax.Array, M1: list[np.ndarray], p: int, tile_x: int = 16
 ) -> jax.Array:
-    """Convenience single-apply on an unpadded grid (pads + unpads)."""
-    layout = PaddedLayout(tuple(x.shape), p, tile_x=tile_x, z_align=16)
-    apply = make_mass_apply(layout, M1, x.dtype)
+    """Convenience single-apply on an unpadded grid (pads + unpads).
+
+    The built apply (Python-loop band tables + pallas_call closure) is
+    cached per (shape, p, tile, dtype, table fingerprint) so eager
+    per-iteration callers don't pay host-side reconstruction per matvec.
+    """
+    key = (
+        tuple(x.shape), p, tile_x, jnp.dtype(x.dtype).name,
+        tuple(np.asarray(m).tobytes() for m in M1),
+    )
+    hit = _FUSED_CACHE.get(key)
+    if hit is None:
+        layout = PaddedLayout(tuple(x.shape), p, tile_x=tile_x, z_align=16)
+        hit = (layout, make_mass_apply(layout, M1, x.dtype))
+        _FUSED_CACHE[key] = hit
+    layout, apply = hit
     return layout.unpad(apply(layout.pad(x)))

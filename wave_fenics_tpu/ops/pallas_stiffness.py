@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["build_stencil_coeffs", "stiffness_fused"]
+__all__ = ["banded_1d_coeffs", "build_stencil_coeffs", "stiffness_fused"]
 
 
 def build_stencil_coeffs(A: np.ndarray, p: int) -> np.ndarray:
@@ -55,6 +55,24 @@ def _cvec(C: np.ndarray, k: int, n: int, p: int) -> np.ndarray:
     pat = C[:, k]
     reps = -(-n // p)
     return np.tile(pat, reps)[:n]
+
+
+def banded_1d_coeffs(Ad: np.ndarray, n: int, p: int, scale=1.0) -> np.ndarray:
+    """Banded coefficient vectors [2p+1, n] of the assembled 1D operator
+    ``scale * assemble(Ad)`` on an n-point axis, with the phantom-cell
+    self-term corrections at the two domain faces (the periodic tiling of
+    ``_cvec`` assumes a covering cell on both sides of every node; the
+    first/last node have only one).
+
+    Single source of truth for every kernel table builder (flat/3D wave
+    kernels, fused mass, distributed global tables)."""
+    Ad = np.asarray(Ad)
+    K = 2 * p + 1
+    C = build_stencil_coeffs(np.asarray(scale) * Ad, p)
+    body = np.stack([_cvec(C, k, n, p) for k in range(K)])
+    body[p, 0] -= scale * Ad[p, p]
+    body[p, n - 1] -= scale * Ad[0, 0]
+    return body
 
 
 def _kernel_mxu(

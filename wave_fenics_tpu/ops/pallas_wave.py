@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_stiffness import _cvec, build_stencil_coeffs
+from .pallas_stiffness import banded_1d_coeffs
 
 __all__ = ["PaddedLayout", "make_padded_stiffness"]
 
@@ -236,11 +236,7 @@ def build_tables(
     lxy = np.einsum("x,y->xy", pl_(sLx, 0), pl_(sLy, 1))
 
     def padded_cv(Ad, n, axis, own_inv):
-        C = build_stencil_coeffs(np.asarray(coeff) * Ad, p)
-        body = np.stack([_cvec(C, k, n, p) for k in range(K)])
-        body[p, 0] -= coeff * Ad[p, p]       # domain-face self-terms
-        body[p, n - 1] -= coeff * Ad[0, 0]
-        body = body * own_inv[None, :]
+        body = banded_1d_coeffs(Ad, n, p, scale=coeff) * own_inv[None, :]
         return np.stack([pl_(body[k], axis) for k in range(K)])
 
     cvx = padded_cv(A[0], Nx, 0, ix_)
@@ -432,11 +428,7 @@ def axis_cv_tables(
     pl_ = layout.padded_line
 
     def padded_cv(Ad, n, axis, own_inv):
-        C = build_stencil_coeffs(np.asarray(coeff) * Ad, p)
-        body = np.stack([_cvec(C, k, n, p) for k in range(K)])
-        body[p, 0] -= coeff * Ad[p, p]
-        body[p, n - 1] -= coeff * Ad[0, 0]
-        body = body * own_inv[None, :]
+        body = banded_1d_coeffs(Ad, n, p, scale=coeff) * own_inv[None, :]
         return np.stack([pl_(body[k], axis) for k in range(K)])
 
     cvx = padded_cv(A[0], Nx, 0, ix_)  # [K, Lx]

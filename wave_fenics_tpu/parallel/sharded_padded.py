@@ -266,7 +266,10 @@ class ShardedPaddedWave:
 
         def face(slab, arow, edge, inv):
             plane = slab[edge]
-            tx = jnp.tensordot(jnp.asarray(arow), slab, axes=(0, 0))
+            tx = jnp.tensordot(
+                jnp.asarray(arow), slab, axes=(0, 0),
+                precision=jax.lax.Precision.HIGHEST,
+            )
             ty = apply_block_axis(plane[None], fc["Ay"], p, 1)[0]
             tz = apply_block_axis(plane[None], fc["Az"], p, 2)[0]
             val = fc["coeff"] * (
@@ -564,7 +567,7 @@ class ShardedPaddedWave:
         step path does not apply (non-flat kernel, non-x-face tags, or a
         tile too small for the 3p slab halo)."""
         from ..ops.pallas_rk4step import (_off0, build_step_tables_from_cv)
-        from ..ops.pallas_stiffness import _cvec, build_stencil_coeffs
+        from ..ops.pallas_stiffness import banded_1d_coeffs
 
         lay = self._step_layout
         if lay is None or lay.tile_x < _off0(self.model.p):
@@ -591,11 +594,7 @@ class ShardedPaddedWave:
         ginv = [1.0 / m for m in self._global_m_lines]
 
         def gcv(Ad, Ng, inv):
-            C = build_stencil_coeffs(coeff * Ad, p)
-            body = np.stack([_cvec(C, k, Ng, p) for k in range(K)])
-            body[p, 0] -= coeff * Ad[p, p]
-            body[p, Ng - 1] -= coeff * Ad[0, 0]
-            return body * inv[None, :]
+            return banded_1d_coeffs(Ad, Ng, p, scale=coeff) * inv[None, :]
 
         gcvs = [gcv(A[d], gshape[d], ginv[d]) for d in range(3)]
         gsl = [glines[d] * ginv[d] for d in range(3)]  # scaled lines
@@ -723,6 +722,12 @@ class ShardedPaddedWave:
 
         st = self._step_tables
         if st is None:
+            if u0 is not None and u0.shape[3:] != self.layout.padded_shape:
+                raise ValueError(
+                    "step path unavailable for this configuration and the "
+                    "given state uses the step layout (halo=3p) — build "
+                    "fallback state with zero_state(), not zero_state_step()"
+                )
             return self.solve_n(t0, dt, nsteps, u0, v0)
         tables, deps = st
         if u0 is None:

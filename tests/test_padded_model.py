@@ -276,3 +276,26 @@ def test_fused_step_fallback_when_unavailable():
     u1, v1, _ = pm.solve_fused_n(0.0, dt, 5)
     u2, v2, _ = pm.solve_step_n(0.0, dt, 5)
     np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+
+
+def test_jit_first_access_no_tracer_leak():
+    """Jitting solve_step_n/solve_fused_n BEFORE any eager access must not
+    cache tracers in the lazily-built table properties (regression: the
+    cached_property constants leaked tracers when first built inside a jit
+    trace; guarded by jax.ensure_compile_time_eval)."""
+    base = _model()
+    pm = PaddedLinearWave(base, tile_x=16)
+    dt = 1e-8
+    u0, v0 = pm.zero_state()
+    # first-ever access happens inside the trace
+    us, vs, _ = jax.jit(
+        lambda u, v: pm.solve_step_n(0.0, dt, 2, u, v)
+    )(u0, v0)
+    # the cached tables must now be concrete: eager reuse works
+    ue, ve, _ = pm.solve_step_n(0.0, dt, 2, u0, v0)
+    np.testing.assert_allclose(np.asarray(us), np.asarray(ue), rtol=1e-12)
+    pm2 = PaddedLinearWave(_model(), tile_x=16)
+    uf, _, _ = jax.jit(
+        lambda u, v: pm2.solve_fused_n(0.0, dt, 2, u, v)
+    )(*pm2.zero_state())
+    np.testing.assert_allclose(np.asarray(uf), np.asarray(ue), rtol=1e-12)

@@ -59,7 +59,9 @@ def main():
     args = ap.parse_args()
 
     size = "16" if args.quick else "32"
-    reps = "10" if args.quick else "20"
+    # reps amortize the ~30 ms tunnel dispatch RTT across the fori_loop:
+    # at reps=20 every ms_per_apply figure carries +1.5 ms of RTT
+    reps = "10" if args.quick else "200"
     results: list = []
     plat = ("--platform", args.platform)
     run = lambda *a: _run(args.out, results, *a, *plat)

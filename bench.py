@@ -28,9 +28,11 @@ def _parser():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cells", type=int, nargs=3, default=(64, 32, 32))
     ap.add_argument("--degree", type=int, default=4)
-    # 100: the ~30ms tunnel dispatch RTT is <2% of the timed window
-    # (at 50 it still costs ~10% of the measured steady-state rate)
-    ap.add_argument("--steps", type=int, default=100)
+    # 1200: measured GDoF*steps/s converges with window length (RTT and
+    # per-dispatch overheads wash out, clocks settle): 1.58 at 50 steps,
+    # 2.01 at 100, 2.39 at 300, 2.62 at 600, 2.69 at 1200 — the real app
+    # runs ~4000 steps/period, so long windows are the honest steady state
+    ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--solver",
                     choices=["auto", "step", "fused", "padded", "base"],

@@ -217,8 +217,11 @@ def _run_candidate(args, solver, canary_timeout, timed_timeout):
     # is SIGKILLed (e.g. an outer subprocess timeout). stderr goes to a
     # spool file so a chatty compile can never fill a pipe and deadlock.
     errf = tempfile.TemporaryFile(mode="w+")
+    # binary pipe + os.read: non-blocking *text* I/O is unsupported in
+    # CPython (a read can raise on a multibyte sequence split at the
+    # would-block boundary), so decode manually with errors='replace'
     proc = subprocess.Popen(
-        cmd, stdout=subprocess.PIPE, stderr=errf, text=True,
+        cmd, stdout=subprocess.PIPE, stderr=errf,
         start_new_session=True, preexec_fn=_die_with_parent,
     )
     _ACTIVE_WORKERS.add(proc)
@@ -226,7 +229,8 @@ def _run_candidate(args, solver, canary_timeout, timed_timeout):
     json_line = None
     deadline = time.monotonic() + canary_timeout
     try:
-        os.set_blocking(proc.stdout.fileno(), False)
+        fd = proc.stdout.fileno()
+        os.set_blocking(fd, False)
         buf = ""
         while True:
             if time.monotonic() > deadline:
@@ -236,7 +240,10 @@ def _run_candidate(args, solver, canary_timeout, timed_timeout):
                     "canary timeout" if not got_canary else "timed timeout"
                 )
             r, _, _ = select.select([proc.stdout], [], [], 1.0)
-            chunk = proc.stdout.read() if r else None
+            chunk = None
+            if r:
+                raw = os.read(fd, 65536)
+                chunk = raw.decode("utf-8", errors="replace") if raw else None
             if chunk:
                 buf += chunk
                 while "\n" in buf:

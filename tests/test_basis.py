@@ -149,8 +149,45 @@ _BASIX_HEX_GRID_P3 = [
 ]
 
 
+# p=4 — the flagship degree. Frozen from the same documented DefElement /
+# Basix layout conventions the p=2/p=3 listings exhibit (vertices, then 12
+# edges low->high vertex, then 6 faces with the v0->v1 axis fastest, then
+# the x-fastest interior lattice), written out as literals so the imported-
+# mesh path at p=4 is pinned against regressions rather than re-derived by
+# the code under test.
+_BASIX_HEX_GRID_P4 = [
+    (0, 0, 0), (4, 0, 0), (0, 4, 0), (4, 4, 0), (0, 0, 4),
+    (4, 0, 4), (0, 4, 4), (4, 4, 4), (1, 0, 0), (2, 0, 0),
+    (3, 0, 0), (0, 1, 0), (0, 2, 0), (0, 3, 0), (0, 0, 1),
+    (0, 0, 2), (0, 0, 3), (4, 1, 0), (4, 2, 0), (4, 3, 0),
+    (4, 0, 1), (4, 0, 2), (4, 0, 3), (1, 4, 0), (2, 4, 0),
+    (3, 4, 0), (0, 4, 1), (0, 4, 2), (0, 4, 3), (4, 4, 1),
+    (4, 4, 2), (4, 4, 3), (1, 0, 4), (2, 0, 4), (3, 0, 4),
+    (0, 1, 4), (0, 2, 4), (0, 3, 4), (4, 1, 4), (4, 2, 4),
+    (4, 3, 4), (1, 4, 4), (2, 4, 4), (3, 4, 4), (1, 1, 0),
+    (2, 1, 0), (3, 1, 0), (1, 2, 0), (2, 2, 0), (3, 2, 0),
+    (1, 3, 0), (2, 3, 0), (3, 3, 0), (1, 0, 1), (2, 0, 1),
+    (3, 0, 1), (1, 0, 2), (2, 0, 2), (3, 0, 2), (1, 0, 3),
+    (2, 0, 3), (3, 0, 3), (0, 1, 1), (0, 2, 1), (0, 3, 1),
+    (0, 1, 2), (0, 2, 2), (0, 3, 2), (0, 1, 3), (0, 2, 3),
+    (0, 3, 3), (4, 1, 1), (4, 2, 1), (4, 3, 1), (4, 1, 2),
+    (4, 2, 2), (4, 3, 2), (4, 1, 3), (4, 2, 3), (4, 3, 3),
+    (1, 4, 1), (2, 4, 1), (3, 4, 1), (1, 4, 2), (2, 4, 2),
+    (3, 4, 2), (1, 4, 3), (2, 4, 3), (3, 4, 3), (1, 1, 4),
+    (2, 1, 4), (3, 1, 4), (1, 2, 4), (2, 2, 4), (3, 2, 4),
+    (1, 3, 4), (2, 3, 4), (3, 3, 4), (1, 1, 1), (2, 1, 1),
+    (3, 1, 1), (1, 2, 1), (2, 2, 1), (3, 2, 1), (1, 3, 1),
+    (2, 3, 1), (3, 3, 1), (1, 1, 2), (2, 1, 2), (3, 1, 2),
+    (1, 2, 2), (2, 2, 2), (3, 2, 2), (1, 3, 2), (2, 3, 2),
+    (3, 3, 2), (1, 1, 3), (2, 1, 3), (3, 1, 3), (1, 2, 3),
+    (2, 2, 3), (3, 2, 3), (1, 3, 3), (2, 3, 3), (3, 3, 3),
+]
+
+
 @pytest.mark.parametrize(
-    "p,table", [(2, _BASIX_HEX_GRID_P2), (3, _BASIX_HEX_GRID_P3)]
+    "p,table",
+    [(2, _BASIX_HEX_GRID_P2), (3, _BASIX_HEX_GRID_P3),
+     (4, _BASIX_HEX_GRID_P4)],
 )
 def test_hex_permutation_golden_table(p, table):
     """hex_basix_to_lex_permutation against the frozen basix dof layout."""

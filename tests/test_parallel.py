@@ -169,6 +169,30 @@ def test_sharded_step_kernel_matches_single_device(parts):
                                atol=1e-13 * np.abs(gv).max())
 
 
+def test_sharded_step_min_extent_guard_falls_back():
+    """1 cell per block on an axis split >= 3 ways cannot supply a valid
+    3p one-hop value halo (the sent slab would include the sender's own
+    halo rows, valid only to depth p) — the step path must refuse and
+    solve_step_n must fall back to the per-stage halo-add path, which
+    still matches the single-device solve."""
+    from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
+    from wave_fenics_tpu.parallel.sharded_padded import ShardedPaddedWave
+
+    tags = FacetTags({1: (0,), 2: (1,)})
+    mesh = box_mesh((4, 2, 2), (0.02, 0.01, 0.01), facet_tags=tags)
+    base = LinearWave(mesh, p=4, dtype=jnp.float64)
+    sw = ShardedPaddedWave(base, (4, 1, 1), tile_x=16)
+    assert sw._step_layout is None
+    assert sw._step_tables is None
+    dt = 1e-9
+    u, v, _ = sw.solve_step_n(0.0, dt, 6)  # falls back to solve_n
+    pm = PaddedLinearWave(base, tile_x=16)
+    u_ref, v_ref = pm.solve_n(0.0, dt, 6)
+    gv = np.asarray(pm.to_grid(v_ref))
+    np.testing.assert_allclose(sw.to_global(v), gv, rtol=1e-13,
+                               atol=1e-13 * np.abs(gv).max())
+
+
 def test_sharded_step_duplicated_plane_bitwise():
     """After the value-halo refresh, duplicated x-interface planes are
     canonicalized to the low-side owner: both copies bitwise equal."""

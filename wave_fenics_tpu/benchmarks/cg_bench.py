@@ -34,7 +34,7 @@ from .common import (apply_platform, cells_from_args, make_parser,
                      report, resolve_dtype)
 
 
-def _bp1_setup(mesh, p, dtype, precond):
+def _bp1_setup(mesh, p, dtype, precond, q=None):
     """Padded-layout consistent-mass matvec + optional Jacobi precond."""
     from ..ops.pallas_mass import make_mass_apply
     from ..ops.pallas_wave import PaddedLayout
@@ -42,7 +42,7 @@ def _bp1_setup(mesh, p, dtype, precond):
 
     grid = tuple(n * p + 1 for n in mesh.shape)
     layout = PaddedLayout(grid, p, tile_x=16, z_align=16)
-    M1 = separable_mass_tables(p, mesh.h, dtype)
+    M1 = separable_mass_tables(p, mesh.h, dtype, q=q)
     apply = make_mass_apply(layout, M1, dtype)
 
     pre = None
@@ -69,6 +69,12 @@ def main():
     ap.add_argument("--rtol", type=float, default=1e-4)
     ap.add_argument("--ndev", type=int, default=1)
     ap.add_argument("--op", choices=["bp1", "spectral"], default="bp1")
+    ap.add_argument("--q", type=int, default=None,
+                    help="BP1 1D Gauss point count (default p+2, the CEED "
+                         "BP1 spec; a literal FFCx reading of bp1.ufl's "
+                         "dx(degree=p+2) is ceil((p+3)/2) points — pass "
+                         "that for apples-to-apples with a literal "
+                         "reference build)")
     ap.add_argument("--precond", action="store_true",
                     help="Jacobi preconditioning")
     args = ap.parse_args()
@@ -92,7 +98,9 @@ def main():
     elif args.op == "bp1":
         ops = StructuredOperators(mesh, p, dtype=dtype)
         ndofs = ops.ndofs
-        layout, matvec, precond = _bp1_setup(mesh, p, dtype, args.precond)
+        layout, matvec, precond = _bp1_setup(
+            mesh, p, dtype, args.precond, q=args.q
+        )
         b = layout.pad(
             jnp.asarray(rng.standard_normal(ops.grid_shape), dtype=dtype)
         )

@@ -204,6 +204,7 @@ def make_mass_apply(
 
 
 _FUSED_CACHE: dict = {}
+_FUSED_CACHE_MAX = 16  # each entry pins device tables; evict oldest (FIFO)
 
 
 def mass_fused(
@@ -213,16 +214,20 @@ def mass_fused(
 
     The built apply (Python-loop band tables + pallas_call closure) is
     cached per (shape, p, tile, dtype, table fingerprint) so eager
-    per-iteration callers don't pay host-side reconstruction per matvec.
+    per-iteration callers don't pay host-side reconstruction per matvec;
+    bounded so long-lived processes sweeping shapes/coefficients don't
+    accumulate pinned device tables without limit.
     """
     key = (
         tuple(x.shape), p, tile_x, jnp.dtype(x.dtype).name,
         tuple(np.asarray(m).tobytes() for m in M1),
     )
-    hit = _FUSED_CACHE.get(key)
+    hit = _FUSED_CACHE.pop(key, None)
     if hit is None:
         layout = PaddedLayout(tuple(x.shape), p, tile_x=tile_x, z_align=16)
         hit = (layout, make_mass_apply(layout, M1, x.dtype))
-        _FUSED_CACHE[key] = hit
+    _FUSED_CACHE[key] = hit  # re-insert: dict order == recency (LRU)
+    while len(_FUSED_CACHE) > _FUSED_CACHE_MAX:
+        _FUSED_CACHE.pop(next(iter(_FUSED_CACHE)))
     layout, apply = hit
     return layout.unpad(apply(layout.pad(x)))

@@ -540,6 +540,17 @@ class ShardedPaddedWave:
         from ..ops.pallas_rk4step import _off0
 
         p = self.model.p
+        # Minimum-local-extent guard: the value-halo refresh is ONE-hop, so
+        # a block must be able to supply a neighbor's full 3p halo from rows
+        # that are themselves valid to that depth. With 1 cell per block on
+        # an axis split >= 3 ways (Nloc-1 = p < 3p), the sent slab would
+        # include the sender's own halo rows — valid only to depth p after a
+        # step (and the x low side is re-zeroed by the kernel's pad tile) —
+        # so interior dofs needing depth-2p inputs silently corrupt within a
+        # few steps. Fall back to the per-stage halo-add path (solve_n).
+        if any(m >= 3 and n < 2
+               for n, m in zip(self.local_cells, self.parts)):
+            return None
         shape = tuple(n * p + 1 for n in self.local_cells)
         tx = _flat_tile_x(p, max(self.tile_x, _off0(p)))
         return PaddedLayout(shape=shape, p=p, tile_x=tx, z_align=16,

@@ -1,0 +1,142 @@
+"""Fused unstructured-dofmap operator: tables + interpret-mode kernel.
+
+Validation model follows the reference's exact-value scatter tests
+(demo/gpu_scatter_local/main.cpp:84-90) plus dense-oracle operator parity:
+the window/chain tables must reproduce gather/scatter EXACTLY (they only
+move values), and the fused kernel must match the XLA indexed path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wave_fenics_tpu.core.dofmap import build_dofmap
+from wave_fenics_tpu.core.mesh import HexMesh, box_mesh
+from wave_fenics_tpu.ops.general_tables import (
+    build_batch_tables, pack_cell_values, reference_gather,
+    reference_scatter,
+)
+from wave_fenics_tpu.ops.operators import GeneralOperators
+
+
+def _perturbed_mesh(cells, extent, seed=0, amp=0.02):
+    rng = np.random.default_rng(seed)
+    hm = box_mesh(cells, extent).to_hex_mesh()
+    pts = hm.points.copy()
+    inner = np.all(
+        (pts > 1e-9) & (pts < np.asarray(extent) - 1e-9), axis=1
+    )
+    pts[inner] += amp * rng.standard_normal(pts[inner].shape)
+    return HexMesh(points=pts, cells=hm.cells)
+
+
+@pytest.mark.parametrize("p,cells", [(1, (5, 3, 2)), (2, (6, 5, 4)),
+                                     (3, (4, 4, 3)), (4, (4, 3, 3))])
+def test_tables_gather_scatter_exact(p, cells):
+    """Chain tables reproduce gather/scatter bit-exactly (NumPy emulation
+    of the in-kernel dynamic-gather sequence)."""
+    rng = np.random.default_rng(1)
+    hm = box_mesh(cells, (1.0, 1.0, 1.0)).to_hex_mesh()
+    dm = build_dofmap(hm, p)
+    nd = (p + 1) ** 3
+    tb = build_batch_tables(dm.dofmap, dm.ndofs, tile_h=128)
+    x = rng.standard_normal(dm.ndofs)
+    xe = reference_gather(tb, x)
+    covered = np.zeros(hm.ncells, bool)
+    for i in range(tb.nbatch):
+        for b, cell in enumerate(tb.batch_cells[i]):
+            if cell < 0:
+                continue
+            covered[cell] = True
+            r, lb = tb.cell_slot(b)
+            np.testing.assert_array_equal(
+                xe[i, r, lb : lb + nd], x[dm.dofmap[cell]]
+            )
+    assert covered.sum() + len(tb.spill_cells) == hm.ncells
+    # scatter: random element values, exact sum
+    ye = np.zeros((tb.nbatch, tb.H, 128))
+    y_ref = np.zeros(dm.ndofs)
+    for i in range(tb.nbatch):
+        for b, cell in enumerate(tb.batch_cells[i]):
+            if cell < 0:
+                continue
+            r, lb = tb.cell_slot(b)
+            vals = rng.standard_normal(nd)
+            ye[i, r, lb : lb + nd] = vals
+            np.add.at(y_ref, dm.dofmap[cell], vals)
+    y = reference_scatter(tb, ye, dm.ndofs)
+    np.testing.assert_allclose(y, y_ref, atol=1e-12)
+
+
+@pytest.mark.parametrize("p", [1, 2, 4])
+def test_fused_general_ops_match_indexed(p):
+    """Fused windowed kernel (interpret mode) == XLA indexed path on a
+    perturbed (genuinely unstructured) mesh, f64."""
+    cells = (4, 3, 3) if p >= 3 else (5, 4, 3)
+    hm = _perturbed_mesh(cells, (1.0, 0.8, 0.9), seed=p)
+    dm = build_dofmap(hm, p)
+    ops = GeneralOperators(hm, dm, dtype=jnp.float64)
+    assert ops._fused_tables is not None
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(dm.ndofs))
+    y_f = ops.stiffness_fused(x, 1500.0)
+    y_o = ops.stiffness_indexed(x, 1500.0)
+    scale = float(jnp.abs(y_o).max())
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_o),
+                               atol=1e-13 * scale)
+    m_f = ops.spectral_mass_fused(x)
+    m_o = ops.spectral_mass_roundtrip(x)
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_o),
+                               atol=1e-13 * float(jnp.abs(m_o).max()))
+
+
+def test_fused_spill_path():
+    """Cells that overflow the window/chain budget must flow through the
+    XLA spill path and still produce the exact operator."""
+    hm = _perturbed_mesh((4, 3, 3), (1.0, 0.8, 0.9), seed=7)
+    dm = build_dofmap(hm, 4)
+    # tiny chain budget forces spills
+    from wave_fenics_tpu.ops import operators as opsmod
+
+    ops = GeneralOperators(hm, dm, dtype=jnp.float64)
+    tb = build_batch_tables(dm.dofmap, dm.ndofs, tile_h=128,
+                            max_gather_chains=3, max_scatter_chains=5)
+    assert len(tb.spill_cells) > 0
+    object.__setattr__(ops, "_fused_tables", tb)
+    ops.__dict__["_fused_tables"] = tb  # override cached_property
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal(dm.ndofs))
+    y_f = ops.stiffness_fused(x, 2.0)
+    y_o = ops.stiffness_indexed(x, 2.0)
+    scale = float(jnp.abs(y_o).max())
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_o),
+                               atol=1e-13 * scale)
+
+
+def test_first_appearance_numbering_locality():
+    """build_dofmap default numbering: consecutive cells touch a narrow
+    contiguous id range (what the windows rely on)."""
+    hm = box_mesh((8, 8, 8), (1.0, 1.0, 1.0)).to_hex_mesh()
+    dm = build_dofmap(hm, 4)
+    d = dm.dofmap.astype(np.int64)
+    # first cell starts at id 0; spans stay well under one x-plane + slack
+    assert d[0].min() == 0
+    plane = 8 * 8 * 5 ** 3  # generous bound: one cell-plane of dofs
+    spans = d.max(axis=1) - d.min(axis=1)
+    assert spans.max() < plane
+
+
+def test_general_stiffness_dispatch_uses_oracle_off_tpu():
+    """On CPU the public stiffness() stays on the indexed path (fused is
+    TPU-only at runtime) and matches stiffness_indexed."""
+    hm = _perturbed_mesh((3, 3, 2), (1.0, 0.8, 0.9), seed=9)
+    dm = build_dofmap(hm, 2)
+    ops = GeneralOperators(hm, dm, dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(dm.ndofs))
+    np.testing.assert_allclose(
+        np.asarray(ops.stiffness(x, 3.0)),
+        np.asarray(ops.stiffness_indexed(x, 3.0)),
+        rtol=1e-14,
+    )

@@ -34,8 +34,8 @@ def main():
     ap.add_argument(
         "--op",
         choices=["mass", "mass-fused", "spectral", "spectral-roundtrip",
-                 "stiffness", "stiffness-general", "stiffness-padded",
-                 "bp1-mass"],
+                 "stiffness", "stiffness-general", "stiffness-general-xla",
+                 "mass-general", "stiffness-padded", "bp1-mass"],
         default="stiffness",
     )
     args = ap.parse_args()
@@ -66,17 +66,25 @@ def main():
         grid = tuple(n * p + 1 for n in mesh.shape)
         x = layout.pad(jnp.asarray(rng.standard_normal(grid), dtype=dtype))
         ndofs = int(np.prod(grid))
-    elif args.op in ("mass", "stiffness-general"):
-        # explicit-dofmap (imported/unstructured mesh) path: jnp.take
-        # gather + ELL transpose-gather scatter (mass.hpp:74-95 shape)
+    elif args.op in ("mass", "mass-general", "stiffness-general",
+                     "stiffness-general-xla"):
+        # explicit-dofmap (imported/unstructured mesh) family. 'mass' is
+        # the non-collocated Gauss pipeline (XLA indexed); the others are
+        # collocated and dispatch to the fused windowed Pallas kernel on
+        # TPU (ops.pallas_general; -xla pins the indexed baseline).
         hexm = mesh.to_hex_mesh()
         dofs = build_dofmap(hexm, p)
         rule = "gauss" if args.op == "mass" else "gll"
-        ops = GeneralOperators(hexm, dofs, dtype=dtype, rule=rule)
-        x = jnp.asarray(rng.standard_normal(ops.ndofs), dtype=dtype)
-        f = ops.mass if args.op == "mass" else (
-            lambda a: ops.stiffness(a, 1500.0))
-        ndofs = ops.ndofs
+        gops = GeneralOperators(hexm, dofs, dtype=dtype, rule=rule)
+        x = jnp.asarray(rng.standard_normal(gops.ndofs), dtype=dtype)
+        f = {
+            "mass": gops.mass,
+            "mass-general": gops.mass,
+            "stiffness-general": lambda a: gops.stiffness(a, 1500.0),
+            "stiffness-general-xla":
+                lambda a: gops.stiffness_indexed(a, 1500.0),
+        }[args.op]
+        ndofs = gops.ndofs
     else:
         ops = StructuredOperators(mesh, p, dtype=dtype)
         x = jnp.asarray(rng.standard_normal(ops.grid_shape), dtype=dtype)
@@ -101,6 +109,23 @@ def main():
            "gdofs_per_s": round(ndofs / t / 1e9, 4)}
 
     if args.check and args.op in (
+        "mass-general", "stiffness-general", "stiffness-general-xla"
+    ):
+        # f64 oracle: the XLA indexed path of a fresh f64 operator set
+        hexm64 = mesh.to_hex_mesh()
+        ops64 = GeneralOperators(hexm64, dofs, dtype=jnp.float64)
+        x64 = jnp.asarray(np.asarray(x), dtype=jnp.float64)
+        g64 = (
+            ops64.spectral_mass_roundtrip if args.op == "mass-general"
+            else (lambda a: ops64.stiffness_indexed(a, 1500.0))
+        )
+        y = np.asarray(f(x), dtype=np.float64)
+        y64 = np.asarray(g64(x64))
+        scale = np.abs(y64).max() or 1.0
+        out["max_rel_err_vs_f64_oracle"] = float(
+            np.abs(y - y64).max() / scale
+        )
+    elif args.check and args.op in (
         "mass-fused", "spectral", "spectral-roundtrip", "stiffness"
     ):
         ops64 = StructuredOperators(mesh, p, dtype=jnp.float64)

@@ -132,7 +132,8 @@ def morton_cell_order(mesh: HexMesh, bits: int = 10) -> np.ndarray:
 
 
 def build_dofmap(
-    mesh: HexMesh, p: int, tol: float = 1e-9, reorder: str | None = None
+    mesh: HexMesh, p: int, tol: float = 1e-9,
+    reorder: str | None = "appearance",
 ) -> GeneralDofMap:
     """CG dof numbering by geometric dedup of trilinear-mapped GLL nodes.
 
@@ -140,15 +141,21 @@ def build_dofmap(
     (face restriction depends only on face vertices), so rounding-based
     dedup at relative tolerance ``tol`` is exact for non-degenerate meshes.
 
-    ``reorder='morton'`` renumbers CELLS along a Z-order curve (gather/
-    scatter locality on TPU); dof ids follow first-appearance order of the
-    reordered cells. NOTE: callers must apply the same cell order to any
-    per-cell data (the returned dofmap corresponds to the reordered mesh).
+    ``reorder='appearance'`` (default) keeps the cell order but numbers
+    dofs by first appearance in the cell-major traversal — consecutive
+    cells touch a narrow contiguous id range, which the fused windowed
+    operator (ops.general_tables) depends on. ``reorder='morton'``
+    additionally renumbers CELLS along a Z-order curve (for meshes whose
+    native cell order has no locality); callers must then apply the same
+    cell order to any per-cell data. ``reorder=None`` numbers dofs by
+    sorted geometric key (legacy).
     """
     cell_order = None
     if reorder == "morton":
         cell_order = morton_cell_order(mesh)
         mesh = HexMesh(points=mesh.points, cells=mesh.cells[cell_order])
+    elif reorder == "appearance":
+        pass  # keep the cell order; only renumber dofs by appearance
     from .geometry import trilinear_tabulate
 
     nodes, _ = gll_points_weights(p + 1)
@@ -168,6 +175,17 @@ def build_dofmap(
     else:
         uniq, inv = np.unique(key, axis=0, return_inverse=True)
         ndofs = uniq.shape[0]
+    if reorder in ("morton", "appearance"):
+        # Renumber dofs by FIRST APPEARANCE in the cell-major traversal —
+        # the documented contract, and what the fused windowed operator
+        # (ops.general_tables) relies on: a run of consecutive cells then
+        # touches a narrow contiguous id range.
+        # (np.unique/dedup numbers by sorted coordinate key instead.)
+        _, first = np.unique(inv, return_index=True)
+        order = np.argsort(first, kind="stable")  # old ids by appearance
+        new_of_old = np.empty(ndofs, dtype=np.int64)
+        new_of_old[order] = np.arange(ndofs)
+        inv = new_of_old[inv]
     dofmap = inv.reshape(coords.shape[0], m * m * m).astype(np.int32)
     dof_coords = np.zeros((ndofs, 3))
     dof_coords[dofmap.ravel()] = coords.reshape(-1, 3)

@@ -270,6 +270,34 @@ class _FusedMixin:
         )
         return u, v, nsteps
 
+    def solve_fused_dyn(self, t0, dt, nsteps, u0, v0):
+        """:meth:`solve_fused_n` with a TRACED step count (fori_loop):
+        one compiled executable serves any window length — a cold-start
+        benchmark canary (1 step) and the timed run then share a compile
+        (the fused kernels dominate compile time through the TPU tunnel)."""
+        stage = self._stage_fn
+        assert stage is not None, "fused stage kernel unavailable"
+        b = self.base
+        dtf = float(dt)
+
+        def body(i, carry):
+            u, v, t = carry
+            ku, kv = u, v
+            ua, va = u, v
+            for j in range(4):
+                tn = t + _RK_C[j] * dtf
+                g = b.g_amplitude(tn)
+                vn, kv, ua, va = stage(
+                    u, ku, v, kv, ua, va, dtf * _RK_A[j], dtf * _RK_B[j], g
+                )
+                ku = vn
+            return (ua, va, t + dtf)
+
+        u, v, _ = jax.lax.fori_loop(
+            0, nsteps, body, (u0, v0, jnp.asarray(t0, dtype=u0.dtype))
+        )
+        return u, v
+
 
 class _StepMixin:
     @cached_property
@@ -326,6 +354,25 @@ class _StepMixin:
         )
         return u, v, nsteps
 
+    def solve_step_dyn(self, t0, dt, nsteps, u0, v0):
+        """:meth:`solve_step_n` with a TRACED step count (fori_loop) —
+        see :meth:`solve_fused_dyn` for why."""
+        step = self._step_fn
+        assert step is not None, "step kernel unavailable"
+        b = self.base
+        dtf = float(dt)
+
+        def body(i, carry):
+            u, v, t = carry
+            gs = [b.g_amplitude(t + c * dtf) for c in _RK_C]
+            u, v = step(u, v, dtf, *gs)
+            return (u, v, t + dtf)
+
+        u, v, _ = jax.lax.fori_loop(
+            0, nsteps, body, (u0, v0, jnp.asarray(t0, dtype=u0.dtype))
+        )
+        return u, v
+
 
 # Graft the fused-stage methods onto the (frozen) dataclass. The
 # cached_property descriptor keeps the __set_name__ binding it received in
@@ -333,6 +380,8 @@ class _StepMixin:
 PaddedLinearWave._stage_fn = _FusedMixin._stage_fn
 PaddedLinearWave._build_stage_fn = _FusedMixin._build_stage_fn
 PaddedLinearWave.solve_fused_n = _FusedMixin.solve_fused_n
+PaddedLinearWave.solve_fused_dyn = _FusedMixin.solve_fused_dyn
 PaddedLinearWave._step_fn = _StepMixin._step_fn
 PaddedLinearWave._build_step_fn = _StepMixin._build_step_fn
 PaddedLinearWave.solve_step_n = _StepMixin.solve_step_n
+PaddedLinearWave.solve_step_dyn = _StepMixin.solve_step_dyn

@@ -1,0 +1,349 @@
+"""Host-side tables for the fused unstructured-dofmap Pallas operator.
+
+The reference applies its operators on arbitrary DOLFINx meshes at device
+speed with indirection kernels (gather common/cuda/scatter.cu:47-55,
+atomicAdd scatter common/cuda/scatter.cu:57-65, fused operator
+common/cuda/mass.hpp:74-95). TPUs have no scattered-address load/store
+units, so an explicit-dofmap apply must be re-expressed in terms of what
+the hardware does fast: contiguous DMA, the 2D vector unit's
+``dynamic_gather`` (per-sublane lane gather / per-lane sublane gather),
+and MXU matmuls.
+
+Scheme (docs/DESIGN.md §7, realized):
+
+1. Cells are locality-ordered and dofs numbered by first appearance
+   (core.dofmap.build_dofmap(reorder='morton'|'appearance')), so a run of
+   ``B`` consecutive cells touches a narrow contiguous dof-id *window*.
+2. Per batch, the window ``x[start*128 : (start+H)*128]`` is one
+   contiguous DMA, viewed as an ``[H, 128]`` tile (dof id = (start +
+   row)*128 + lane). Window row H-1 is zeroed in-kernel (sentinel).
+3. Element vectors live in a packed ``[H, 128]`` tile: cell slot ``b``
+   occupies row ``b // cpr`` at lanes ``[(b % cpr)*nd, (b % cpr + 1)*nd)``
+   with ``cpr = 127 // nd`` cells per row — low degrees don't waste lanes
+   and don't explode the chain count below.
+4. The element gather ``xe[b, n] = x[dofmap[b, n]]`` becomes Kg "chains",
+   each chain two shape-preserving dynamic gathers:
+       T_k[t, c]  = Xw[t, lane_k[t, c]]      (gather along lanes)
+       XE_k[r, c] = T_k[row_k[r, c], c]      (gather along sublanes)
+   Each packed output (r, c) is claimed by exactly one chain; a chain can
+   hold at most one source lane per (window-row, packed-lane) pair, so
+   positions that collide go to the next chain. Unclaimed entries point at
+   the zeroed sentinel row, and ``xe = sum_k XE_k``.
+5. The scatter-add y[dofmap[b, n]] += ye[b, n] is the transpose, also as
+   gather chains (deterministic, no atomics — the TPU answer to
+   scatter.cu:57-65):
+       P_j[t, c] = YE[row_j[t, c], c]        (gather along sublanes)
+       Q_j[t, l] = P_j[t, nlane_j[t, l]]     (gather along lanes)
+   Each dof copy (one per sharing cell) is claimed by one chain j; a dof
+   shared by v cells in the batch needs v chains. Unclaimed (t, l) slots
+   point at lane 127, which is zero by construction (cpr*nd <= 127).
+   ``Yw += sum_j Q_j`` and the window is accumulated into the output with
+   a read-modify-write DMA (grid iterations are sequential on a
+   TensorCore, so overlapping windows of consecutive batches are
+   race-free by construction).
+6. Cells that overflow the window or the chain budget spill to the XLA
+   indexed path; callers apply the fused kernel to the dense remainder
+   and add the spill contribution.
+
+Index tables are int8 (int16 only for window-row indices when H > 128),
+so table traffic stays within a few x of the raw dofmap's.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["GeneralBatchTables", "build_batch_tables"]
+
+_LANES = 128
+
+
+@dataclass(frozen=True)
+class GeneralBatchTables:
+    """Precomputed batch/window/chain tables (all NumPy, device-agnostic)."""
+
+    #: tile height (sublane count) of every in-kernel tile; row H-1 is the
+    #: zeroed gather sentinel, so windows hold at most (H-1)*128 dofs
+    H: int
+    #: max cells per batch
+    B: int
+    #: cells packed per element-tile row (cpr * nd <= 127)
+    cpr: int
+    #: element-tensor entries per cell
+    nd: int
+    nbatch: int
+    #: [nbatch] int32 window start as a ROW index into the padded [*, 128]
+    #: dof vector view
+    start_rows: np.ndarray
+    #: [nbatch, B] int32 global cell ids (-1 = empty slot)
+    batch_cells: np.ndarray
+    #: gather chains [Kg, nbatch, H, 128]: lanes int8, window rows
+    #: int8/int16
+    g_lane: np.ndarray
+    g_row: np.ndarray
+    #: scatter chains [Ks, nbatch, H, 128] int8 each
+    s_row: np.ndarray
+    s_nlane: np.ndarray
+    #: int32 cell ids handled by the XLA fallback path
+    spill_cells: np.ndarray
+    #: number of [*, 128] rows the padded dof vector must have
+    padded_rows: int
+
+    @property
+    def kg(self) -> int:
+        return self.g_lane.shape[0]
+
+    @property
+    def ks(self) -> int:
+        return self.s_row.shape[0]
+
+    def cell_slot(self, b: int) -> tuple[int, int]:
+        """Packed (row, lane_base) of cell slot ``b``."""
+        return b // self.cpr, (b % self.cpr) * self.nd
+
+    @property
+    def table_bytes(self) -> int:
+        return sum(
+            a.nbytes
+            for a in (self.g_lane, self.g_row, self.s_row, self.s_nlane)
+        )
+
+
+def build_batch_tables(
+    dofmap: np.ndarray,
+    ndofs: int,
+    *,
+    batch_cells: int | None = None,
+    tile_h: int = 128,
+    max_gather_chains: int = 8,
+    max_scatter_chains: int = 12,
+) -> GeneralBatchTables:
+    """Build window/chain tables from an explicit dofmap [nc, nd].
+
+    Cells must already be locality-ordered with dofs numbered by first
+    appearance — ``core.dofmap.build_dofmap(reorder='morton')`` or
+    ``reorder='appearance'`` (lexicographic imports).
+    """
+    dofmap = np.asarray(dofmap, dtype=np.int64)
+    nc, nd = dofmap.shape
+    if nd > _LANES - 1:
+        # lane 127 must stay zero (scatter sentinel): nd <= 127, i.e.
+        # p <= 4 for hexes; higher degrees stay on the XLA indexed path
+        raise ValueError(f"nd={nd} exceeds {_LANES - 1} usable lanes")
+    H = tile_h
+    if H % 8 or H > 256:
+        raise ValueError("tile_h must be a multiple of 8, <= 256")
+    cpr = (_LANES - 1) // nd
+    # default: ~48 element-tile rows of cells per batch (48 cells at p=4,
+    # 48*cpr at lower degrees where rows pack cpr cells each)
+    B = batch_cells if batch_cells is not None else 48 * cpr
+    B = min(B, cpr * min(H - 1, _LANES))
+    max_w = (H - 1) * _LANES  # row H-1 is the zero sentinel
+    row_dt = np.int8 if H <= 128 else np.int16
+
+    # --- pass 1: greedy batching by window feasibility ------------------
+    spill: list[int] = []
+    batches: list[list[int]] = []
+    starts: list[int] = []
+    c = 0
+    cur: list[int] = []
+    lo = hi = -1
+    while c < nc:
+        ids = dofmap[c]
+        nlo = min(lo, ids.min()) if cur else ids.min()
+        nhi = max(hi, ids.max()) if cur else ids.max()
+        # window start row aligned down to 8 (DMA sublane alignment)
+        srow = (nlo // _LANES) & ~7
+        if (nhi + 1 - srow * _LANES) <= max_w and len(cur) < B:
+            cur.append(c)
+            lo, hi = nlo, nhi
+            c += 1
+            continue
+        if not cur:
+            spill.append(c)  # single cell spanning more than the window
+            c += 1
+            continue
+        batches.append(cur)
+        starts.append((lo // _LANES) & ~7)
+        cur, lo, hi = [], -1, -1
+    if cur:
+        batches.append(cur)
+        starts.append((lo // _LANES) & ~7)
+
+    # --- pass 2: per-batch chain assignment -----------------------------
+    sent_row = H - 1  # zeroed window/element row (gather sentinel)
+    sent_lane = _LANES - 1  # zero element lane (scatter sentinel)
+    shape = (H, _LANES)
+    nrange = np.arange(nd)
+
+    kept_batches: list[np.ndarray] = []
+    kept_starts: list[int] = []
+    all_g: list[tuple[list, list]] = []  # per batch: (g_lane_k, g_row_k)
+    all_s: list[tuple[list, list]] = []
+    for cells, srow in zip(batches, starts):
+        g_lane_c: list[np.ndarray] = []
+        g_set_c: list[np.ndarray] = []
+        g_row_c: list[np.ndarray] = []
+        s_row_c: list[np.ndarray] = []
+        s_set_c: list[np.ndarray] = []
+        s_nlane_c: list[np.ndarray] = []
+        s_used_c: list[np.ndarray] = []
+        # cells keep their original slot b even when earlier slots spill
+        # (claims are keyed on the slot; spilled slots stay all-sentinel
+        # and read as zeros). Within one cell all (t, lo) and (t, l)
+        # pairs are distinct, so chain claims vectorize per cell.
+        slots = np.full(B, -1, np.int32)
+        for b, cell in enumerate(cells):
+            r, lb = b // cpr, (b % cpr) * nd
+            loc = dofmap[cell] - srow * _LANES
+            t = loc // _LANES
+            l = loc % _LANES
+            lo_ = lb + nrange
+            g_chain = np.full(nd, -1, np.int64)
+            un = np.ones(nd, bool)
+            k = 0
+            while un.any() and k < max_gather_chains:
+                if k == len(g_lane_c):
+                    g_lane_c.append(np.zeros(shape, np.int16))
+                    g_set_c.append(np.zeros(shape, bool))
+                    g_row_c.append(np.full(shape, sent_row, np.int16))
+                ok = un & (
+                    ~g_set_c[k][t, lo_] | (g_lane_c[k][t, lo_] == l)
+                )
+                g_chain[ok] = k
+                un &= ~ok
+                k += 1
+            fits = not un.any()
+            s_chain = np.full(nd, -1, np.int64)
+            if fits:
+                un = np.ones(nd, bool)
+                j = 0
+                while un.any() and j < max_scatter_chains:
+                    if j == len(s_row_c):
+                        s_row_c.append(np.zeros(shape, np.int16))
+                        s_set_c.append(np.zeros(shape, bool))
+                        s_nlane_c.append(
+                            np.full(shape, sent_lane, np.int16)
+                        )
+                        s_used_c.append(np.zeros(shape, bool))
+                    ok = un & ~s_used_c[j][t, l] & (
+                        ~s_set_c[j][t, lo_] | (s_row_c[j][t, lo_] == r)
+                    )
+                    s_chain[ok] = j
+                    un &= ~ok
+                    j += 1
+                fits = not un.any()
+            if fits:
+                for k in np.unique(g_chain):
+                    m = g_chain == k
+                    g_lane_c[k][t[m], lo_[m]] = l[m]
+                    g_set_c[k][t[m], lo_[m]] = True
+                    g_row_c[k][r, lo_[m]] = t[m]
+                for j in np.unique(s_chain):
+                    m = s_chain == j
+                    s_row_c[j][t[m], lo_[m]] = r
+                    s_set_c[j][t[m], lo_[m]] = True
+                    s_nlane_c[j][t[m], l[m]] = lo_[m]
+                    s_used_c[j][t[m], l[m]] = True
+                slots[b] = cell
+            else:
+                spill.append(cell)  # claims were never committed
+        # drop chains that lost all their claims to spilled cells
+        g_keep = [i for i, u in enumerate(g_set_c) if u.any()]
+        s_keep = [i for i, u in enumerate(s_used_c) if u.any()]
+        if (slots >= 0).any():
+            kept_batches.append(slots.copy())
+            kept_starts.append(srow)
+            all_g.append(([g_lane_c[i] for i in g_keep],
+                          [g_row_c[i] for i in g_keep]))
+            all_s.append(([s_row_c[i] for i in s_keep],
+                          [s_nlane_c[i] for i in s_keep]))
+    nbatch = len(kept_batches)
+
+    bc = (np.stack(kept_batches) if kept_batches
+          else np.zeros((0, B), np.int32))
+    Kg = max((len(g[0]) for g in all_g), default=1) or 1
+    Ks = max((len(s[0]) for s in all_s), default=1) or 1
+
+    def _stack(per_batch, default, dt, K):
+        out = np.full((K, max(nbatch, 1)) + shape, default, dt)
+        for i, chains in enumerate(per_batch):
+            for k, ch in enumerate(chains):
+                out[k, i] = ch.astype(dt)
+        return out
+
+    padded_rows = max(
+        (ndofs + _LANES - 1) // _LANES + 1,
+        (max(kept_starts) + H) if kept_starts else 1,
+    )
+    return GeneralBatchTables(
+        H=H, B=B, cpr=cpr, nd=nd, nbatch=nbatch,
+        start_rows=np.asarray(kept_starts, np.int32),
+        batch_cells=bc,
+        g_lane=_stack([g[0] for g in all_g], 0, np.int8, Kg)[:, :nbatch],
+        g_row=_stack([g[1] for g in all_g], sent_row, row_dt,
+                     Kg)[:, :nbatch],
+        s_row=_stack([s[0] for s in all_s], 0, np.int8, Ks)[:, :nbatch],
+        s_nlane=_stack([s[1] for s in all_s], sent_lane, np.int8,
+                       Ks)[:, :nbatch],
+        spill_cells=np.asarray(sorted(spill), np.int32),
+        padded_rows=padded_rows,
+    )
+
+
+def pack_cell_values(tables: GeneralBatchTables, vals: np.ndarray,
+                     dtype=np.float32) -> np.ndarray:
+    """Pack per-cell nodal values [nc, nd] into element tiles
+    [ngeo?, nbatch, H, 128] matching the packed XE/YE layout (zeros in
+    empty slots). ``vals`` may carry leading axes (e.g. [6, nc, nd])."""
+    lead = vals.shape[:-2]
+    nd = tables.nd
+    out = np.zeros(lead + (tables.nbatch, tables.H, _LANES),
+                   dtype=np.dtype(dtype))
+    for i in range(tables.nbatch):
+        for b, cell in enumerate(tables.batch_cells[i]):
+            if cell < 0:
+                continue
+            r, lb = tables.cell_slot(b)
+            out[..., i, r, lb : lb + nd] = vals[..., cell, :]
+    return out
+
+
+def reference_gather(tables: GeneralBatchTables, x: np.ndarray
+                     ) -> np.ndarray:
+    """NumPy emulation of the in-kernel gather chains (for tests):
+    returns the packed XE tiles [nbatch, H, 128]."""
+    H = tables.H
+    xp = np.zeros(tables.padded_rows * _LANES, dtype=x.dtype)
+    xp[: x.size] = x
+    xv = xp.reshape(-1, _LANES)
+    out = np.zeros((tables.nbatch, H, _LANES), dtype=x.dtype)
+    for i in range(tables.nbatch):
+        Xw = xv[tables.start_rows[i] : tables.start_rows[i] + H].copy()
+        Xw[H - 1] = 0.0
+        for k in range(tables.kg):
+            lane = tables.g_lane[k, i].astype(np.int64)
+            row = tables.g_row[k, i].astype(np.int64)
+            T = np.take_along_axis(Xw, lane, axis=1)
+            out[i] += np.take_along_axis(T, row, axis=0)
+    return out
+
+
+def reference_scatter(tables: GeneralBatchTables, ye: np.ndarray,
+                      ndofs: int) -> np.ndarray:
+    """NumPy emulation of the in-kernel scatter chains + window RMW."""
+    H = tables.H
+    yv = np.zeros((tables.padded_rows, _LANES), dtype=ye.dtype)
+    for i in range(tables.nbatch):
+        YE = ye[i]
+        acc = np.zeros((H, _LANES), dtype=ye.dtype)
+        for j in range(tables.ks):
+            row = tables.s_row[j, i].astype(np.int64)
+            nlane = tables.s_nlane[j, i].astype(np.int64)
+            P = np.take_along_axis(YE, row, axis=0)
+            acc += np.take_along_axis(P, nlane, axis=1)
+        s = tables.start_rows[i]
+        yv[s : s + H] += acc
+    return yv.reshape(-1)[:ndofs]

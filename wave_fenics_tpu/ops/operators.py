@@ -261,7 +261,20 @@ class GeneralOperators:
 
     def mass(self, x: jax.Array) -> jax.Array:
         """y = M x — general sum-factorized B^T diag(detJw) B per element
-        (mass_apply semantics, common/cuda/mass_kernel.cu:4-46)."""
+        (mass_apply semantics, common/cuda/mass_kernel.cu:4-46).
+
+        Collocated quadrature makes B the identity, so on TPU this
+        dispatches to the fused windowed kernel (same operator as the
+        spectral roundtrip)."""
+        import os
+
+        if (
+            self._tab.collocated
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("WAVE_FENICS_TPU_NO_PALLAS")
+            and self._fused_tables is not None
+        ):
+            return self.spectral_mass_fused(x)
         return self.scatter(ek.mass_element(self.gather(x), self._B, self._detJw))
 
     def spectral_mass(self, x: jax.Array) -> jax.Array:
@@ -294,9 +307,133 @@ class GeneralOperators:
 
     def stiffness(self, x: jax.Array, c0: float | jax.Array = 1.0) -> jax.Array:
         """y = -c0^2 K x with full G (skernel semantics,
-        common/operators.hpp:112-133)."""
+        common/operators.hpp:112-133).
+
+        On TPU with collocated quadrature and p <= 4, dispatches to the
+        fused windowed Pallas kernel (ops.pallas_general — the TPU-native
+        answer to the fused CUDA operators, common/cuda/mass.hpp:74-95);
+        cells the window/chain tables cannot host are applied by this XLA
+        path and added (``_spill_*``)."""
+        import os
+
+        static_c0 = isinstance(c0, (int, float))
+        if (
+            static_c0
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("WAVE_FENICS_TPU_NO_PALLAS")
+            and self._fused_tables is not None
+        ):
+            return self.stiffness_fused(x, c0)
+        return self.stiffness_indexed(x, c0)
+
+    def stiffness_indexed(
+        self, x: jax.Array, c0: float | jax.Array = 1.0
+    ) -> jax.Array:
+        """XLA indexed path (gather -> element contraction -> scatter);
+        the cross-implementation oracle for the fused kernel."""
         coeff = -jnp.asarray(c0, dtype=self.dtype) ** 2
         ye = ek.stiffness_element_full(
             self.gather(x), self._B, self._D, self._G, coeff
         )
         return self.scatter(ye)
+
+    # -- fused windowed kernel path (TPU) --------------------------------
+
+    @cached_property
+    def _fused_tables(self):
+        """Window/chain tables for the fused kernel, or None when the
+        mesh/degree cannot use it (non-collocated, p > 4, or a dof
+        numbering so non-local that most cells spill)."""
+        if not self._tab.collocated or (self.dofs.p + 1) ** 3 > 127:
+            return None
+        from .general_tables import build_batch_tables
+
+        nc = self.mesh.ncells
+        best = None
+        for H in (128, 256):
+            tb = build_batch_tables(self._dofmap, self.ndofs, tile_h=H)
+            if best is None or len(tb.spill_cells) < len(
+                best.spill_cells
+            ):
+                best = tb
+            if len(tb.spill_cells) <= 0.02 * nc:
+                break
+        if len(best.spill_cells) > 0.5 * nc:
+            return None  # numbering defeats the windows; stay on XLA
+        return best
+
+    @cached_property
+    def _fused_geo(self):
+        """Packed geometric factors: (detJw [1, ...], G-sym [6, ...])."""
+        from .general_tables import pack_cell_values
+
+        tb = self._fused_tables
+        nc = self.mesh.ncells
+        nd = (self.dofs.p + 1) ** 3
+        detJw = np.asarray(self._detJw).reshape(nc, nd)
+        G = np.asarray(self._G).reshape(nc, nd, 3, 3)
+        sym = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+        Gp = np.stack([G[:, :, a, b] for a, b in sym])
+        npdt = np.dtype(self.dtype)
+        return (
+            pack_cell_values(tb, detJw[None], npdt),
+            pack_cell_values(tb, Gp, npdt),
+        )
+
+    @cached_property
+    def _fused_cache(self) -> dict:
+        return {}
+
+    def _fused_apply(self, op: str, coeff: float):
+        from .pallas_general import make_general_apply
+
+        key = (op, float(coeff))
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            tb = self._fused_tables
+            geo_m, geo_s = self._fused_geo
+            fn = make_general_apply(
+                tb, geo_m if op == "mass" else geo_s, op,
+                D1=self._D if op == "stiffness" else None,
+                coeff=coeff, p=self.dofs.p, dtype=self.dtype,
+            )
+            self._fused_cache[key] = fn
+        return fn
+
+    def _spill_stiffness(self, x: jax.Array, coeff) -> jax.Array:
+        cells = self._fused_tables.spill_cells
+        m = self.dofs.p + 1
+        dmap = self._dofmap[cells]
+        xe = gs.gather_indexed(x, dmap).reshape(-1, m, m, m)
+        ye = ek.stiffness_element_full(
+            xe, self._B, self._D, self._G[cells], coeff
+        )
+        return gs.scatter_indexed(
+            ye.reshape(len(cells), -1), dmap, self.ndofs
+        )
+
+    def _spill_mass(self, x: jax.Array) -> jax.Array:
+        cells = self._fused_tables.spill_cells
+        m = self.dofs.p + 1
+        dmap = self._dofmap[cells]
+        xe = gs.gather_indexed(x, dmap).reshape(-1, m, m, m)
+        ye = ek.spectral_mass_element(xe, self._detJw[cells])
+        return gs.scatter_indexed(
+            ye.reshape(len(cells), -1), dmap, self.ndofs
+        )
+
+    def stiffness_fused(self, x: jax.Array, c0: float = 1.0) -> jax.Array:
+        """Fused windowed-kernel stiffness matvec (+ XLA spill subset)."""
+        coeff = -float(c0) ** 2
+        y = self._fused_apply("stiffness", coeff)(x)
+        if len(self._fused_tables.spill_cells):
+            y = y + self._spill_stiffness(x, coeff)
+        return y
+
+    def spectral_mass_fused(self, x: jax.Array) -> jax.Array:
+        """Fused gather -> detJw -> scatter mass (the reference's
+        spectral_mass.hpp:84-89 data-movement shape at device speed)."""
+        y = self._fused_apply("mass", 1.0)(x)
+        if len(self._fused_tables.spill_cells):
+            y = y + self._spill_mass(x)
+        return y

@@ -1,0 +1,246 @@
+"""Fused unstructured-dofmap operators: one Pallas pass per matvec.
+
+TPU-native equivalent of the reference's device operators on arbitrary
+(imported) meshes — the fused CUDA mass kernel common/cuda/mass.hpp:74-95
+(gather -> sum-factorized contraction -> atomicAdd scatter) and the
+stiffness skernel common/operators.hpp:112-133 — built from the window/
+chain tables of ops.general_tables:
+
+  per batch (grid step, sequential on the TensorCore):
+    1. DMA the contiguous dof window x[start*128 : (start+H)*128] to VMEM
+    2. gather chains (pairs of Mosaic dynamic_gathers) -> packed element
+       tile XE [H, 128] (cpr cells per row)
+    3. contraction:
+       - spectral/collocated mass: XE * detJw (elementwise)
+       - stiffness: ye = coeff * sum_{d,d'} D_d^T (G[dd'] * (D_d' XE))
+         as six static [128,128] MXU matmuls (block-diag I_cpr x axis-D)
+         plus elementwise multiplies with the 6 symmetric G entries
+    4. scatter chains -> window contribution Yw [H, 128]
+    5. read-modify-write DMA accumulation into the output window
+       (grid steps are sequential, so overlapping windows are race-free)
+
+Everything the reference does with scattered-address hardware is here
+dense VPU/MXU work + contiguous DMA; deterministic by construction (fixed
+chain order), no atomics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .general_tables import GeneralBatchTables
+
+__all__ = ["make_general_apply", "contraction_matrices"]
+
+_LANES = 128
+
+
+def contraction_matrices(p: int, cpr: int, D1: np.ndarray,
+                         dtype=np.float32) -> np.ndarray:
+    """Static [3, 128, 128] per-axis derivative matrices for the packed
+    element layout: M[d] = I_cpr kron (axis-d application of D1 on the
+    C-ordered (i,j,k) node index), zero-padded to 128 lanes.
+
+    ``(XE @ M[d].T)[r, lb+n'] = (axis-d D-contraction of the cell packed
+    at (r, lb))[n']``.
+    """
+    m = p + 1
+    nd = m**3
+    eye = np.eye(m)
+    mats = [
+        np.kron(np.kron(D1, eye), eye),  # x: i index (slowest)
+        np.kron(np.kron(eye, D1), eye),  # y: j index
+        np.kron(eye, np.kron(eye, D1)),  # z: k index (fastest)
+    ]
+    out = np.zeros((3, _LANES, _LANES), dtype=np.dtype(dtype))
+    for d in range(3):
+        for g in range(cpr):
+            s = g * nd
+            out[d, s : s + nd, s : s + nd] = mats[d]
+    return out
+
+
+def _kernel(
+    start_ref,  # scalar prefetch: [nbatch] int32 window start rows
+    yin_ref,  # [padded_rows, 128] ANY — aliased with out_ref
+    xv_ref,  # [padded_rows, 128] ANY
+    glane_ref, grow_ref, srow_ref, snlane_ref,  # chain tables (VMEM)
+    geo_ref,  # [ngeo, H, 128] geometric factors (VMEM)
+    dmat_ref,  # [3, 128, 128] static contraction matrices (VMEM)
+    out_ref,  # [padded_rows, 128] ANY (aliased input)
+    xw, yw, ye, sem,  # scratch
+    *, H, kg, ks, op, coeff, dtype,
+):
+    del yin_ref
+    i = pl.program_id(0)
+    f32 = jnp.float32 if dtype != jnp.float64 else jnp.float64
+    hi = jax.lax.Precision.HIGHEST
+
+    start = pl.multiple_of(start_ref[i], 8)
+    pltpu.make_async_copy(
+        xv_ref.at[pl.ds(start, H)], xw, sem.at[0]
+    ).start()
+    pltpu.make_async_copy(
+        out_ref.at[pl.ds(start, H)], yw, sem.at[1]
+    ).start()
+    pltpu.make_async_copy(
+        xv_ref.at[pl.ds(start, H)], xw, sem.at[0]
+    ).wait()
+    xw[H - 1, :] = jnp.zeros((_LANES,), dtype=dtype)  # gather sentinel
+
+    # gather chains: XE = sum_k take(take(Xw, lane_k, 1), row_k, 0)
+    xvals = xw[...]
+    xe = jnp.zeros((H, _LANES), dtype=dtype)
+    for k in range(kg):
+        lane = glane_ref[k].astype(jnp.int32)
+        row = grow_ref[k].astype(jnp.int32)
+        t = jnp.take_along_axis(xvals, lane, axis=1)
+        xe = xe + jnp.take_along_axis(t, row, axis=0)
+
+    # contraction
+    if op == "mass":
+        yev = xe * geo_ref[0]
+    else:  # stiffness: ye = coeff * sum_dd' D_d^T (G_dd' * (D_d' xe))
+        ud = [
+            jax.lax.dot_general(
+                xe, dmat_ref[d], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=hi,
+            ).astype(dtype)
+            for d in range(3)
+        ]
+        sym = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+        yev = jnp.zeros((H, _LANES), dtype=dtype)
+        for d in range(3):
+            w = jnp.zeros((H, _LANES), dtype=dtype)
+            for dp in range(3):
+                gi = sym.index(tuple(sorted((d, dp))))
+                w = w + geo_ref[gi] * ud[dp]
+            # transpose apply: contract output-node axis of M[d]
+            yev = yev + jax.lax.dot_general(
+                w, dmat_ref[d], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=hi,
+            ).astype(dtype)
+        yev = yev * coeff
+    ye[...] = yev
+
+    # scatter chains: Yw += sum_j take(take(YE, row_j, 0), nlane_j, 1)
+    pltpu.make_async_copy(
+        out_ref.at[pl.ds(start, H)], yw, sem.at[1]
+    ).wait()
+    acc = yw[...]
+    yevals = ye[...]
+    for j in range(ks):
+        row = srow_ref[j].astype(jnp.int32)
+        nlane = snlane_ref[j].astype(jnp.int32)
+        pj = jnp.take_along_axis(yevals, row, axis=0)
+        acc = acc + jnp.take_along_axis(pj, nlane, axis=1)
+    yw[...] = acc
+    cp = pltpu.make_async_copy(yw, out_ref.at[pl.ds(start, H)], sem.at[2])
+    cp.start()
+    cp.wait()
+
+
+def make_general_apply(
+    tables: GeneralBatchTables,
+    geo: np.ndarray,
+    op: str,
+    *,
+    D1: np.ndarray | None = None,
+    coeff: float = 1.0,
+    p: int | None = None,
+    dtype=jnp.float32,
+    interpret: bool | None = None,
+):
+    """Build ``apply(x) -> y`` over flat [ndofs] vectors (kernel part only
+    — spilled cells are the caller's responsibility).
+
+    ``geo``: packed per-batch geometric factors [ngeo, nbatch, H, 128]
+    (ngeo=1 detJw for mass; 6 symmetric G entries, order
+    (xx, xy, xz, yy, yz, zz), for stiffness) laid out like the element
+    tiles. ``D1``: collocated 1D derivative matrix (stiffness only).
+    """
+    tb = tables
+    H = tb.H
+    npdt = np.dtype(dtype)
+    if op == "stiffness":
+        dmats = contraction_matrices(p, tb.cpr, np.asarray(D1), npdt)
+    else:
+        dmats = np.zeros((3, _LANES, _LANES), npdt)
+    geo = np.ascontiguousarray(geo, dtype=npdt)
+    ngeo = geo.shape[0]
+
+    kern = functools.partial(
+        _kernel, H=H, kg=tb.kg, ks=tb.ks, op=op,
+        coeff=npdt.type(coeff), dtype=dtype,
+    )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def chain_spec(K):
+        return pl.BlockSpec(
+            (K, None, H, _LANES), lambda i, *_: (0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    nrows = tb.padded_rows
+    start_rows = jnp.asarray(tb.start_rows)
+    g_lane = jnp.asarray(tb.g_lane)
+    g_row = jnp.asarray(tb.g_row)
+    s_row = jnp.asarray(tb.s_row)
+    s_nlane = jnp.asarray(tb.s_nlane)
+    geo_j = jnp.asarray(geo)
+    dmats_j = jnp.asarray(dmats)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tb.nbatch,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # y0 (aliased)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xv
+            chain_spec(tb.kg),  # g_lane
+            chain_spec(tb.kg),  # g_row
+            chain_spec(tb.ks),  # s_row
+            chain_spec(tb.ks),  # s_nlane
+            chain_spec(ngeo),  # geo
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dmats (whole)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((H, _LANES), dtype),  # xw
+            pltpu.VMEM((H, _LANES), dtype),  # yw
+            pltpu.VMEM((H, _LANES), dtype),  # ye
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nrows, _LANES), dtype),
+        # y accumulates in place across (sequential) grid steps; operand
+        # index counts the scalar-prefetch arg at position 0
+        input_output_aliases={1: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+    )
+
+    ndofs_pad = nrows * _LANES
+
+    def apply(x):
+        xp = jnp.zeros((ndofs_pad,), dtype=dtype)
+        xp = xp.at[: x.shape[0]].set(x.astype(dtype))
+        xv = xp.reshape(nrows, _LANES)
+        y0 = jnp.zeros((nrows, _LANES), dtype=dtype)
+        out = call(start_rows, y0, xv, g_lane, g_row, s_row, s_nlane,
+                   geo_j, dmats_j)
+        return out.reshape(-1)[: x.shape[0]]
+
+    return apply

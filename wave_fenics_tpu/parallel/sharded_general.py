@@ -1,0 +1,302 @@
+"""Distributed execution for UNSTRUCTURED (explicit-dofmap) meshes.
+
+The reference distributes arbitrary partitioned DOLFINx meshes with MPI
+neighbor all-to-all over owned/ghost index maps
+(demo/gpu_scatter_mpi/VectorUpdater.hpp:21-230, DOLFINx common::IndexMap).
+The TPU-native redesign keeps the *capability* — any hex mesh, any cell
+partition — but re-expresses the variable-size per-neighbor machinery as
+fixed-shape sharded tables + XLA collectives under ``shard_map``:
+
+- cells are split by recursive coordinate bisection (``rcb_partition``);
+- each device holds its cells' dofs (owned + interface copies) in a local
+  vector padded to a common length (+1 dummy slot that absorbs padding);
+- after a local matrix-free apply, interface dofs hold PARTIAL sums; one
+  ``all_gather`` of each device's fixed-size interface buffer plus a
+  static per-device gather-sum table completes the assembly (the
+  forward+reverse scatter of VectorUpdater, deterministic by fixed
+  summation order);
+- ownership weights (1/multiplicity) make global dots exact, as in the
+  structured paths.
+
+All shapes are static (padded to per-fleet maxima), so the whole solve
+jits into one XLA program per device with ICI collectives.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..models.general_wave import GeneralLinearWave
+from ..ops import element_kernels as ek
+from ..solvers.rk4 import rk4_solve_n
+
+__all__ = ["rcb_partition", "ShardedGeneralWave"]
+
+
+def rcb_partition(points: np.ndarray, nparts: int) -> np.ndarray:
+    """Recursive coordinate bisection of point set into ``nparts`` balanced
+    parts (the mesh-agnostic analogue of the reference's Cartesian
+    decompose, demo/gpu_cg/mesh.hpp:37-112). Returns part id per point."""
+    parts = np.zeros(len(points), np.int32)
+
+    def rec(idx, lo, n):
+        if n == 1:
+            parts[idx] = lo
+            return
+        n0 = n // 2
+        axis = int(np.argmax(np.ptp(points[idx], axis=0)))
+        order = idx[np.argsort(points[idx][:, axis], kind="stable")]
+        cut = len(idx) * n0 // n
+        rec(order[:cut], lo, n0)
+        rec(order[cut:], lo + n0, n - n0)
+
+    rec(np.arange(len(points)), 0, nparts)
+    return parts
+
+
+@dataclass(frozen=True)
+class ShardedGeneralWave:
+    """Distributed GeneralLinearWave over a 1D device mesh ('d')."""
+
+    model: GeneralLinearWave
+    ndev: int
+    devices: object = None
+
+    @cached_property
+    def mesh(self) -> Mesh:
+        devs = self.devices if self.devices is not None else jax.devices()
+        if len(devs) < self.ndev:
+            raise ValueError(f"need {self.ndev} devices, have {len(devs)}")
+        return Mesh(np.array(devs[: self.ndev]), axis_names=("d",))
+
+    # ------------------------------------------------------------------
+    # host setup: partition, local maps, exchange tables
+    # ------------------------------------------------------------------
+    @cached_property
+    def _setup(self):
+        md = self.model
+        nd = (md.p + 1) ** 3
+        dofmap = np.asarray(md.dofs.dofmap, np.int64)
+        nc = dofmap.shape[0]
+        cent = md.mesh.cell_coords().mean(axis=1)
+        part = rcb_partition(cent, self.ndev)
+
+        cells_of = [np.where(part == i)[0] for i in range(self.ndev)]
+        NC = max(len(c) for c in cells_of)
+
+        loc_ids: list[np.ndarray] = []  # global ids of local dofs, per part
+        g2l: list[dict] = []
+        for i in range(self.ndev):
+            ids = np.unique(dofmap[cells_of[i]])
+            loc_ids.append(ids)
+            g2l.append({int(g): k for k, g in enumerate(ids)})
+        NL = max(len(ids) for ids in loc_ids)
+        NLP = NL + 1  # +1 dummy slot absorbing all padding
+
+        # local dofmaps + geometric factors, padded
+        ldof = np.full((self.ndev, NC, nd), NL, np.int32)
+        G = np.asarray(md.ops._G)  # [nc, nq, nq, nq, 3, 3]
+        npdt = np.dtype(md.dtype)
+        Gl = np.zeros((self.ndev, NC) + G.shape[1:], npdt)
+        for i, cells in enumerate(cells_of):
+            lut = g2l[i]
+            ldof[i, : len(cells)] = np.vectorize(lut.__getitem__)(
+                dofmap[cells]
+            ).astype(np.int32)
+            Gl[i, : len(cells)] = G[cells]
+
+        # per-dof part multiplicity -> interface dofs + ownership weights
+        counts = np.zeros(md.ndofs, np.int32)
+        for ids in loc_ids:
+            counts[ids] += 1
+        shared = counts > 1
+
+        # interface buffers: slot s of part i <-> global dof bdofs[i][s]
+        bdofs = [ids[shared[ids]] for ids in loc_ids]
+        S = max((len(b) for b in bdofs), default=1) or 1
+        bidx = np.full((self.ndev, S), NL, np.int32)
+        slot_of = [dict() for _ in range(self.ndev)]
+        for i, bd in enumerate(bdofs):
+            for s, g in enumerate(bd):
+                bidx[i, s] = g2l[i][int(g)]
+                slot_of[i][int(g)] = s
+        deg = max((int(counts[bd].max()) for bd in bdofs if len(bd)),
+                  default=2)
+        K = max(deg - 1, 1)
+        # recv[i, s, k]: flat index into the all-gathered [ndev*S] buffer
+        # (+ sentinel ndev*S -> appended zero) of the k-th OTHER copy
+        recv = np.full((self.ndev, S, K), self.ndev * S, np.int32)
+        holders: dict[int, list[int]] = {}
+        for i, bd in enumerate(bdofs):
+            for g in bd:
+                holders.setdefault(int(g), []).append(i)
+        for g, hs in holders.items():
+            for i in hs:
+                k = 0
+                for j in hs:
+                    if j == i:
+                        continue
+                    recv[i, slot_of[i][g], k] = j * S + slot_of[j][g]
+                    k += 1
+
+        # per-dof local vectors: inv_m, W1, W2, ownership weights
+        def localize(vec, dummy=0.0):
+            out = np.full((self.ndev, NLP), dummy, npdt)
+            for i, ids in enumerate(loc_ids):
+                out[i, : len(ids)] = vec[ids]
+            return out
+
+        inv_m = localize(np.asarray(md.inv_m, np.float64))
+        W1 = localize(np.asarray(md.W1, np.float64))
+        W2 = localize(np.asarray(md.W2, np.float64))
+        own = localize(1.0 / counts.astype(np.float64))
+
+        return dict(
+            part=part, cells_of=cells_of, loc_ids=loc_ids, NC=NC,
+            NL=NL, NLP=NLP, S=S, K=K,
+            ldof=ldof, G=Gl, bidx=bidx, recv=recv,
+            inv_m=inv_m, W1=W1, W2=W2, own=own,
+        )
+
+    # ------------------------------------------------------------------
+    # device tables (sharded on axis 'd')
+    # ------------------------------------------------------------------
+    @cached_property
+    def _tables(self):
+        s = self._setup
+        sh = lambda a, spec: jax.device_put(
+            jnp.asarray(a), NamedSharding(self.mesh, spec)
+        )
+        sp = P("d", *([None] * 1))
+        return dict(
+            ldof=sh(s["ldof"], P("d", None, None)),
+            G=sh(s["G"], P("d", *([None] * (s["G"].ndim - 1)))),
+            bidx=sh(s["bidx"], P("d", None)),
+            recv=sh(s["recv"], P("d", None, None)),
+            inv_m=sh(s["inv_m"], sp),
+            W1=sh(s["W1"], sp),
+            W2=sh(s["W2"], sp),
+            own=sh(s["own"], sp),
+        )
+
+    @property
+    def state_spec(self):
+        return P("d", None)
+
+    # ------------------------------------------------------------------
+    # local physics (runs inside shard_map; arrays are local views)
+    # ------------------------------------------------------------------
+    def _assemble(self, b, bidx, recv):
+        """Sum interface partial contributions across parts: one
+        all_gather of the fixed-size interface buffer + static gather-sum
+        (VectorUpdater.hpp:106-152 semantics, deterministic)."""
+        buf = b[bidx]  # [S]
+        g = lax.all_gather(buf, "d")  # [ndev, S]
+        gf = jnp.concatenate(
+            [g.reshape(-1), jnp.zeros((1,), dtype=b.dtype)]
+        )
+        add = gf.at[recv].get(mode="promise_in_bounds").sum(axis=1)
+        return b.at[bidx].add(add, mode="promise_in_bounds")
+
+    def _f1_local(self, t, u, v, tb):
+        md = self.model
+        m1 = md.p + 1
+        coeff = -jnp.asarray(md.c0, dtype=md.dtype) ** 2
+        xe = u.at[tb["ldof"]].get(
+            mode="promise_in_bounds"
+        ).reshape(-1, m1, m1, m1)
+        ye = ek.stiffness_element_full(
+            xe, np.asarray(md.ops._B), np.asarray(md.ops._D), tb["G"],
+            coeff,
+        )
+        b = jnp.zeros(u.shape, dtype=u.dtype).at[
+            tb["ldof"].reshape(-1)
+        ].add(ye.reshape(-1), mode="promise_in_bounds")
+        b = self._assemble(b, tb["bidx"], tb["recv"])
+        g = (md.c0**2 * md.g_amplitude(t)).astype(md.dtype)
+        b = b + g * tb["W1"] - md.c0 * (tb["W2"] * v)
+        return b * tb["inv_m"]
+
+    # ------------------------------------------------------------------
+    # drivers
+    # ------------------------------------------------------------------
+    def zero_state(self):
+        s = self._setup
+        z = jax.device_put(
+            jnp.zeros((self.ndev, s["NLP"]), dtype=self.model.dtype),
+            NamedSharding(self.mesh, self.state_spec),
+        )
+        return z, z
+
+    def solve_n(self, t0, dt, nsteps, u0=None, v0=None):
+        if u0 is None:
+            u0, v0 = self.zero_state()
+        tb = self._tables
+        names = list(tb)
+        specs = tuple(tb[n].sharding.spec for n in names)
+
+        def local(u, v, *ops):
+            # shard_map gives local blocks with the leading 'd' axis of
+            # size 1; squeeze it
+            tloc = {n: o.reshape(o.shape[1:]) for n, o in
+                    zip(names, ops)}
+            usq = u.reshape(u.shape[1:])
+            vsq = v.reshape(v.shape[1:])
+            f0 = lambda t, uu, vv: vv
+            f1 = lambda t, uu, vv: self._f1_local(t, uu, vv, tloc)
+            uo, vo = rk4_solve_n(f0, f1, usq, vsq, t0, dt, nsteps)
+            return uo.reshape(u.shape), vo.reshape(v.shape)
+
+        sm = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(self.state_spec, self.state_spec) + specs,
+            out_specs=(self.state_spec, self.state_spec),
+        )
+        u, v = jax.jit(sm)(u0, v0, *[tb[n] for n in names])
+        return u, v, nsteps
+
+    # ------------------------------------------------------------------
+    # global <-> local conversion + weighted reductions
+    # ------------------------------------------------------------------
+    def from_global(self, x: np.ndarray) -> jax.Array:
+        s = self._setup
+        out = np.zeros((self.ndev, s["NLP"]), np.dtype(self.model.dtype))
+        for i, ids in enumerate(s["loc_ids"]):
+            out[i, : len(ids)] = np.asarray(x)[ids]
+        return jax.device_put(
+            jnp.asarray(out), NamedSharding(self.mesh, self.state_spec)
+        )
+
+    def to_global(self, xs: jax.Array) -> np.ndarray:
+        s = self._setup
+        xs = np.asarray(xs)
+        out = np.zeros(self.model.ndofs, xs.dtype)
+        for i, ids in enumerate(s["loc_ids"]):
+            out[ids] = xs[i, : len(ids)]
+        return out
+
+    def dot(self, a: jax.Array, b: jax.Array):
+        """Ownership-weighted global dot (each shared dof counted once)."""
+        tb = self._tables
+
+        def local(x, y, w):
+            return lax.psum(
+                jnp.sum(x * y * w, keepdims=True).reshape(1, 1), "d"
+            )
+
+        sm = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(self.state_spec, self.state_spec,
+                      tb["own"].sharding.spec),
+            out_specs=P(None, None),
+        )
+        return sm(a, b, tb["own"]).reshape(())

@@ -45,15 +45,16 @@ def _parser():
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) via config update "
                          "(the env var route hangs in this image)")
-    ap.add_argument("--canary-timeout", type=int, default=660,
-                    help="seconds for a candidate's canary phase (must "
-                         "cover a cold compile PLUS tunnel lease recovery, "
-                         "which alone can take ~5-9 minutes)")
-    ap.add_argument("--warm-timeout", type=int, default=600,
-                    help="seconds for the lease-warmer phase (a trivial "
-                         "non-Pallas op that absorbs tunnel lease recovery "
-                         "before any real candidate runs; 0=skip)")
-    ap.add_argument("--watchdog", type=int, default=2400,
+    ap.add_argument("--canary-timeout", type=int, default=900,
+                    help="seconds from WARM_OK to CANARY_OK (one-step run "
+                         "compiled+executed; a committed bench_cache hit "
+                         "makes this seconds, a cold tile-32 step compile "
+                         "measures ~14 minutes)")
+    ap.add_argument("--warm-timeout", type=int, default=900,
+                    help="seconds for the worker's in-process lease warmer "
+                         "(client establishment through the tunnel measures "
+                         "5-15 minutes when any client ran recently)")
+    ap.add_argument("--watchdog", type=int, default=2700,
                     help="overall seconds before emitting a failure line "
                          "(0=off)")
     ap.add_argument("--worker", choices=["canary", "timed", "both", "warm"],
@@ -185,16 +186,21 @@ def _worker(args):
     except Exception:
         pass
 
-    if args.worker == "warm":
-        # lease warmer: a trivial non-Pallas dispatch. Its only job is to
-        # establish/recover the (single) tunnel client lease so the real
-        # candidates' canary timers measure compile, not queueing.
+    def warm():
+        # lease warmer: a trivial non-Pallas dispatch inside THIS client.
+        # Establishing a client through the tunnel measures 5-15 minutes
+        # when another client ran recently (clean exit or not), so the
+        # warmup must happen in the SAME process as the candidate — a
+        # separate warmer process would just burn one more client setup.
         import jax.numpy as jnp
 
         x = jnp.full((256, 256), 1.0 / 256.0)
         y = (x @ x).sum()
         print(f"WARM_OK backend={jax.default_backend()} "
               f"val={float(y):.3f}", flush=True)
+
+    if args.worker == "warm":
+        warm()
         return
 
     solver = args.solver
@@ -210,6 +216,8 @@ def _worker(args):
 
     from wave_fenics_tpu.utils.timing import timeit
 
+    if args.worker in ("canary", "both"):
+        warm()  # client-lease establishment, before any Pallas work
     ndofs, u0, v0, run = _build(args, solver)
     # the step count is a DEVICE scalar so canary and timed runs hit the
     # same executable (python ints would bake the trip count into the HLO)
@@ -247,9 +255,11 @@ def _run_candidate(args, solver, canary_timeout, timed_timeout):
     TPU client for both phases (client setup through the tunnel can take
     minutes, so two processes per measurement doubles the exposure).
 
-    The orchestrator streams the worker's stdout: the CANARY_OK line must
-    arrive within ``canary_timeout``; the JSON result then gets a fresh
-    ``timed_timeout``. Returns (json_line, None) or (None, reason).
+    The orchestrator streams the worker's stdout through three phase
+    deadlines: WARM_OK (client lease established; ``warm_timeout``),
+    then CANARY_OK (one-step run compiled+executed; ``canary_timeout``),
+    then the JSON result (``timed_timeout``). Returns (json_line, None)
+    or (None, reason).
     """
     import select
     import tempfile
@@ -280,9 +290,9 @@ def _run_candidate(args, solver, canary_timeout, timed_timeout):
         start_new_session=True, preexec_fn=_die_with_parent,
     )
     _ACTIVE_WORKERS.add(proc)
-    got_canary = False
+    phase = "warm"
     json_line = None
-    deadline = time.monotonic() + canary_timeout
+    deadline = time.monotonic() + args.warm_timeout
     try:
         fd = proc.stdout.fileno()
         os.set_blocking(fd, False)
@@ -291,9 +301,7 @@ def _run_candidate(args, solver, canary_timeout, timed_timeout):
             if time.monotonic() > deadline:
                 _kill_group(proc)
                 proc.wait()
-                return None, (
-                    "canary timeout" if not got_canary else "timed timeout"
-                )
+                return None, f"{phase} timeout"
             r, _, _ = select.select([proc.stdout], [], [], 1.0)
             chunk = None
             if r:
@@ -303,8 +311,13 @@ def _run_candidate(args, solver, canary_timeout, timed_timeout):
                 buf += chunk
                 while "\n" in buf:
                     line, buf = buf.split("\n", 1)
-                    if "CANARY_OK" in line and not got_canary:
-                        got_canary = True
+                    if "WARM_OK" in line and phase == "warm":
+                        phase = "canary"
+                        print(f"# lease warm ok ({solver})",
+                              file=sys.stderr, flush=True)
+                        deadline = time.monotonic() + canary_timeout
+                    elif "CANARY_OK" in line and phase != "timed":
+                        phase = "timed"
                         print(f"# canary ok: {solver}",
                               file=sys.stderr, flush=True)
                         deadline = time.monotonic() + timed_timeout
@@ -349,53 +362,6 @@ def _reap_and_exit(signum, frame):
     os._exit(128 + signum)
 
 
-def _run_warm(args):
-    """Lease-warmer phase: run a trivial-op worker and wait for WARM_OK.
-
-    On timeout the worker is killed and the benchmark proceeds anyway —
-    the warmer has still absorbed (most of) the lease recovery window, and
-    its own death only wedges what was already wedged."""
-    import select
-    import time
-
-    cmd = [sys.executable, os.path.abspath(__file__), "--worker", "warm"]
-    if args.platform:
-        cmd += ["--platform", args.platform]
-    proc = subprocess.Popen(
-        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-        start_new_session=True, preexec_fn=_die_with_parent,
-    )
-    _ACTIVE_WORKERS.add(proc)
-    t0 = time.monotonic()
-    deadline = t0 + args.warm_timeout
-    try:
-        fd = proc.stdout.fileno()
-        os.set_blocking(fd, False)
-        buf = ""
-        while time.monotonic() < deadline:
-            r, _, _ = select.select([proc.stdout], [], [], 1.0)
-            if r:
-                raw = os.read(fd, 65536)
-                if raw:
-                    buf += raw.decode("utf-8", errors="replace")
-                    if "WARM_OK" in buf:
-                        print(f"# lease warm ok in "
-                              f"{time.monotonic() - t0:.1f}s",
-                              file=sys.stderr, flush=True)
-                        proc.wait()
-                        return
-                elif proc.poll() is not None:
-                    break
-            elif proc.poll() is not None:
-                break
-        _kill_group(proc)
-        proc.wait()
-        print("# lease warmer did not finish (proceeding)",
-              file=sys.stderr, flush=True)
-    finally:
-        _ACTIVE_WORKERS.discard(proc)
-
-
 def main():
     args = _parser().parse_args()
     if args.worker:
@@ -418,12 +384,6 @@ def main():
         signal.alarm(args.watchdog)
 
     _merge_repo_cache()
-    # lease-warmer: on the tunneled TPU backend, the first client after a
-    # killed one can silently queue for 5-9 minutes; burn that wait on a
-    # trivial op so candidate canaries measure compile time, not queueing
-    if args.warm_timeout and (args.platform or "default") == "default":
-        _run_warm(args)
-
     # auto order: fastest hardware-validated solver first (step 2.96,
     # fused 1.42, padded 1.09 GDoF*steps/s on v5e). A canary that *hangs*
     # gets its subprocess killed mid-dispatch, which can wedge the chip

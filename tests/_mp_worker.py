@@ -8,7 +8,12 @@ demo/gpu_scatter_mpi/main.cpp:105-160): it exercises cross-process
 sharding metadata, host->device transfer of blocked arrays, and Gloo
 collectives across the process boundary.
 
-Usage: python _mp_worker.py PORT PROC_ID NUM_PROCS OUTDIR
+Usage: python _mp_worker.py PORT PROC_ID NUM_PROCS OUTDIR PARTS MODE
+
+PARTS: comma list like "4,1,1" (2-axis splits exercise corner/edge
+exchanges across the process boundary); MODE: "stage" (per-stage
+halo-add solve_n) or "step" (value-halo fused-step solve_step_n across
+processes).
 """
 
 import json
@@ -26,6 +31,9 @@ def main():
     port, pid, nprocs, outdir = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    parts = tuple(int(s) for s in (sys.argv[5] if len(sys.argv) > 5
+                                   else "4,1,1").split(","))
+    mode = sys.argv[6] if len(sys.argv) > 6 else "stage"
 
     from wave_fenics_tpu.parallel.distributed import (
         initialize, process_summary,
@@ -50,19 +58,24 @@ def main():
     tags = FacetTags({1: (0,), 2: (1,)})
     mesh = box_mesh((4, 4, 2), (1.0e-2, 1.0e-2, 0.5e-2), facet_tags=tags)
     model = LinearWave(mesh, p=3, c0=1500.0, freq0=0.5e6, dtype=jnp.float64)
-    sw = ShardedPaddedWave(model, parts=(4, 1, 1))
+    sw = ShardedPaddedWave(model, parts=parts)
 
     dt = 1.0e-8
     nsteps = 5
-    u, v, _ = sw.solve_n(0.0, dt, nsteps)
+    if mode == "step":
+        assert sw._step_tables is not None, "step path must apply here"
+        u, v, _ = sw.solve_step_n(0.0, dt, nsteps)
+    else:
+        u, v, _ = sw.solve_n(0.0, dt, nsteps)
 
     # gather the blocked global arrays to every process, reduce to the
     # plain dof grid, and let process 0 write it for the parent to check
     u_all = multihost_utils.process_allgather(u, tiled=True)
     v_all = multihost_utils.process_allgather(v, tiled=True)
     if pid == 0:
-        ug = sw.to_global(np.asarray(u_all))
-        vg = sw.to_global(np.asarray(v_all))
+        conv = sw.to_global_step if mode == "step" else sw.to_global
+        ug = conv(np.asarray(u_all))
+        vg = conv(np.asarray(v_all))
         np.save(os.path.join(outdir, "u.npy"), ug)
         np.save(os.path.join(outdir, "v.npy"), vg)
         print(json.dumps({"u_l2": float(np.linalg.norm(ug)),

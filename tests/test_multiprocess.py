@@ -28,7 +28,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_solve_matches_single(tmp_path):
+@pytest.mark.parametrize(
+    "parts,mode",
+    [("4,1,1", "stage"),   # 1-axis split, per-stage halo-add
+     ("2,2,1", "stage"),   # 2-axis split: corner/edge exchange across procs
+     ("2,2,1", "step")],   # value-halo fused-step mode across procs
+)
+def test_two_process_solve_matches_single(tmp_path, parts, mode):
     here = os.path.dirname(os.path.abspath(__file__))
     worker = os.path.join(here, "_mp_worker.py")
     repo_root = os.path.dirname(here)
@@ -45,7 +51,8 @@ def test_two_process_solve_matches_single(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(i), "2", str(tmp_path)],
+            [sys.executable, worker, str(port), str(i), "2", str(tmp_path),
+             parts, mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
         )

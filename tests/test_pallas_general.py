@@ -127,6 +127,23 @@ def test_first_appearance_numbering_locality():
     assert spans.max() < plane
 
 
+def test_fused_apply_first_built_inside_jit():
+    """Building the fused apply for the first time INSIDE a jit trace must
+    not cache tracers (the round-2 padded-model failure class): a second
+    jitted call and an eager call must both still work and agree."""
+    hm = _perturbed_mesh((3, 3, 2), (1.0, 0.8, 0.9), seed=13)
+    dm = build_dofmap(hm, 2)
+    ops = GeneralOperators(hm, dm, dtype=jnp.float64)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal(dm.ndofs))
+    jf = jax.jit(lambda a: ops.stiffness_fused(a, 2.0))
+    y1 = np.asarray(jf(x))          # builds tables inside the trace
+    y2 = np.asarray(jf(x + 0.0))    # second jitted call
+    y3 = np.asarray(ops.stiffness_fused(x, 2.0))  # eager
+    np.testing.assert_allclose(y2, y1, rtol=1e-14)
+    np.testing.assert_allclose(y3, y1, rtol=1e-14)
+
+
 def test_general_stiffness_dispatch_uses_oracle_off_tpu():
     """On CPU the public stiffness() stays on the indexed path (fused is
     TPU-only at runtime) and matches stiffness_indexed."""

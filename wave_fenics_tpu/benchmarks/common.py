@@ -42,6 +42,9 @@ def apply_platform(args) -> None:
 
     if getattr(args, "platform", "default") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+        ndev = int(getattr(args, "ndev", 1) or 1)
+        if ndev > 1:  # virtual device mesh for sharded benchmarks
+            jax.config.update("jax_num_cpu_devices", ndev)
     cache = os.environ.get(
         "WAVE_FENICS_TPU_CACHE", os.path.expanduser("~/.wave_fenics_jax_cache")
     )

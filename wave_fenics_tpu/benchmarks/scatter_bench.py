@@ -65,7 +65,7 @@ def main():
         )
     else:
         from ..models.linear_wave import LinearWave
-        from ..parallel.halo import halo_add
+        from ..parallel.halo import halo_add, halo_sync
         from ..parallel.partition import decompose3d
         from ..parallel.sharded_wave import ShardedLinearWave, _BLOCK_SPEC
         from jax import shard_map
@@ -75,25 +75,31 @@ def main():
         u, _ = sw.zero_state()
         parts = sw.parts
 
-        def local(xb):
-            sq = xb.reshape(xb.shape[3:])
-            def body(i, a):
-                return halo_add(a, parts)
-            return lax.fori_loop(0, reps, body, sq).reshape(xb.shape)
+        def make(fn):
+            def local(xb):
+                sq = xb.reshape(xb.shape[3:])
+                return lax.fori_loop(
+                    0, reps, lambda i, a: fn(a, parts), sq
+                ).reshape(xb.shape)
+            return jax.jit(shard_map(
+                local, mesh=sw.mesh, in_specs=(_BLOCK_SPEC,),
+                out_specs=_BLOCK_SPEC,
+            ))
 
-        run = jax.jit(
-            shard_map(
-                local, mesh=sw.mesh, in_specs=(_BLOCK_SPEC,), out_specs=_BLOCK_SPEC
-            )
-        )
-        t = timeit(run, u, reps=3, warmup=1) / reps
+        # halo_add = reverse (sum partials) + forward (sync copies); the
+        # reference times update_rev/update_fwd separately
+        # (demo/gpu_scatter_mpi/main.cpp:105-160) — halo_sync is its fwd
+        run_add, run_fwd = make(halo_add), make(halo_sync)
+        t = timeit(run_add, u, reps=3, warmup=1) / reps
+        t_fwd = timeit(run_fwd, u, reps=3, warmup=1) / reps
         face = (
             sw.block_shape[1] * sw.block_shape[2] * np.dtype(dtype).itemsize
         )
         report(
-            metric="halo-add exchange (3-axis ppermute)",
+            metric="halo exchange (3-axis ppermute)",
             ndev=args.ndev, parts=list(parts), degree=p, dtype=args.dtype,
             us_per_exchange=round(t * 1e6, 2),
+            us_per_fwd_sync=round(t_fwd * 1e6, 2),
             face_bytes=face,
         )
 

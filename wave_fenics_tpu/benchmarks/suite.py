@@ -91,12 +91,22 @@ def main():
             "--degree", str(p), "--reps", reps)
         run("cg_bench", "--size", cg_size, "--degree", str(p))
     run("scatter_bench", "--mode", "local", "--size", size, "--check")
+    # multi-device halo exchange record (ndev=8 virtual CPU mesh here;
+    # measures the fixed-shape exchange program the real slice would run
+    # over ICI — fwd/rev split like gpu_scatter_mpi/main.cpp:105-160)
+    _run(args.out, results, "scatter_bench", "--mode", "halo", "--size",
+         "16" if args.quick else "32", "--ndev", "8", "--platform", "cpu")
     # explicit-dofmap (unstructured-mesh) operator path at p=4
     gsize = "8" if args.quick else "16"
     run("operators_bench", "--op", "mass", "--size", gsize, "--degree", "4",
         "--reps", reps)
+    # fused windowed kernel (round 3) + pinned XLA indexed baseline
     run("operators_bench", "--op", "stiffness-general", "--size", gsize,
-        "--degree", "4", "--reps", reps)
+        "--degree", "4", "--reps", reps, "--check")
+    run("operators_bench", "--op", "mass-general", "--size", gsize,
+        "--degree", "4", "--reps", reps, "--check")
+    run("operators_bench", "--op", "stiffness-general-xla", "--size", gsize,
+        "--degree", "4", "--reps", "10")
     if args.platform != "cpu":
         # headline solves (real chip only): validated padded path and the
         # fused-stage candidate

@@ -189,13 +189,12 @@ def make_general_apply(
         )
 
     nrows = tb.padded_rows
-    start_rows = jnp.asarray(tb.start_rows)
-    g_lane = jnp.asarray(tb.g_lane)
-    g_row = jnp.asarray(tb.g_row)
-    s_row = jnp.asarray(tb.s_row)
-    s_nlane = jnp.asarray(tb.s_nlane)
-    geo_j = jnp.asarray(geo)
-    dmats_j = jnp.asarray(dmats)
+    # tables stay NumPy: they become per-trace compile-time constants and
+    # can never leak tracers when the apply is first built inside a jit
+    # trace (same failure class as round 2's padded-model table leak)
+    start_rows = np.ascontiguousarray(tb.start_rows)
+    g_lane, g_row = tb.g_lane, tb.g_row
+    s_row, s_nlane = tb.s_row, tb.s_nlane
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -240,7 +239,7 @@ def make_general_apply(
         xv = xp.reshape(nrows, _LANES)
         y0 = jnp.zeros((nrows, _LANES), dtype=dtype)
         out = call(start_rows, y0, xv, g_lane, g_row, s_row, s_nlane,
-                   geo_j, dmats_j)
+                   geo, dmats)
         return out.reshape(-1)[: x.shape[0]]
 
     return apply

@@ -44,7 +44,7 @@ __all__ = ["build_mass_tables", "make_mass_apply", "mass_fused"]
 
 def _kernel_mass(
     xp_ref, wxt_ref, cvy_ref, cvz_ref, out_ref, slab, acc_ref, sem,
-    *, p, Tx, Ly, Lz, dtype,
+    *, p, Tx, Ly, Lz, dtype, ablate=(),
 ):
     ix = pl.program_id(0)
     n = pl.num_programs(0)
@@ -78,15 +78,18 @@ def _kernel_mass(
         # passes (~5e-3 rel error measured on v5e), which would dominate the
         # CG residual floor; full-f32 costs little (the band matmul is a
         # small fraction of this kernel's time).
-        t1 = jnp.einsum(
-            "os,sf->of", wxt_ref[0], U, preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(dtype)
+        if "xmm" in ablate:
+            t1 = U[8 : 8 + Tx]
+        else:
+            t1 = jnp.einsum(
+                "os,sf->of", wxt_ref[0], U, preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(dtype)
 
         # 2. y-contraction: rolls by (p - k) * Lz on the flattened plane
         acc_ref[:] = cvy_ref[p][None, :] * t1
         for k in range(K):
-            if k == p:
+            if k == p or "rolls" in ablate:
                 continue
             acc_ref[:] += cvy_ref[k][None, :] * pltpu.roll(
                 t1, ((p - k) * Lz) % F, 1
@@ -95,7 +98,7 @@ def _kernel_mass(
         # 3. z-contraction: rolls by (p - k)
         out_ref[:] = cvz_ref[p][None, :] * acc_ref[:]
         for k in range(K):
-            if k == p:
+            if k == p or "rolls" in ablate:
                 continue
             out_ref[:] += cvz_ref[k][None, :] * pltpu.roll(
                 acc_ref[:], (p - k) % F, 1
@@ -146,9 +149,13 @@ def build_mass_tables(
 
 
 def make_mass_apply(
-    layout: PaddedLayout, M1: list[np.ndarray], dtype=jnp.float32
+    layout: PaddedLayout, M1: list[np.ndarray], dtype=jnp.float32,
+    ablate: tuple = (),
 ):
-    """Fused-kernel callable ``apply(xp3d) -> yp3d`` on padded arrays."""
+    """Fused-kernel callable ``apply(xp3d) -> yp3d`` on padded arrays.
+
+    ``ablate``: profiling hook — drop kernel stages ("xmm", "rolls") to
+    bisect where the time goes (experiments/exp_bp1_lowp.py)."""
     p = layout.p
     Tx = layout.tile_x
     Lx, Ly, Lz = layout.padded_shape
@@ -166,7 +173,8 @@ def make_mass_apply(
         jnp.asarray(t) for t in build_mass_tables(layout, M1, dtype)
     )
     kern = functools.partial(
-        _kernel_mass, p=p, Tx=Tx, Ly=Ly, Lz=Lz, dtype=dtype
+        _kernel_mass, p=p, Tx=Tx, Ly=Ly, Lz=Lz, dtype=dtype,
+        ablate=tuple(ablate),
     )
     grid_n = Lx // Tx
     interpret = jax.default_backend() != "tpu"

@@ -1,0 +1,52 @@
+"""One-TPU-client batch of the round-3 experiments.
+
+Client establishment through the tunnel costs minutes; run all round-3
+measurements in ONE process: fused unstructured kernel validation+timing,
+low-degree BP1 diagnosis, roll-throughput microbenchmark.
+
+Run: python experiments/exp_round3_batch.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _run(name, argv):
+    import importlib
+
+    print(json.dumps({"batch_section": name}), flush=True)
+    mod = importlib.import_module(name)
+    old = sys.argv
+    sys.argv = [name] + argv
+    try:
+        mod.main()
+    except Exception as e:  # keep the batch going; record the failure
+        print(json.dumps({"batch_section": name,
+                          "error": f"{type(e).__name__}: {e}"[:400]}),
+              flush=True)
+    finally:
+        sys.argv = old
+
+
+def main():
+    import jax
+
+    # warm the client lease on a trivial op first
+    import jax.numpy as jnp
+
+    y = (jnp.full((256, 256), 1.0 / 256) @ jnp.full((256, 256), 1.0)).sum()
+    print(json.dumps({"warm": float(y),
+                      "backend": jax.default_backend()}), flush=True)
+
+    _run("exp_general_fused", ["--size", "16", "--degree", "4",
+                               "--reps", "100"])
+    _run("exp_bp1_lowp", ["--size", "64", "--degrees", "1", "2",
+                          "--reps", "100"])
+    _run("exp_roll_speed", [])
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,10 @@ class GeneralBatchTables:
     #: tile height (sublane count) of every in-kernel tile; row H-1 is the
     #: zeroed gather sentinel, so windows hold at most (H-1)*128 dofs
     H: int
+    #: element-tile rows that actually hold cells (ceil(B/cpr) padded to
+    #: 8); element-row tables (g_row, geo) are stored at this COMPACT
+    #: height — the kernel pads them back to H with sentinel/zero rows
+    R: int
     #: max cells per batch
     B: int
     #: cells packed per element-tile row (cpr * nd <= 127)
@@ -79,8 +83,8 @@ class GeneralBatchTables:
     start_rows: np.ndarray
     #: [nbatch, B] int32 global cell ids (-1 = empty slot)
     batch_cells: np.ndarray
-    #: gather chains [Kg, nbatch, H, 128]: lanes int8, window rows
-    #: int8/int16
+    #: gather chains: lanes int8 [Kg, nbatch, H, 128]; window rows
+    #: int8/int16 [Kg, nbatch, R, 128] (compact)
     g_lane: np.ndarray
     g_row: np.ndarray
     #: scatter chains [Ks, nbatch, H, 128] int8 each
@@ -140,6 +144,7 @@ def build_batch_tables(
     # 48*cpr at lower degrees where rows pack cpr cells each)
     B = batch_cells if batch_cells is not None else 48 * cpr
     B = min(B, cpr * min(H - 1, _LANES))
+    R = min((-(-B // cpr) + 7) // 8 * 8, H)  # cell rows, padded to 8
     max_w = (H - 1) * _LANES  # row H-1 is the zero sentinel
     row_dt = np.int8 if H <= 128 else np.int16
 
@@ -176,6 +181,7 @@ def build_batch_tables(
     sent_row = H - 1  # zeroed window/element row (gather sentinel)
     sent_lane = _LANES - 1  # zero element lane (scatter sentinel)
     shape = (H, _LANES)
+    rshape = (R, _LANES)  # compact element-row tables
     nrange = np.arange(nd)
 
     kept_batches: list[np.ndarray] = []
@@ -208,7 +214,7 @@ def build_batch_tables(
                 if k == len(g_lane_c):
                     g_lane_c.append(np.zeros(shape, np.int16))
                     g_set_c.append(np.zeros(shape, bool))
-                    g_row_c.append(np.full(shape, sent_row, np.int16))
+                    g_row_c.append(np.full(rshape, sent_row, np.int16))
                 ok = un & (
                     ~g_set_c[k][t, lo_] | (g_lane_c[k][t, lo_] == l)
                 )
@@ -267,8 +273,8 @@ def build_batch_tables(
     Kg = max((len(g[0]) for g in all_g), default=1) or 1
     Ks = max((len(s[0]) for s in all_s), default=1) or 1
 
-    def _stack(per_batch, default, dt, K):
-        out = np.full((K, max(nbatch, 1)) + shape, default, dt)
+    def _stack(per_batch, default, dt, K, shp=shape):
+        out = np.full((K, max(nbatch, 1)) + shp, default, dt)
         for i, chains in enumerate(per_batch):
             for k, ch in enumerate(chains):
                 out[k, i] = ch.astype(dt)
@@ -279,12 +285,12 @@ def build_batch_tables(
         (max(kept_starts) + H) if kept_starts else 1,
     )
     return GeneralBatchTables(
-        H=H, B=B, cpr=cpr, nd=nd, nbatch=nbatch,
+        H=H, R=R, B=B, cpr=cpr, nd=nd, nbatch=nbatch,
         start_rows=np.asarray(kept_starts, np.int32),
         batch_cells=bc,
         g_lane=_stack([g[0] for g in all_g], 0, np.int8, Kg)[:, :nbatch],
         g_row=_stack([g[1] for g in all_g], sent_row, row_dt,
-                     Kg)[:, :nbatch],
+                     Kg, rshape)[:, :nbatch],
         s_row=_stack([s[0] for s in all_s], 0, np.int8, Ks)[:, :nbatch],
         s_nlane=_stack([s[1] for s in all_s], sent_lane, np.int8,
                        Ks)[:, :nbatch],
@@ -295,12 +301,12 @@ def build_batch_tables(
 
 def pack_cell_values(tables: GeneralBatchTables, vals: np.ndarray,
                      dtype=np.float32) -> np.ndarray:
-    """Pack per-cell nodal values [nc, nd] into element tiles
-    [ngeo?, nbatch, H, 128] matching the packed XE/YE layout (zeros in
+    """Pack per-cell nodal values [nc, nd] into COMPACT element tiles
+    [ngeo?, nbatch, R, 128] matching the packed XE/YE cell rows (zeros in
     empty slots). ``vals`` may carry leading axes (e.g. [6, nc, nd])."""
     lead = vals.shape[:-2]
     nd = tables.nd
-    out = np.zeros(lead + (tables.nbatch, tables.H, _LANES),
+    out = np.zeros(lead + (tables.nbatch, tables.R, _LANES),
                    dtype=np.dtype(dtype))
     for i in range(tables.nbatch):
         for b, cell in enumerate(tables.batch_cells[i]):
@@ -320,12 +326,15 @@ def reference_gather(tables: GeneralBatchTables, x: np.ndarray
     xp[: x.size] = x
     xv = xp.reshape(-1, _LANES)
     out = np.zeros((tables.nbatch, H, _LANES), dtype=x.dtype)
+    sent = np.full((H - tables.R, _LANES), H - 1, np.int64)
     for i in range(tables.nbatch):
         Xw = xv[tables.start_rows[i] : tables.start_rows[i] + H].copy()
         Xw[H - 1] = 0.0
         for k in range(tables.kg):
             lane = tables.g_lane[k, i].astype(np.int64)
-            row = tables.g_row[k, i].astype(np.int64)
+            row = np.concatenate(
+                [tables.g_row[k, i].astype(np.int64), sent]
+            )
             T = np.take_along_axis(Xw, lane, axis=1)
             out[i] += np.take_along_axis(T, row, axis=0)
     return out

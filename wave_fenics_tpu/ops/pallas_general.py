@@ -71,11 +71,11 @@ def _kernel(
     yin_ref,  # [padded_rows, 128] ANY — aliased with out_ref
     xv_ref,  # [padded_rows, 128] ANY
     glane_ref, grow_ref, srow_ref, snlane_ref,  # chain tables (VMEM)
-    geo_ref,  # [ngeo, H, 128] geometric factors (VMEM)
+    geo_ref,  # [ngeo, R, 128] geometric factors (VMEM, compact rows)
     dmat_ref,  # [3, 128, 128] static contraction matrices (VMEM)
     out_ref,  # [padded_rows, 128] ANY (aliased input)
     xw, yw, ye, sem,  # scratch
-    *, H, kg, ks, op, coeff, dtype,
+    *, H, R, kg, ks, op, coeff, dtype,
 ):
     del yin_ref
     i = pl.program_id(0)
@@ -94,40 +94,49 @@ def _kernel(
     ).wait()
     xw[H - 1, :] = jnp.zeros((_LANES,), dtype=dtype)  # gather sentinel
 
-    # gather chains: XE = sum_k take(take(Xw, lane_k, 1), row_k, 0)
+    # gather chains: XE = sum_k take(take(Xw, lane_k, 1), row_k, 0).
+    # g_row is stored compact ([R, 128]); pad to the gather's required
+    # full height with sentinel rows (H-1 = the zeroed window row), then
+    # only the R cell rows of the result are real.
     xvals = xw[...]
+    sent = jnp.full((H - R, _LANES), H - 1, dtype=jnp.int32)
     xe = jnp.zeros((H, _LANES), dtype=dtype)
     for k in range(kg):
         lane = glane_ref[k].astype(jnp.int32)
-        row = grow_ref[k].astype(jnp.int32)
+        row = jnp.concatenate(
+            [grow_ref[k].astype(jnp.int32), sent], axis=0
+        )
         t = jnp.take_along_axis(xvals, lane, axis=1)
         xe = xe + jnp.take_along_axis(t, row, axis=0)
+    xer = xe[:R]
 
-    # contraction
+    # contraction on the compact cell rows only
     if op == "mass":
-        yev = xe * geo_ref[0]
+        yer = xer * geo_ref[0]
     else:  # stiffness: ye = coeff * sum_dd' D_d^T (G_dd' * (D_d' xe))
         ud = [
             jax.lax.dot_general(
-                xe, dmat_ref[d], (((1,), (1,)), ((), ())),
+                xer, dmat_ref[d], (((1,), (1,)), ((), ())),
                 preferred_element_type=f32, precision=hi,
             ).astype(dtype)
             for d in range(3)
         ]
         sym = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
-        yev = jnp.zeros((H, _LANES), dtype=dtype)
+        yer = jnp.zeros((R, _LANES), dtype=dtype)
         for d in range(3):
-            w = jnp.zeros((H, _LANES), dtype=dtype)
+            w = jnp.zeros((R, _LANES), dtype=dtype)
             for dp in range(3):
                 gi = sym.index(tuple(sorted((d, dp))))
                 w = w + geo_ref[gi] * ud[dp]
             # transpose apply: contract output-node axis of M[d]
-            yev = yev + jax.lax.dot_general(
+            yer = yer + jax.lax.dot_general(
                 w, dmat_ref[d], (((1,), (0,)), ((), ())),
                 preferred_element_type=f32, precision=hi,
             ).astype(dtype)
-        yev = yev * coeff
-    ye[...] = yev
+        yer = yer * coeff
+    ye[...] = jnp.concatenate(
+        [yer, jnp.zeros((H - R, _LANES), dtype=dtype)], axis=0
+    )
 
     # scatter chains: Yw += sum_j take(take(YE, row_j, 0), nlane_j, 1)
     pltpu.make_async_copy(
@@ -176,15 +185,15 @@ def make_general_apply(
     ngeo = geo.shape[0]
 
     kern = functools.partial(
-        _kernel, H=H, kg=tb.kg, ks=tb.ks, op=op,
+        _kernel, H=H, R=tb.R, kg=tb.kg, ks=tb.ks, op=op,
         coeff=npdt.type(coeff), dtype=dtype,
     )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def chain_spec(K):
+    def chain_spec(K, rows=H):
         return pl.BlockSpec(
-            (K, None, H, _LANES), lambda i, *_: (0, i, 0, 0),
+            (K, None, rows, _LANES), lambda i, *_: (0, i, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -203,10 +212,10 @@ def make_general_apply(
             pl.BlockSpec(memory_space=pltpu.ANY),  # y0 (aliased)
             pl.BlockSpec(memory_space=pltpu.ANY),  # xv
             chain_spec(tb.kg),  # g_lane
-            chain_spec(tb.kg),  # g_row
+            chain_spec(tb.kg, tb.R),  # g_row (compact rows)
             chain_spec(tb.ks),  # s_row
             chain_spec(tb.ks),  # s_nlane
-            chain_spec(ngeo),  # geo
+            chain_spec(ngeo, tb.R),  # geo (compact rows)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dmats (whole)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),

@@ -1,1 +1,8 @@
-from . import distributed, halo, partition, sharded_padded, sharded_wave  # noqa: F401
+from . import (  # noqa: F401
+    distributed,
+    halo,
+    partition,
+    sharded_general,
+    sharded_padded,
+    sharded_wave,
+)

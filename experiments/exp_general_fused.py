@@ -55,9 +55,12 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(ops.ndofs), dtype=jnp.float32)
 
+    from wave_fenics_tpu.benchmarks.common import compile_with_retry
+
     # correctness on chip: fused vs f64 indexed oracle
-    yf = np.asarray(jax.jit(lambda a: ops.stiffness_fused(a, 1500.0))(x),
-                    np.float64)
+    jf = jax.jit(lambda a: ops.stiffness_fused(a, 1500.0))
+    compile_with_retry(jf, x)
+    yf = np.asarray(jf(x), np.float64)
     ops64 = GeneralOperators(hexm, dofs, dtype=jnp.float64)
     y64 = np.asarray(ops64.stiffness_indexed(
         jnp.asarray(np.asarray(x), jnp.float64), 1500.0))

@@ -299,3 +299,31 @@ def test_jit_first_access_no_tracer_leak():
         lambda u, v: pm2.solve_fused_n(0.0, dt, 2, u, v)
     )(*pm2.zero_state())
     np.testing.assert_allclose(np.asarray(uf), np.asarray(ue), rtol=1e-12)
+
+
+def test_dynamic_step_count_solvers_match_scan():
+    """solve_step_dyn / solve_fused_dyn (traced step count, fori_loop —
+    one executable for any window length, what bench.py's canary+timed
+    rely on) must match the static-scan solvers exactly."""
+    import jax.numpy as jnp
+
+    base = _model()
+    pm = PaddedLinearWave(base, tile_x=16)
+    dt = 1e-8
+    u0, v0 = pm.zero_state()
+    us, vs, _ = pm.solve_step_n(0.0, dt, 4, u0, v0)
+    run = jax.jit(lambda u, v, n: pm.solve_step_dyn(0.0, dt, n, u, v))
+    ud, vd = run(u0, v0, jnp.int32(4))
+    np.testing.assert_allclose(np.asarray(vd), np.asarray(vs), rtol=1e-13,
+                               atol=1e-13 * np.abs(np.asarray(vs)).max())
+    # same executable serves a different length
+    ud1, vd1 = run(u0, v0, jnp.int32(1))
+    us1, vs1, _ = pm.solve_step_n(0.0, dt, 1, u0, v0)
+    np.testing.assert_allclose(np.asarray(vd1), np.asarray(vs1), rtol=1e-13,
+                               atol=1e-13 * np.abs(np.asarray(vs1)).max())
+    uf, vf, _ = pm.solve_fused_n(0.0, dt, 4, u0, v0)
+    ufd, vfd = jax.jit(
+        lambda u, v, n: pm.solve_fused_dyn(0.0, dt, n, u, v)
+    )(u0, v0, jnp.int32(4))
+    np.testing.assert_allclose(np.asarray(vfd), np.asarray(vf), rtol=1e-13,
+                               atol=1e-13 * np.abs(np.asarray(vf)).max())

@@ -93,3 +93,19 @@ def test_sharded_general_roundtrip():
     sw = ShardedGeneralWave(md, 8)
     np.testing.assert_array_equal(sw.to_global(sw.from_global(x)),
                                   x.astype(np.float64))
+
+
+def test_sharded_general_fused_and_indexed_agree():
+    """The per-device fused windowed kernel and the XLA indexed local
+    apply must produce identical distributed solves."""
+    md = _perturbed_model(p=4, seed=5)
+    dt = 1e-9
+    sw_f = ShardedGeneralWave(md, 8, use_fused=True)
+    sw_x = ShardedGeneralWave(md, 8, use_fused=False)
+    assert sw_f._fused_setup is not None
+    assert sw_x._fused_setup is None
+    uf, vf, _ = sw_f.solve_n(0.0, dt, 5)
+    ux, vx, _ = sw_x.solve_n(0.0, dt, 5)
+    a, b = sw_f.to_global(vf), sw_x.to_global(vx)
+    np.testing.assert_allclose(a, b, rtol=1e-13,
+                               atol=1e-14 * np.abs(b).max())

@@ -41,7 +41,10 @@ def _bp1_setup(mesh, p, dtype, precond, q=None):
     from ..ops.separable import separable_mass_tables
 
     grid = tuple(n * p + 1 for n in mesh.shape)
-    layout = PaddedLayout(grid, p, tile_x=16, z_align=16)
+    # tile 32 measured best at p=1 (0.91 vs 0.86 GDoF/s): per-grid-step
+    # DMA-issue latency dominates at low degree (docs/BENCH_NOTES.md r3)
+    layout = PaddedLayout(grid, p, tile_x=32 if p == 1 else 16,
+                          z_align=16)
     M1 = separable_mass_tables(p, mesh.h, dtype, q=q)
     apply = make_mass_apply(layout, M1, dtype)
 

@@ -72,6 +72,27 @@ def cells_from_args(args) -> tuple[int, int, int]:
     return (args.size, args.size, args.size)
 
 
+def compile_with_retry(fn, *args, tries: int = 3):
+    """Run ``fn(*args)`` once (forcing compilation), retrying on the
+    tunnel's flaky remote_compile HTTP 500s (docs/BENCH_NOTES.md round 3:
+    kernels that compile fine moments later intermittently get
+    'tpu_compile_helper subprocess exit code 1')."""
+    import sys
+
+    import jax
+
+    for t in range(tries):
+        try:
+            return jax.block_until_ready(fn(*args))
+        except Exception as e:  # noqa: BLE001 — backend-specific classes
+            msg = str(e)
+            if ("remote_compile" not in msg and "compile_helper" not in msg
+                    ) or t == tries - 1:
+                raise
+            print(f"# remote_compile flake, retry {t + 1}",
+                  file=sys.stderr, flush=True)
+
+
 def report(**kv) -> None:
     """One JSON line, reference-table fields included
     (utils.hpp:48-87 analogue)."""

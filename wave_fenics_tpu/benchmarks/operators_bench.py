@@ -25,8 +25,8 @@ from ..core.dofmap import build_dofmap
 from ..core.mesh import box_mesh
 from ..ops.operators import GeneralOperators, StructuredOperators
 from ..utils.timing import timeit
-from .common import (apply_platform, cells_from_args, make_parser,
-                     report, resolve_dtype)
+from .common import (apply_platform, cells_from_args, compile_with_retry,
+                     make_parser, report, resolve_dtype)
 
 
 def main():
@@ -102,6 +102,7 @@ def main():
     def run(x):
         return lax.fori_loop(0, reps, lambda i, a: f(a), x)
 
+    compile_with_retry(run, x)
     t = timeit(run, x, reps=3, warmup=1) / reps
 
     out = {"metric": f"{args.op} matvec", "degree": p, "ndofs": ndofs,

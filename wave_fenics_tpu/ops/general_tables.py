@@ -140,9 +140,11 @@ def build_batch_tables(
     if H % 8 or H > 256:
         raise ValueError("tile_h must be a multiple of 8, <= 256")
     cpr = (_LANES - 1) // nd
-    # default: ~48 element-tile rows of cells per batch (48 cells at p=4,
-    # 48*cpr at lower degrees where rows pack cpr cells each)
-    B = batch_cells if batch_cells is not None else 48 * cpr
+    # default: fill the element tile (128 cell rows — the int8 s_row
+    # cap); pass 1 splits batches earlier when the id window runs out,
+    # and FEWER grid steps matter: the platform charges a fixed
+    # ~30-45 us per grid step (docs/BENCH_NOTES.md round 3)
+    B = batch_cells if batch_cells is not None else _LANES * cpr
     B = min(B, cpr * min(H - 1, _LANES))
     R = min((-(-B // cpr) + 7) // 8 * 8, H)  # cell rows, padded to 8
     max_w = (H - 1) * _LANES  # row H-1 is the zero sentinel

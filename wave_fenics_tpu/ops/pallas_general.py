@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .general_tables import GeneralBatchTables
 
-__all__ = ["make_general_apply", "contraction_matrices"]
+__all__ = ["make_general_apply", "make_general_call",
+           "contraction_matrices"]
 
 _LANES = 128
 
@@ -79,26 +80,41 @@ def _kernel(
 ):
     del yin_ref
     i = pl.program_id(0)
+    n = pl.num_programs(0)
     f32 = jnp.float32 if dtype != jnp.float64 else jnp.float64
     hi = jax.lax.Precision.HIGHEST
 
     start = pl.multiple_of(start_ref[i], 8)
+
+    # double-buffered input-window DMA: batch i+1's window streams in
+    # while batch i computes. The output RMW read stays serial — it may
+    # overlap the PREVIOUS batch's window, whose write completes only at
+    # the end of that grid step.
+    def in_dma(slot, idx):
+        s = pl.multiple_of(start_ref[idx], 8)
+        return pltpu.make_async_copy(
+            xv_ref.at[pl.ds(s, H)], xw.at[slot], sem.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        in_dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        in_dma((i + 1) % 2, i + 1).start()
+
     pltpu.make_async_copy(
-        xv_ref.at[pl.ds(start, H)], xw, sem.at[0]
+        out_ref.at[pl.ds(start, H)], yw, sem.at[2]
     ).start()
-    pltpu.make_async_copy(
-        out_ref.at[pl.ds(start, H)], yw, sem.at[1]
-    ).start()
-    pltpu.make_async_copy(
-        xv_ref.at[pl.ds(start, H)], xw, sem.at[0]
-    ).wait()
-    xw[H - 1, :] = jnp.zeros((_LANES,), dtype=dtype)  # gather sentinel
+    in_dma(i % 2, i).wait()
+    xw[i % 2, H - 1, :] = jnp.zeros((_LANES,), dtype=dtype)  # sentinel
 
     # gather chains: XE = sum_k take(take(Xw, lane_k, 1), row_k, 0).
     # g_row is stored compact ([R, 128]); pad to the gather's required
     # full height with sentinel rows (H-1 = the zeroed window row), then
     # only the R cell rows of the result are real.
-    xvals = xw[...]
+    xvals = xw[i % 2]
     sent = jnp.full((H - R, _LANES), H - 1, dtype=jnp.int32)
     xe = jnp.zeros((H, _LANES), dtype=dtype)
     for k in range(kg):
@@ -140,7 +156,7 @@ def _kernel(
 
     # scatter chains: Yw += sum_j take(take(YE, row_j, 0), nlane_j, 1)
     pltpu.make_async_copy(
-        out_ref.at[pl.ds(start, H)], yw, sem.at[1]
+        out_ref.at[pl.ds(start, H)], yw, sem.at[2]
     ).wait()
     acc = yw[...]
     yevals = ye[...]
@@ -150,7 +166,7 @@ def _kernel(
         pj = jnp.take_along_axis(yevals, row, axis=0)
         acc = acc + jnp.take_along_axis(pj, nlane, axis=1)
     yw[...] = acc
-    cp = pltpu.make_async_copy(yw, out_ref.at[pl.ds(start, H)], sem.at[2])
+    cp = pltpu.make_async_copy(yw, out_ref.at[pl.ds(start, H)], sem.at[3])
     cp.start()
     cp.wait()
 
@@ -175,28 +191,18 @@ def make_general_apply(
     tiles. ``D1``: collocated 1D derivative matrix (stiffness only).
     """
     tb = tables
-    H = tb.H
     npdt = np.dtype(dtype)
     if op == "stiffness":
         dmats = contraction_matrices(p, tb.cpr, np.asarray(D1), npdt)
     else:
         dmats = np.zeros((3, _LANES, _LANES), npdt)
     geo = np.ascontiguousarray(geo, dtype=npdt)
-    ngeo = geo.shape[0]
 
-    kern = functools.partial(
-        _kernel, H=H, R=tb.R, kg=tb.kg, ks=tb.ks, op=op,
-        coeff=npdt.type(coeff), dtype=dtype,
+    call = make_general_call(
+        H=tb.H, R=tb.R, kg=tb.kg, ks=tb.ks, ngeo=geo.shape[0],
+        nrows=tb.padded_rows, nbatch=tb.nbatch, op=op, coeff=coeff,
+        dtype=dtype, interpret=interpret,
     )
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    def chain_spec(K, rows=H):
-        return pl.BlockSpec(
-            (K, None, rows, _LANES), lambda i, *_: (0, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-
     nrows = tb.padded_rows
     # tables stay NumPy: they become per-trace compile-time constants and
     # can never leak tracers when the apply is first built inside a jit
@@ -204,42 +210,6 @@ def make_general_apply(
     start_rows = np.ascontiguousarray(tb.start_rows)
     g_lane, g_row = tb.g_lane, tb.g_row
     s_row, s_nlane = tb.s_row, tb.s_nlane
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(tb.nbatch,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # y0 (aliased)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xv
-            chain_spec(tb.kg),  # g_lane
-            chain_spec(tb.kg, tb.R),  # g_row (compact rows)
-            chain_spec(tb.ks),  # s_row
-            chain_spec(tb.ks),  # s_nlane
-            chain_spec(ngeo, tb.R),  # geo (compact rows)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # dmats (whole)
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((H, _LANES), dtype),  # xw
-            pltpu.VMEM((H, _LANES), dtype),  # yw
-            pltpu.VMEM((H, _LANES), dtype),  # ye
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-    )
-
-    call = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nrows, _LANES), dtype),
-        # y accumulates in place across (sequential) grid steps; operand
-        # index counts the scalar-prefetch arg at position 0
-        input_output_aliases={1: 0},
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 1024 * 1024,
-        ),
-    )
-
     ndofs_pad = nrows * _LANES
 
     def apply(x):
@@ -252,3 +222,61 @@ def make_general_apply(
         return out.reshape(-1)[: x.shape[0]]
 
     return apply
+
+
+def make_general_call(
+    *, H, R, kg, ks, ngeo, nrows, nbatch, op, coeff, dtype,
+    interpret=None,
+):
+    """The compiled program alone (no table capture):
+    ``call(start_rows, y0, xv, g_lane, g_row, s_row, s_nlane, geo, dmats)
+    -> y [nrows, 128]``. Tables are runtime operands, so the same program
+    serves every device of a sharded fleet with per-device tables."""
+    npdt = np.dtype(dtype)
+    kern = functools.partial(
+        _kernel, H=H, R=R, kg=kg, ks=ks, op=op,
+        coeff=npdt.type(coeff), dtype=dtype,
+    )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def chain_spec(K, rows=H):
+        return pl.BlockSpec(
+            (K, None, rows, _LANES), lambda i, *_: (0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbatch,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # y0 (aliased)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xv
+            chain_spec(kg),  # g_lane
+            chain_spec(kg, R),  # g_row (compact rows)
+            chain_spec(ks),  # s_row
+            chain_spec(ks),  # s_nlane
+            chain_spec(ngeo, R),  # geo (compact rows)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dmats (whole)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, H, _LANES), dtype),  # xw (double-buffered)
+            pltpu.VMEM((H, _LANES), dtype),  # yw
+            pltpu.VMEM((H, _LANES), dtype),  # ye
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nrows, _LANES), dtype),
+        # y accumulates in place across (sequential) grid steps; operand
+        # index counts the scalar-prefetch arg at position 0
+        input_output_aliases={1: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+    )

@@ -64,11 +64,18 @@ def rcb_partition(points: np.ndarray, nparts: int) -> np.ndarray:
 
 @dataclass(frozen=True)
 class ShardedGeneralWave:
-    """Distributed GeneralLinearWave over a 1D device mesh ('d')."""
+    """Distributed GeneralLinearWave over a 1D device mesh ('d').
+
+    The local matrix-free apply runs the fused windowed Pallas kernel
+    (ops.pallas_general) when the degree/mesh admit it — per-device
+    window/chain tables padded to fleet maxima so ONE compiled program
+    serves every device — and the XLA indexed path otherwise
+    (``use_fused=False`` pins the baseline)."""
 
     model: GeneralLinearWave
     ndev: int
     devices: object = None
+    use_fused: bool = True
 
     @cached_property
     def mesh(self) -> Mesh:
@@ -166,26 +173,154 @@ class ShardedGeneralWave:
             inv_m=inv_m, W1=W1, W2=W2, own=own,
         )
 
+    @cached_property
+    def _fused_setup(self):
+        """Per-device fused-kernel tables padded to fleet maxima, or None
+        when the fused path does not apply (p > 4 / excessive spill)."""
+        if not self.use_fused:
+            return None
+        md = self.model
+        nd = (md.p + 1) ** 3
+        if nd > 127:
+            return None
+        from ..ops.general_tables import (
+            build_batch_tables, pack_cell_values,
+        )
+
+        s = self._setup
+        npdt = np.dtype(md.dtype)
+        sym = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+        for H in (128, 256):
+            tbs = []
+            nspill = 0
+            for i in range(self.ndev):
+                nc_i = len(s["cells_of"][i])
+                tb = build_batch_tables(
+                    s["ldof"][i, :nc_i].astype(np.int64),
+                    len(s["loc_ids"][i]), tile_h=H,
+                )
+                tbs.append(tb)
+                nspill += len(tb.spill_cells)
+            if nspill <= 0.02 * md.mesh.ncells:
+                break
+        if nspill > 0.5 * md.mesh.ncells:
+            return None
+        NB = max(tb.nbatch for tb in tbs)
+        KG = max(tb.kg for tb in tbs)
+        KS = max(tb.ks for tb in tbs)
+        R = tbs[0].R
+        nrows = max(tb.padded_rows for tb in tbs)
+        nrows = max(nrows, -(-s["NLP"] // 128), H)
+        nsp = max((len(tb.spill_cells) for tb in tbs), default=0)
+
+        start = np.zeros((self.ndev, NB), np.int32)
+        g_lane = np.zeros((self.ndev, KG, NB, H, 128), np.int8)
+        g_row = np.full((self.ndev, KG, NB, R, 128), H - 1,
+                        tbs[0].g_row.dtype)
+        s_row = np.zeros((self.ndev, KS, NB, H, 128), np.int8)
+        s_nlane = np.full((self.ndev, KS, NB, H, 128), 127, np.int8)
+        geo = np.zeros((self.ndev, 6, NB, R, 128), npdt)
+        # spill subset (XLA indexed per device), padded
+        sp_dof = np.full((self.ndev, max(nsp, 1), nd), s["NL"], np.int32)
+        sp_G = np.zeros(
+            (self.ndev, max(nsp, 1)) + s["G"].shape[2:], npdt
+        )
+        for i, tb in enumerate(tbs):
+            start[i, : tb.nbatch] = tb.start_rows
+            g_lane[i, : tb.kg, : tb.nbatch] = tb.g_lane
+            g_row[i, : tb.kg, : tb.nbatch] = tb.g_row
+            s_row[i, : tb.ks, : tb.nbatch] = tb.s_row
+            s_nlane[i, : tb.ks, : tb.nbatch] = tb.s_nlane
+            # geometric factors of this part's cells, packed per batch
+            nc_i = len(s["cells_of"][i])
+            Gl = s["G"][i, :nc_i].reshape(nc_i, nd, 3, 3)
+            Gp = np.stack([Gl[:, :, a, b] for a, b in sym])
+            geo[i, :, : tb.nbatch] = pack_cell_values(tb, Gp, npdt)
+            for j, cell in enumerate(tb.spill_cells):
+                sp_dof[i, j] = s["ldof"][i, cell]
+                sp_G[i, j] = s["G"][i, cell]
+        return dict(
+            H=H, R=R, NB=NB, KG=KG, KS=KS, nrows=nrows, nsp=nsp,
+            cpr=tbs[0].cpr,
+            start=start, g_lane=g_lane, g_row=g_row, s_row=s_row,
+            s_nlane=s_nlane, geo=geo, sp_dof=sp_dof, sp_G=sp_G,
+        )
+
+    @property
+    def _lv(self) -> int:
+        """Physical local vector length (logical NLP padded to whole
+        [*, 128] rows when the fused kernel runs)."""
+        fs = self._fused_setup
+        if fs is None:
+            return self._setup["NLP"]
+        return fs["nrows"] * 128
+
+    @cached_property
+    def _gen_call(self):
+        """The per-device fused-kernel program (shared by all devices)."""
+        fs = self._fused_setup
+        if fs is None:
+            return None
+        from ..ops.pallas_general import make_general_call
+
+        md = self.model
+        return make_general_call(
+            H=fs["H"], R=fs["R"], kg=fs["KG"], ks=fs["KS"], ngeo=6,
+            nrows=fs["nrows"], nbatch=fs["NB"], op="stiffness",
+            coeff=-float(md.c0) ** 2, dtype=md.dtype,
+        )
+
+    @cached_property
+    def _dmats(self):
+        fs = self._fused_setup
+        if fs is None:
+            return None
+        from ..ops.pallas_general import contraction_matrices
+
+        return contraction_matrices(
+            self.model.p, fs["cpr"], np.asarray(self.model.ops._D),
+            np.dtype(self.model.dtype),
+        )
+
     # ------------------------------------------------------------------
     # device tables (sharded on axis 'd')
     # ------------------------------------------------------------------
     @cached_property
     def _tables(self):
         s = self._setup
+        lv = self._lv
         sh = lambda a, spec: jax.device_put(
             jnp.asarray(a), NamedSharding(self.mesh, spec)
         )
-        sp = P("d", *([None] * 1))
-        return dict(
-            ldof=sh(s["ldof"], P("d", None, None)),
-            G=sh(s["G"], P("d", *([None] * (s["G"].ndim - 1)))),
+
+        def shv(a):  # per-dof vectors, padded to the physical length
+            out = np.zeros((self.ndev, lv), a.dtype)
+            out[:, : a.shape[1]] = a
+            return sh(out, P("d", None))
+
+        out = dict(
             bidx=sh(s["bidx"], P("d", None)),
             recv=sh(s["recv"], P("d", None, None)),
-            inv_m=sh(s["inv_m"], sp),
-            W1=sh(s["W1"], sp),
-            W2=sh(s["W2"], sp),
-            own=sh(s["own"], sp),
+            inv_m=shv(s["inv_m"]),
+            W1=shv(s["W1"]),
+            W2=shv(s["W2"]),
+            own=shv(s["own"]),
         )
+        fs = self._fused_setup
+        if fs is None:
+            out["ldof"] = sh(s["ldof"], P("d", None, None))
+            out["G"] = sh(s["G"], P("d", *([None] * (s["G"].ndim - 1))))
+        else:
+            for name in ("start", "g_lane", "g_row", "s_row", "s_nlane",
+                         "geo"):
+                a = fs[name]
+                out[name] = sh(a, P("d", *([None] * (a.ndim - 1))))
+            if fs["nsp"]:
+                out["sp_dof"] = sh(fs["sp_dof"], P("d", None, None))
+                out["sp_G"] = sh(
+                    fs["sp_G"], P("d", *([None] * (fs["sp_G"].ndim - 1)))
+                )
+        return out
 
     @property
     def state_spec(self):
@@ -206,20 +341,48 @@ class ShardedGeneralWave:
         add = gf.at[recv].get(mode="promise_in_bounds").sum(axis=1)
         return b.at[bidx].add(add, mode="promise_in_bounds")
 
-    def _f1_local(self, t, u, v, tb):
+    def _stiffness_local(self, u, tb):
+        """Local partial stiffness apply: fused windowed kernel when
+        available (per-device tables, one shared program), XLA indexed
+        otherwise."""
         md = self.model
         m1 = md.p + 1
         coeff = -jnp.asarray(md.c0, dtype=md.dtype) ** 2
-        xe = u.at[tb["ldof"]].get(
-            mode="promise_in_bounds"
-        ).reshape(-1, m1, m1, m1)
-        ye = ek.stiffness_element_full(
-            xe, np.asarray(md.ops._B), np.asarray(md.ops._D), tb["G"],
-            coeff,
-        )
-        b = jnp.zeros(u.shape, dtype=u.dtype).at[
-            tb["ldof"].reshape(-1)
-        ].add(ye.reshape(-1), mode="promise_in_bounds")
+        fs = self._fused_setup
+        if fs is None:
+            xe = u.at[tb["ldof"]].get(
+                mode="promise_in_bounds"
+            ).reshape(-1, m1, m1, m1)
+            ye = ek.stiffness_element_full(
+                xe, np.asarray(md.ops._B), np.asarray(md.ops._D),
+                tb["G"], coeff,
+            )
+            return jnp.zeros(u.shape, dtype=u.dtype).at[
+                tb["ldof"].reshape(-1)
+            ].add(ye.reshape(-1), mode="promise_in_bounds")
+        nrows = fs["nrows"]
+        y0 = jnp.zeros((nrows, 128), dtype=md.dtype)
+        b = self._gen_call(
+            tb["start"], y0, u.reshape(nrows, 128), tb["g_lane"],
+            tb["g_row"], tb["s_row"], tb["s_nlane"], tb["geo"],
+            self._dmats,
+        ).reshape(-1)
+        if fs["nsp"]:
+            xe = u.at[tb["sp_dof"]].get(
+                mode="promise_in_bounds"
+            ).reshape(-1, m1, m1, m1)
+            ye = ek.stiffness_element_full(
+                xe, np.asarray(md.ops._B), np.asarray(md.ops._D),
+                tb["sp_G"], coeff,
+            )
+            b = b.at[tb["sp_dof"].reshape(-1)].add(
+                ye.reshape(-1), mode="promise_in_bounds"
+            )
+        return b
+
+    def _f1_local(self, t, u, v, tb):
+        md = self.model
+        b = self._stiffness_local(u, tb)
         b = self._assemble(b, tb["bidx"], tb["recv"])
         g = (md.c0**2 * md.g_amplitude(t)).astype(md.dtype)
         b = b + g * tb["W1"] - md.c0 * (tb["W2"] * v)
@@ -229,9 +392,8 @@ class ShardedGeneralWave:
     # drivers
     # ------------------------------------------------------------------
     def zero_state(self):
-        s = self._setup
         z = jax.device_put(
-            jnp.zeros((self.ndev, s["NLP"]), dtype=self.model.dtype),
+            jnp.zeros((self.ndev, self._lv), dtype=self.model.dtype),
             NamedSharding(self.mesh, self.state_spec),
         )
         return z, z
@@ -260,6 +422,8 @@ class ShardedGeneralWave:
             mesh=self.mesh,
             in_specs=(self.state_spec, self.state_spec) + specs,
             out_specs=(self.state_spec, self.state_spec),
+            # pallas_call outputs carry no varying-mesh-axes metadata
+            check_vma=False,
         )
         u, v = jax.jit(sm)(u0, v0, *[tb[n] for n in names])
         return u, v, nsteps
@@ -269,7 +433,7 @@ class ShardedGeneralWave:
     # ------------------------------------------------------------------
     def from_global(self, x: np.ndarray) -> jax.Array:
         s = self._setup
-        out = np.zeros((self.ndev, s["NLP"]), np.dtype(self.model.dtype))
+        out = np.zeros((self.ndev, self._lv), np.dtype(self.model.dtype))
         for i, ids in enumerate(s["loc_ids"]):
             out[i, : len(ids)] = np.asarray(x)[ids]
         return jax.device_put(

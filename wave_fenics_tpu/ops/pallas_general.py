@@ -71,7 +71,7 @@ def _kernel(
     start_ref,  # scalar prefetch: [nbatch] int32 window start rows
     yin_ref,  # [padded_rows, 128] ANY — aliased with out_ref
     xv_ref,  # [padded_rows, 128] ANY
-    glane_ref, grow_ref, srow_ref, snlane_ref,  # chain tables (VMEM)
+    glane_ref, growt_ref, srowt_ref, snlane_ref,  # chain tables (VMEM)
     geo_ref,  # [ngeo, R, 128] geometric factors (VMEM, compact rows)
     dmat_ref,  # [3, 128, 128] static contraction matrices (VMEM)
     out_ref,  # [padded_rows, 128] ANY (aliased input)
@@ -110,20 +110,30 @@ def _kernel(
     in_dma(i % 2, i).wait()
     xw[i % 2, H - 1, :] = jnp.zeros((_LANES,), dtype=dtype)  # sentinel
 
-    # gather chains: XE = sum_k take(take(Xw, lane_k, 1), row_k, 0).
-    # g_row is stored compact ([R, 128]); pad to the gather's required
-    # full height with sentinel rows (H-1 = the zeroed window row), then
-    # only the R cell rows of the result are real.
+    # gather chains. Mathematically XE = sum_k take(take(Xw, lane_k, 1),
+    # row_k, 0) — but SUBLANE-wise dynamic_gather reliably crashes this
+    # platform's compiler, and lane-wise gather only handles 128 lanes
+    # (docs/BENCH_NOTES.md round 3). The row select therefore runs as
+    # transpose -> masked 128-lane gathers per window-row half -> back
+    # transpose, with the row table stored transposed ([128, 128]:
+    # rowT[c, r] = row[r, c], sentinel H-1 = the zeroed window row;
+    # element rows r < R <= 128 by construction).
     xvals = xw[i % 2]
-    sent = jnp.full((H - R, _LANES), H - 1, dtype=jnp.int32)
-    xe = jnp.zeros((H, _LANES), dtype=dtype)
+    xe_t = jnp.zeros((_LANES, _LANES), dtype=dtype)
     for k in range(kg):
         lane = glane_ref[k].astype(jnp.int32)
-        row = jnp.concatenate(
-            [grow_ref[k].astype(jnp.int32), sent], axis=0
-        )
-        t = jnp.take_along_axis(xvals, lane, axis=1)
-        xe = xe + jnp.take_along_axis(t, row, axis=0)
+        t = jnp.take_along_axis(xvals, lane, axis=1)  # [H, 128]
+        tt = t.T  # [128, H]
+        rt = growt_ref[k].astype(jnp.int32)  # [128, 128]
+        for h in range(H // _LANES):
+            th = tt[:, h * _LANES : (h + 1) * _LANES]
+            idx = jnp.clip(rt - h * _LANES, 0, _LANES - 1)
+            m = (rt >= h * _LANES) & (rt < (h + 1) * _LANES)
+            xe_t = xe_t + jnp.where(
+                m, jnp.take_along_axis(th, idx, axis=1),
+                jnp.zeros((), dtype=dtype),
+            )
+    xe = xe_t.T  # [128(r), 128(c)]
     xer = xe[:R]
 
     # contraction on the compact cell rows only
@@ -150,20 +160,34 @@ def _kernel(
                 preferred_element_type=f32, precision=hi,
             ).astype(dtype)
         yer = yer * coeff
-    ye[...] = jnp.concatenate(
-        [yer, jnp.zeros((H - R, _LANES), dtype=dtype)], axis=0
-    )
+    if R == H:
+        ye[...] = yer
+    else:
+        ye[...] = jnp.concatenate(
+            [yer, jnp.zeros((H - R, _LANES), dtype=dtype)], axis=0
+        )
 
-    # scatter chains: Yw += sum_j take(take(YE, row_j, 0), nlane_j, 1)
+    # scatter chains: Yw += sum_j take(take(YE, row_j, 0), nlane_j, 1),
+    # the row select again through the transpose (rowT[c, t] = row[t, c]
+    # with values < R <= 128; YE lane 127 is zero, the unclaimed-slot
+    # sentinel), in per-half [128, 128] gathers.
     pltpu.make_async_copy(
         out_ref.at[pl.ds(start, H)], yw, sem.at[2]
     ).wait()
     acc = yw[...]
-    yevals = ye[...]
+    ye_t = ye[: _LANES].T  # [128(c), 128(r)] — rows r < R <= 128
     for j in range(ks):
-        row = srow_ref[j].astype(jnp.int32)
+        rt = srowt_ref[j].astype(jnp.int32)  # [128, H]
+        parts = [
+            jnp.take_along_axis(
+                ye_t, rt[:, h * _LANES : (h + 1) * _LANES], axis=1
+            ).T
+            for h in range(H // _LANES)
+        ]
+        pj = jnp.concatenate(parts, axis=0) if len(parts) > 1 else (
+            parts[0]
+        )  # [H, 128]
         nlane = snlane_ref[j].astype(jnp.int32)
-        pj = jnp.take_along_axis(yevals, row, axis=0)
         acc = acc + jnp.take_along_axis(pj, nlane, axis=1)
     yw[...] = acc
     cp = pltpu.make_async_copy(yw, out_ref.at[pl.ds(start, H)], sem.at[3])
@@ -208,8 +232,8 @@ def make_general_apply(
     # can never leak tracers when the apply is first built inside a jit
     # trace (same failure class as round 2's padded-model table leak)
     start_rows = np.ascontiguousarray(tb.start_rows)
-    g_lane, g_row = tb.g_lane, tb.g_row
-    s_row, s_nlane = tb.s_row, tb.s_nlane
+    g_rowt, s_rowt = transposed_row_tables(tb)
+    g_lane, s_nlane = tb.g_lane, tb.s_nlane
     ndofs_pad = nrows * _LANES
 
     def apply(x):
@@ -217,11 +241,24 @@ def make_general_apply(
         xp = xp.at[: x.shape[0]].set(x.astype(dtype))
         xv = xp.reshape(nrows, _LANES)
         y0 = jnp.zeros((nrows, _LANES), dtype=dtype)
-        out = call(start_rows, y0, xv, g_lane, g_row, s_row, s_nlane,
+        out = call(start_rows, y0, xv, g_lane, g_rowt, s_rowt, s_nlane,
                    geo, dmats)
         return out.reshape(-1)[: x.shape[0]]
 
     return apply
+
+
+def transposed_row_tables(tb) -> tuple[np.ndarray, np.ndarray]:
+    """Row-select tables in the kernel's TRANSPOSED layout:
+    g_rowt[k, i, c, r] = g_row[k, i, r, c] ([Kg, nb, 128, 128] — element
+    rows r < R <= 128 by construction, sentinel H-1 beyond) and
+    s_rowt[j, i, c, t] = s_row[j, i, t, c] ([Ks, nb, 128, H])."""
+    Kg, nb = tb.g_row.shape[:2]
+    g_rowt = np.full((Kg, max(nb, 1), _LANES, _LANES), tb.H - 1,
+                     tb.g_row.dtype)
+    g_rowt[:, :nb, :, : tb.R] = np.swapaxes(tb.g_row, 2, 3)
+    s_rowt = np.ascontiguousarray(np.swapaxes(tb.s_row, 2, 3))
+    return g_rowt[:, :nb], s_rowt
 
 
 def make_general_call(
@@ -240,9 +277,9 @@ def make_general_call(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def chain_spec(K, rows=H):
+    def chain_spec(K, rows=H, cols=_LANES):
         return pl.BlockSpec(
-            (K, None, rows, _LANES), lambda i, *_: (0, i, 0, 0),
+            (K, None, rows, cols), lambda i, *_: (0, i, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -253,8 +290,8 @@ def make_general_call(
             pl.BlockSpec(memory_space=pltpu.ANY),  # y0 (aliased)
             pl.BlockSpec(memory_space=pltpu.ANY),  # xv
             chain_spec(kg),  # g_lane
-            chain_spec(kg, R),  # g_row (compact rows)
-            chain_spec(ks),  # s_row
+            chain_spec(kg, _LANES, _LANES),  # g_rowt (transposed)
+            chain_spec(ks, _LANES, H),  # s_rowt (transposed)
             chain_spec(ks),  # s_nlane
             chain_spec(ngeo, R),  # geo (compact rows)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dmats (whole)

@@ -213,11 +213,13 @@ class ShardedGeneralWave:
         nrows = max(nrows, -(-s["NLP"] // 128), H)
         nsp = max((len(tb.spill_cells) for tb in tbs), default=0)
 
+        from ..ops.pallas_general import transposed_row_tables
+
         start = np.zeros((self.ndev, NB), np.int32)
         g_lane = np.zeros((self.ndev, KG, NB, H, 128), np.int8)
-        g_row = np.full((self.ndev, KG, NB, R, 128), H - 1,
-                        tbs[0].g_row.dtype)
-        s_row = np.zeros((self.ndev, KS, NB, H, 128), np.int8)
+        g_rowt = np.full((self.ndev, KG, NB, 128, 128), H - 1,
+                         tbs[0].g_row.dtype)
+        s_rowt = np.zeros((self.ndev, KS, NB, 128, H), np.int8)
         s_nlane = np.full((self.ndev, KS, NB, H, 128), 127, np.int8)
         geo = np.zeros((self.ndev, 6, NB, R, 128), npdt)
         # spill subset (XLA indexed per device), padded
@@ -228,8 +230,9 @@ class ShardedGeneralWave:
         for i, tb in enumerate(tbs):
             start[i, : tb.nbatch] = tb.start_rows
             g_lane[i, : tb.kg, : tb.nbatch] = tb.g_lane
-            g_row[i, : tb.kg, : tb.nbatch] = tb.g_row
-            s_row[i, : tb.ks, : tb.nbatch] = tb.s_row
+            grt, srt = transposed_row_tables(tb)
+            g_rowt[i, : tb.kg, : tb.nbatch] = grt
+            s_rowt[i, : tb.ks, : tb.nbatch] = srt
             s_nlane[i, : tb.ks, : tb.nbatch] = tb.s_nlane
             # geometric factors of this part's cells, packed per batch
             nc_i = len(s["cells_of"][i])
@@ -242,7 +245,7 @@ class ShardedGeneralWave:
         return dict(
             H=H, R=R, NB=NB, KG=KG, KS=KS, nrows=nrows, nsp=nsp,
             cpr=tbs[0].cpr,
-            start=start, g_lane=g_lane, g_row=g_row, s_row=s_row,
+            start=start, g_lane=g_lane, g_rowt=g_rowt, s_rowt=s_rowt,
             s_nlane=s_nlane, geo=geo, sp_dof=sp_dof, sp_G=sp_G,
         )
 
@@ -311,8 +314,8 @@ class ShardedGeneralWave:
             out["ldof"] = sh(s["ldof"], P("d", None, None))
             out["G"] = sh(s["G"], P("d", *([None] * (s["G"].ndim - 1))))
         else:
-            for name in ("start", "g_lane", "g_row", "s_row", "s_nlane",
-                         "geo"):
+            for name in ("start", "g_lane", "g_rowt", "s_rowt",
+                         "s_nlane", "geo"):
                 a = fs[name]
                 out[name] = sh(a, P("d", *([None] * (a.ndim - 1))))
             if fs["nsp"]:
@@ -364,7 +367,7 @@ class ShardedGeneralWave:
         y0 = jnp.zeros((nrows, 128), dtype=md.dtype)
         b = self._gen_call(
             tb["start"], y0, u.reshape(nrows, 128), tb["g_lane"],
-            tb["g_row"], tb["s_row"], tb["s_nlane"], tb["geo"],
+            tb["g_rowt"], tb["s_rowt"], tb["s_nlane"], tb["geo"],
             self._dmats,
         ).reshape(-1)
         if fs["nsp"]:

@@ -15,8 +15,51 @@ import json
 import subprocess
 import sys
 
+_IN_PROCESS = False
+
+
+def _run_inproc(out_path: str, acc: list, mod: str, *args: str):
+    """Run one benchmark entry in THIS process (one TPU client for the
+    whole suite — client establishment through the tunnel costs 5-15
+    minutes per process, which at ~26 entries dominates everything).
+    bench.py entries still go through their own orchestrated worker."""
+    import contextlib
+    import importlib
+    import io
+
+    alist = [a for a in args]
+    # strip any platform override; in-process entries inherit the
+    # already-initialized client/backend of the suite process
+    if "--platform" in alist:
+        i = alist.index("--platform")
+        del alist[i : i + 2]
+    m = importlib.import_module(f"wave_fenics_tpu.benchmarks.{mod}")
+    old_argv = sys.argv
+    sys.argv = [mod] + alist
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            m.main()
+        res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    except Exception as e:  # record failures instead of dying
+        res = {"metric": f"{mod} {' '.join(alist)}",
+               "error": f"{type(e).__name__}: {e}"[:500]}
+    finally:
+        sys.argv = old_argv
+    acc.append(res)
+    with open(out_path, "w") as f:
+        json.dump({"results": acc}, f, indent=1)
+    print(json.dumps(res), flush=True)
+    return res
+
 
 def _run(out_path: str, acc: list, mod: str, *args: str) -> dict | None:
+    # in-process mode: entries share this process's client. bench.py
+    # (which orchestrates its own workers) and the virtual-mesh halo
+    # entry (needs its own device-count config) stay subprocesses.
+    if (_IN_PROCESS and mod != "bench.py"
+            and not (mod == "scatter_bench" and "halo" in args)):
+        return _run_inproc(out_path, acc, mod, *args)
     if mod == "bench.py":
         # drop the suite's no-override platform sentinel ("--platform
         # default" is not a backend name). bench.py budgets: 900 s warm
@@ -52,12 +95,22 @@ def _run(out_path: str, acc: list, mod: str, *args: str) -> dict | None:
 
 
 def main():
+    global _IN_PROCESS
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_SUITE.json")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--degrees", type=int, nargs="*", default=[2, 3, 4, 5, 6])
     ap.add_argument("--platform", choices=["default", "cpu"], default="default")
+    ap.add_argument("--in-process", action="store_true",
+                    help="run TPU entries inside this process (ONE client "
+                         "for the whole suite; each subprocess client "
+                         "pays 5-15 min of tunnel lease establishment)")
     args = ap.parse_args()
+    if args.in_process:
+        _IN_PROCESS = True
+        from .common import apply_platform
+
+        apply_platform(args)  # enable the persistent compile cache
 
     size = "16" if args.quick else "32"
     # reps amortize the ~30 ms tunnel dispatch RTT across the fori_loop:

@@ -42,6 +42,23 @@ __all__ = ["make_general_apply", "make_general_call",
 _LANES = 128
 
 
+def _take_lanes(x, idx):
+    """Lane-wise dynamic gather restricted to [<=128, 128] blocks — the
+    one shape the platform's Mosaic compiler handles reliably (larger
+    sublane counts and >128 lanes crash or hang it; docs/BENCH_NOTES.md
+    round 3). Splits the sublane dim into 128-row blocks."""
+    rows = x.shape[0]
+    if rows <= _LANES:
+        return jnp.take_along_axis(x, idx, axis=1)
+    parts = [
+        jnp.take_along_axis(
+            x[h : h + _LANES], idx[h : h + _LANES], axis=1
+        )
+        for h in range(0, rows, _LANES)
+    ]
+    return jnp.concatenate(parts, axis=0)
+
+
 def contraction_matrices(p: int, cpr: int, D1: np.ndarray,
                          dtype=np.float32) -> np.ndarray:
     """Static [3, 128, 128] per-axis derivative matrices for the packed
@@ -122,7 +139,7 @@ def _kernel(
     xe_t = jnp.zeros((_LANES, _LANES), dtype=dtype)
     for k in range(kg):
         lane = glane_ref[k].astype(jnp.int32)
-        t = jnp.take_along_axis(xvals, lane, axis=1)  # [H, 128]
+        t = _take_lanes(xvals, lane)  # [H, 128]
         tt = t.T  # [128, H]
         rt = growt_ref[k].astype(jnp.int32)  # [128, 128]
         for h in range(H // _LANES):
@@ -188,7 +205,7 @@ def _kernel(
             parts[0]
         )  # [H, 128]
         nlane = snlane_ref[j].astype(jnp.int32)
-        acc = acc + jnp.take_along_axis(pj, nlane, axis=1)
+        acc = acc + _take_lanes(pj, nlane)
     yw[...] = acc
     cp = pltpu.make_async_copy(yw, out_ref.at[pl.ds(start, H)], sem.at[3])
     cp.start()

@@ -95,6 +95,35 @@ def test_sharded_general_roundtrip():
                                   x.astype(np.float64))
 
 
+@pytest.mark.parametrize("ndev,p", [(8, 4), (4, 2)])
+def test_sharded_general_cg_matches_global(ndev, p):
+    """Distributed CG on the implicit-step operator (diag(m) + tau*K)
+    must match the single-device CG solve (cg.hpp:37-121 semantics on an
+    arbitrary partitioned mesh)."""
+    md = _perturbed_model(p=p, seed=10 + p)
+    rng = np.random.default_rng(4)
+    bg = rng.standard_normal(md.ndofs)
+    # beta*dt^2 at the CFL timestep (main.cpp:61-66 rule): keeps the
+    # implicit system near identity-conditioned, as in production use
+    h = 0.012 / 6
+    tau = (0.25 * h / (md.c0 * p * p)) ** 2
+    sw = ShardedGeneralWave(md, ndev)
+    x, iters, rn = sw.cg_solve(sw.from_global(bg), tau, kmax=80,
+                               rtol=1e-10)
+    assert 0 < iters < 80
+
+    from wave_fenics_tpu.solvers.cg import cg as cg_ref
+
+    m = jnp.asarray(md.m)
+    mv = lambda z: m * z - tau * md.ops.stiffness_indexed(
+        jnp.asarray(z), md.c0)
+    xg, kg, _ = cg_ref(mv, jnp.asarray(bg), kmax=80, rtol=1e-10,
+                       precond=lambda r: r / m)
+    xgn = np.asarray(xg)
+    np.testing.assert_allclose(sw.to_global(x), xgn, rtol=1e-8,
+                               atol=1e-10 * np.abs(xgn).max())
+
+
 def test_sharded_general_fused_and_indexed_agree():
     """The per-device fused windowed kernel and the XLA indexed local
     apply must produce identical distributed solves."""

@@ -144,6 +144,14 @@ def main():
         run("operators_bench", "--op", "bp1-mass", "--size", cg_size,
             "--degree", str(p), "--reps", reps)
         run("cg_bench", "--size", cg_size, "--degree", str(p))
+    if not args.quick:
+        # p=1 at the 64^3 mesh is bound by the platform's fixed ~30-45 us
+        # per-grid-step cost (275k dofs over ~7 grid steps); a 128^3 mesh
+        # amortizes it the way the reference scales s per degree
+        # (demo/gpu_cg/submit.sh:4-15 picks s per job)
+        run("operators_bench", "--op", "bp1-mass", "--size", "128",
+            "--degree", "1", "--reps", reps)
+        run("cg_bench", "--size", "128", "--degree", "1")
     run("scatter_bench", "--mode", "local", "--size", size, "--check")
     # multi-device halo exchange record (ndev=8 virtual CPU mesh here;
     # measures the fixed-shape exchange program the real slice would run

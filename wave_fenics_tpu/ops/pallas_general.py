@@ -222,6 +222,8 @@ def make_general_apply(
     p: int | None = None,
     dtype=jnp.float32,
     interpret: bool | None = None,
+    kg: int | None = None,
+    ks: int | None = None,
 ):
     """Build ``apply(x) -> y`` over flat [ndofs] vectors (kernel part only
     — spilled cells are the caller's responsibility).
@@ -239,8 +241,10 @@ def make_general_apply(
         dmats = np.zeros((3, _LANES, _LANES), npdt)
     geo = np.ascontiguousarray(geo, dtype=npdt)
 
+    kg = tb.kg if kg is None else kg
+    ks = tb.ks if ks is None else ks
     call = make_general_call(
-        H=tb.H, R=tb.R, kg=tb.kg, ks=tb.ks, ngeo=geo.shape[0],
+        H=tb.H, R=tb.R, kg=kg, ks=ks, ngeo=geo.shape[0],
         nrows=tb.padded_rows, nbatch=tb.nbatch, op=op, coeff=coeff,
         dtype=dtype, interpret=interpret,
     )
@@ -251,6 +255,10 @@ def make_general_apply(
     start_rows = np.ascontiguousarray(tb.start_rows)
     g_rowt, s_rowt = transposed_row_tables(tb)
     g_lane, s_nlane = tb.g_lane, tb.s_nlane
+    # chain truncation (timing ablations): specs keep >=1 chain table
+    kt, st = max(kg, 1), max(ks, 1)
+    g_lane, g_rowt = g_lane[:kt], g_rowt[:kt]
+    s_rowt, s_nlane = s_rowt[:st], s_nlane[:st]
     ndofs_pad = nrows * _LANES
 
     def apply(x):
@@ -306,10 +314,10 @@ def make_general_call(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # y0 (aliased)
             pl.BlockSpec(memory_space=pltpu.ANY),  # xv
-            chain_spec(kg),  # g_lane
-            chain_spec(kg, _LANES, _LANES),  # g_rowt (transposed)
-            chain_spec(ks, _LANES, H),  # s_rowt (transposed)
-            chain_spec(ks),  # s_nlane
+            chain_spec(max(kg, 1)),  # g_lane
+            chain_spec(max(kg, 1), _LANES, _LANES),  # g_rowt (transposed)
+            chain_spec(max(ks, 1), _LANES, H),  # s_rowt (transposed)
+            chain_spec(max(ks, 1)),  # s_nlane
             chain_spec(ngeo, R),  # geo (compact rows)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dmats (whole)
         ],

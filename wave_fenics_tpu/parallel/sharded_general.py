@@ -162,6 +162,8 @@ class ShardedGeneralWave:
             return out
 
         inv_m = localize(np.asarray(md.inv_m, np.float64))
+        # dummy slot m = 1 so implicit-solve operators stay SPD on padding
+        m = localize(np.asarray(md.m, np.float64), dummy=1.0)
         W1 = localize(np.asarray(md.W1, np.float64))
         W2 = localize(np.asarray(md.W2, np.float64))
         own = localize(1.0 / counts.astype(np.float64))
@@ -170,7 +172,7 @@ class ShardedGeneralWave:
             part=part, cells_of=cells_of, loc_ids=loc_ids, NC=NC,
             NL=NL, NLP=NLP, S=S, K=K,
             ldof=ldof, G=Gl, bidx=bidx, recv=recv,
-            inv_m=inv_m, W1=W1, W2=W2, own=own,
+            inv_m=inv_m, m=m, W1=W1, W2=W2, own=own,
         )
 
     @cached_property
@@ -296,8 +298,8 @@ class ShardedGeneralWave:
             jnp.asarray(a), NamedSharding(self.mesh, spec)
         )
 
-        def shv(a):  # per-dof vectors, padded to the physical length
-            out = np.zeros((self.ndev, lv), a.dtype)
+        def shv(a, pad=0.0):  # per-dof vectors, padded to physical length
+            out = np.full((self.ndev, lv), pad, a.dtype)
             out[:, : a.shape[1]] = a
             return sh(out, P("d", None))
 
@@ -305,6 +307,7 @@ class ShardedGeneralWave:
             bidx=sh(s["bidx"], P("d", None)),
             recv=sh(s["recv"], P("d", None, None)),
             inv_m=shv(s["inv_m"]),
+            m=shv(s["m"], pad=1.0),
             W1=shv(s["W1"]),
             W2=shv(s["W2"]),
             own=shv(s["own"]),
@@ -430,6 +433,52 @@ class ShardedGeneralWave:
         )
         u, v = jax.jit(sm)(u0, v0, *[tb[n] for n in names])
         return u, v, nsteps
+
+    def cg_solve(self, b, tau, kmax: int = 50, rtol: float = 1e-8):
+        """Distributed CG solve of the SPD implicit-step system
+        ``(diag(m) + tau*K) x = b`` on the unstructured partition — the
+        reference's distributed matrix-free CG (demo/gpu_cg/CUDA/cg.hpp:
+        37-121 + VectorUpdater halo per iteration) carried to arbitrary
+        imported meshes. K is the positive stiffness (c0^2-weighted), m
+        the assembled lumped mass; tau = beta*dt^2 in an implicit Newmark
+        step. ``b`` is a local sharded vector of ASSEMBLED (consistent)
+        values; Jacobi preconditioning by 1/m.
+
+        Returns (x, iters, rnorm2) with x sharded like the state.
+        """
+        from ..solvers.cg import cg
+
+        md = self.model
+        tb = self._tables
+        names = list(tb)
+        specs = tuple(tb[n].sharding.spec for n in names)
+        tau = np.dtype(md.dtype).type(tau)
+
+        def local(bl, *ops):
+            tloc = {n: o.reshape(o.shape[1:]) for n, o in
+                    zip(names, ops)}
+            bsq = bl.reshape(bl.shape[1:])
+
+            def matvec(x):
+                # _stiffness_local applies -c0^2-weighted stiffness
+                s = self._stiffness_local(x, tloc)
+                s = self._assemble(s, tloc["bidx"], tloc["recv"])
+                return tloc["m"] * x - tau * s
+
+            dot = lambda a, c: lax.psum(
+                jnp.sum(a * c * tloc["own"]), "d")
+            x, k, rn = cg(matvec, bsq, kmax=kmax, rtol=rtol, dot=dot,
+                          precond=lambda r: r / tloc["m"])
+            return (x.reshape(bl.shape), k.reshape(1), rn.reshape(1))
+
+        sm = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(self.state_spec,) + specs,
+            out_specs=(self.state_spec, P(), P()),
+            check_vma=False,
+        )
+        x, k, rn = jax.jit(sm)(b, *[tb[n] for n in names])
+        return x, int(k[0]), rn[0]
 
     # ------------------------------------------------------------------
     # global <-> local conversion + weighted reductions

@@ -157,3 +157,29 @@ def test_general_stiffness_dispatch_uses_oracle_off_tpu():
         np.asarray(ops.stiffness_indexed(x, 3.0)),
         rtol=1e-14,
     )
+
+
+@pytest.mark.parametrize("p,cells", [(2, (6, 5, 4)), (4, (4, 3, 3))])
+def test_scatter_merge_exact(p, cells):
+    """Element-space claim pre-reduction (merge rounds + residual
+    chains) must reproduce the plain chain scatter exactly — it only
+    reassociates the same additions (deterministic fixed order)."""
+    from wave_fenics_tpu.ops.general_tables import (
+        build_scatter_merge, reference_merge_scatter,
+    )
+
+    hm = _perturbed_mesh(cells, (1.0, 1.0, 1.0), seed=p)
+    dofs = build_dofmap(hm, p)
+    tb = build_batch_tables(
+        np.asarray(dofs.dofmap, np.int64), dofs.ndofs
+    )
+    mg = build_scatter_merge(tb)
+    assert mg is not None and mg.ks < tb.ks
+    rng = np.random.default_rng(1)
+    ye = rng.standard_normal((tb.nbatch, tb.H, 128))
+    ye[:, :, 127] = 0.0  # kernel-guaranteed zero sentinel lane
+    ye[:, tb.R :, :] = 0.0
+    y_chain = reference_scatter(tb, ye, dofs.ndofs)
+    y_merge = reference_merge_scatter(tb, mg, ye, dofs.ndofs)
+    np.testing.assert_allclose(y_merge, y_chain, rtol=1e-13,
+                               atol=1e-13 * np.abs(y_chain).max())

@@ -55,7 +55,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["GeneralBatchTables", "build_batch_tables"]
+__all__ = ["GeneralBatchTables", "build_batch_tables", "ScatterMerge",
+           "build_scatter_merge"]
 
 _LANES = 128
 
@@ -299,6 +300,162 @@ def build_batch_tables(
         spill_cells=np.asarray(sorted(spill), np.int32),
         padded_rows=padded_rows,
     )
+
+
+@dataclass(frozen=True)
+class ScatterMerge:
+    """Element-space claim pre-reduction tables (docs/DESIGN.md §7):
+    per round, YE_t[c1, r1] += YE_t[c2, r2] merges duplicate claims of
+    one window dof inside the element tile with two lane-wise gathers,
+    so the per-window scatter needs only ``ks`` chains afterwards.
+
+    Constraint per round: A is keyed (c2, r1) -> r2 and B (r1, c1) ->
+    c2; two merges sharing a key must land in different rounds."""
+
+    #: [nrounds, nbatch, 128, 128] int8: A[c2, r1] = r2 (sentinel: any —
+    #: masked by B), B[r1, c1] = c2 (sentinel 127 -> zero lane)
+    A: np.ndarray
+    B: np.ndarray
+    #: merged scatter chains, same encoding as GeneralBatchTables
+    s_row: np.ndarray
+    s_nlane: np.ndarray
+
+    @property
+    def nrounds(self) -> int:
+        return self.A.shape[0]
+
+    @property
+    def ks(self) -> int:
+        return self.s_row.shape[0]
+
+
+def build_scatter_merge(
+    tb: GeneralBatchTables, max_chains: int = 1, max_rounds: int = 4
+) -> ScatterMerge | None:
+    """Re-encode ``tb``'s scatter chains as merge rounds + few chains.
+
+    Decodes every (window row t, window lane l) claim list from the
+    chain tables, binary-tree merges claims inside the element tile
+    (respecting the per-round A/B key constraints), and rebuilds the
+    residual chains. Returns None when the claim structure cannot be
+    reduced to ``max_chains`` within ``max_rounds`` (callers keep the
+    plain chains)."""
+    H, nb = tb.H, tb.nbatch
+    sent_lane = _LANES - 1
+    A = np.zeros((max_rounds, nb, _LANES, _LANES), np.int8)
+    B = np.full((max_rounds, nb, _LANES, _LANES), sent_lane, np.int8)
+    a_used = np.zeros((max_rounds, nb, _LANES, _LANES), bool)
+    rounds_used = 0
+    new_rows: list[list[np.ndarray]] = []
+    new_lanes: list[list[np.ndarray]] = []
+    for i in range(nb):
+        claims: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        for j in range(tb.ks):
+            tt, ll = np.nonzero(tb.s_nlane[j, i] != sent_lane)
+            cc = tb.s_nlane[j, i, tt, ll].astype(np.int64)
+            rr = tb.s_row[j, i, tt, cc].astype(np.int64)
+            for t, l, c, r in zip(tt, ll, cc, rr):
+                claims.setdefault((int(t), int(l)), []).append(
+                    (int(r), int(c))
+                )
+        # binary-tree merge each list down to max_chains claims
+        for key, lst in claims.items():
+            rnd = 0
+            while len(lst) > max_chains:
+                if rnd >= max_rounds:
+                    return None
+                nxt: list[tuple[int, int]] = []
+                k = 0
+                while k < len(lst):
+                    if k + 1 >= len(lst):
+                        nxt.append(lst[k])
+                        break
+                    placed = False
+                    for (r1, c1), (r2, c2) in (
+                        (lst[k], lst[k + 1]),
+                        (lst[k + 1], lst[k]),
+                    ):
+                        if (
+                            not a_used[rnd, i, c2, r1]
+                            or A[rnd, i, c2, r1] == r2
+                        ) and B[rnd, i, r1, c1] == sent_lane:
+                            A[rnd, i, c2, r1] = r2
+                            a_used[rnd, i, c2, r1] = True
+                            B[rnd, i, r1, c1] = c2
+                            nxt.append((r1, c1))
+                            placed = True
+                            break
+                    if not placed:
+                        # defer both claims to the next round unmerged
+                        nxt.extend((lst[k], lst[k + 1]))
+                    k += 2
+                lst = nxt
+                rnd += 1
+            claims[key] = lst
+            rounds_used = max(rounds_used, rnd)
+        # residual chains: first-fit on the (t, c) row-table key (two
+        # dofs may claim the same source lane c at the same window row)
+        rows: list[np.ndarray] = []
+        rset: list[np.ndarray] = []
+        lanes: list[np.ndarray] = []
+        for (t, l), lst in claims.items():
+            for r, c in lst:
+                j = 0
+                while True:
+                    if j == len(rows):
+                        rows.append(np.zeros((H, _LANES), np.int16))
+                        rset.append(np.zeros((H, _LANES), bool))
+                        lanes.append(
+                            np.full((H, _LANES), sent_lane, np.int16)
+                        )
+                    if not rset[j][t, c] or rows[j][t, c] == r:
+                        if lanes[j][t, l] == sent_lane:
+                            rows[j][t, c] = r
+                            rset[j][t, c] = True
+                            lanes[j][t, l] = c
+                            break
+                    j += 1
+        new_rows.append(rows)
+        new_lanes.append(lanes)
+
+    if rounds_used == 0:
+        return None  # nothing to merge; keep the original chains
+    Ks = max((len(r) for r in new_rows), default=1) or 1
+    s_row = np.zeros((Ks, max(nb, 1), H, _LANES), np.int8)
+    s_nlane = np.full((Ks, max(nb, 1), H, _LANES), sent_lane, np.int8)
+    for i in range(nb):
+        for j in range(len(new_rows[i])):
+            s_row[j, i] = new_rows[i][j].astype(np.int8)
+            s_nlane[j, i] = new_lanes[i][j].astype(np.int8)
+    return ScatterMerge(
+        A=A[:rounds_used], B=B[:rounds_used],
+        s_row=s_row[:, :nb], s_nlane=s_nlane[:, :nb],
+    )
+
+
+def reference_merge_scatter(
+    tb: GeneralBatchTables, mg: ScatterMerge, ye: np.ndarray, ndofs: int
+) -> np.ndarray:
+    """NumPy emulation of merge rounds + residual chains (tests)."""
+    H = tb.H
+    yv = np.zeros((tb.padded_rows, _LANES), dtype=ye.dtype)
+    for i in range(tb.nbatch):
+        yet = ye[i, :_LANES].T.copy()  # [c, r]
+        for rnd in range(mg.nrounds):
+            Ar = mg.A[rnd, i].astype(np.int64)
+            Br = mg.B[rnd, i].astype(np.int64)
+            s1 = np.take_along_axis(yet, Ar, axis=1)  # [c2, r1]
+            s2 = np.take_along_axis(s1.T, Br, axis=1)  # [r1, c1]
+            yet = yet + s2.T
+        acc = np.zeros((H, _LANES), dtype=ye.dtype)
+        for j in range(mg.ks):
+            row = mg.s_row[j, i].astype(np.int64)
+            nlane = mg.s_nlane[j, i].astype(np.int64)
+            P = np.take_along_axis(yet.T, row, axis=0)
+            acc += np.take_along_axis(P, nlane, axis=1)
+        s = tb.start_rows[i]
+        yv[s : s + H] += acc
+    return yv.reshape(-1)[:ndofs]
 
 
 def pack_cell_values(tables: GeneralBatchTables, vals: np.ndarray,

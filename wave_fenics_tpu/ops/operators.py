@@ -384,6 +384,15 @@ class GeneralOperators:
     def _fused_cache(self) -> dict:
         return {}
 
+    @cached_property
+    def _fused_merge(self):
+        """Scatter-merge tables (element-space claim pre-reduction):
+        cuts the in-kernel scatter from ~max-multiplicity chains to
+        log2 merge rounds + 1-2 residual chains."""
+        from .general_tables import build_scatter_merge
+
+        return build_scatter_merge(self._fused_tables)
+
     def _fused_apply(self, op: str, coeff: float):
         from .pallas_general import make_general_apply
 
@@ -396,6 +405,7 @@ class GeneralOperators:
                 tb, geo_m if op == "mass" else geo_s, op,
                 D1=self._D if op == "stiffness" else None,
                 coeff=coeff, p=self.dofs.p, dtype=self.dtype,
+                merge=self._fused_merge,
             )
             self._fused_cache[key] = fn
         return fn

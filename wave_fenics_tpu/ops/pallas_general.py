@@ -89,11 +89,12 @@ def _kernel(
     yin_ref,  # [padded_rows, 128] ANY — aliased with out_ref
     xv_ref,  # [padded_rows, 128] ANY
     glane_ref, growt_ref, srowt_ref, snlane_ref,  # chain tables (VMEM)
+    mA_ref, mB_ref,  # [nr, 128, 128] scatter-merge rounds (VMEM)
     geo_ref,  # [ngeo, R, 128] geometric factors (VMEM, compact rows)
     dmat_ref,  # [3, 128, 128] static contraction matrices (VMEM)
     out_ref,  # [padded_rows, 128] ANY (aliased input)
     xw, yw, ye, sem,  # scratch
-    *, H, R, kg, ks, op, coeff, dtype,
+    *, H, R, kg, ks, nr, op, coeff, dtype,
 ):
     del yin_ref
     i = pl.program_id(0)
@@ -191,22 +192,34 @@ def _kernel(
     pltpu.make_async_copy(
         out_ref.at[pl.ds(start, H)], yw, sem.at[2]
     ).wait()
-    acc = yw[...]
+    accs = [
+        yw[h * _LANES : (h + 1) * _LANES] for h in range(H // _LANES)
+    ]
     ye_t = ye[: _LANES].T  # [128(c), 128(r)] — rows r < R <= 128
+    # element-space claim pre-reduction: binary-tree merge of duplicate
+    # window-dof claims inside the tile (two lane-wise gathers per
+    # round; B's sentinel lane 127 reads the tile's zero lane), leaving
+    # the residual scatter with 1-2 chains instead of ~max-multiplicity
+    for rnd in range(nr):
+        Ar = mA_ref[rnd].astype(jnp.int32)  # [c2, r1] -> r2
+        Br = mB_ref[rnd].astype(jnp.int32)  # [r1, c1] -> c2
+        s1 = jnp.take_along_axis(ye_t, Ar, axis=1)
+        s2 = jnp.take_along_axis(s1.T, Br, axis=1)
+        ye_t = ye_t + s2.T
     for j in range(ks):
         rt = srowt_ref[j].astype(jnp.int32)  # [128, H]
-        parts = [
-            jnp.take_along_axis(
-                ye_t, rt[:, h * _LANES : (h + 1) * _LANES], axis=1
-            ).T
-            for h in range(H // _LANES)
-        ]
-        pj = jnp.concatenate(parts, axis=0) if len(parts) > 1 else (
-            parts[0]
-        )  # [H, 128]
         nlane = snlane_ref[j].astype(jnp.int32)
-        acc = acc + _take_lanes(pj, nlane)
-    yw[...] = acc
+        # per-half: element-row select through the transpose, then the
+        # lane realignment — all [128, 128] gathers, no concat
+        for h in range(H // _LANES):
+            ph = jnp.take_along_axis(
+                ye_t, rt[:, h * _LANES : (h + 1) * _LANES], axis=1
+            ).T  # [128(t_h), 128(c)]
+            accs[h] = accs[h] + jnp.take_along_axis(
+                ph, nlane[h * _LANES : (h + 1) * _LANES], axis=1
+            )
+    for h in range(H // _LANES):
+        yw[h * _LANES : (h + 1) * _LANES] = accs[h]
     cp = pltpu.make_async_copy(yw, out_ref.at[pl.ds(start, H)], sem.at[3])
     cp.start()
     cp.wait()
@@ -224,6 +237,8 @@ def make_general_apply(
     interpret: bool | None = None,
     kg: int | None = None,
     ks: int | None = None,
+    idx_dtype=None,
+    merge=None,
 ):
     """Build ``apply(x) -> y`` over flat [ndofs] vectors (kernel part only
     — spilled cells are the caller's responsibility).
@@ -242,9 +257,12 @@ def make_general_apply(
     geo = np.ascontiguousarray(geo, dtype=npdt)
 
     kg = tb.kg if kg is None else kg
+    nr = 0 if merge is None else merge.nrounds
+    if merge is not None and ks is None:
+        ks = merge.ks
     ks = tb.ks if ks is None else ks
     call = make_general_call(
-        H=tb.H, R=tb.R, kg=kg, ks=ks, ngeo=geo.shape[0],
+        H=tb.H, R=tb.R, kg=kg, ks=ks, nr=nr, ngeo=geo.shape[0],
         nrows=tb.padded_rows, nbatch=tb.nbatch, op=op, coeff=coeff,
         dtype=dtype, interpret=interpret,
     )
@@ -255,10 +273,24 @@ def make_general_apply(
     start_rows = np.ascontiguousarray(tb.start_rows)
     g_rowt, s_rowt = transposed_row_tables(tb)
     g_lane, s_nlane = tb.g_lane, tb.s_nlane
+    if merge is not None:
+        s_rowt = np.ascontiguousarray(np.swapaxes(merge.s_row, 2, 3))
+        s_nlane = merge.s_nlane
+        mA, mB = merge.A, merge.B
+    else:
+        mA = np.zeros((1, tb.nbatch, _LANES, _LANES), np.int8)
+        mB = np.full((1, tb.nbatch, _LANES, _LANES), _LANES - 1,
+                     np.int8)
     # chain truncation (timing ablations): specs keep >=1 chain table
     kt, st = max(kg, 1), max(ks, 1)
     g_lane, g_rowt = g_lane[:kt], g_rowt[:kt]
     s_rowt, s_nlane = s_rowt[:st], s_nlane[:st]
+    if idx_dtype is not None:
+        # wider index tables trade DMA for the in-kernel upcasts
+        g_lane, g_rowt, s_rowt, s_nlane = (
+            a.astype(idx_dtype) for a in (g_lane, g_rowt, s_rowt,
+                                          s_nlane)
+        )
     ndofs_pad = nrows * _LANES
 
     def apply(x):
@@ -267,7 +299,7 @@ def make_general_apply(
         xv = xp.reshape(nrows, _LANES)
         y0 = jnp.zeros((nrows, _LANES), dtype=dtype)
         out = call(start_rows, y0, xv, g_lane, g_rowt, s_rowt, s_nlane,
-                   geo, dmats)
+                   mA, mB, geo, dmats)
         return out.reshape(-1)[: x.shape[0]]
 
     return apply
@@ -288,15 +320,17 @@ def transposed_row_tables(tb) -> tuple[np.ndarray, np.ndarray]:
 
 def make_general_call(
     *, H, R, kg, ks, ngeo, nrows, nbatch, op, coeff, dtype,
-    interpret=None,
+    interpret=None, nr=0,
 ):
     """The compiled program alone (no table capture):
-    ``call(start_rows, y0, xv, g_lane, g_row, s_row, s_nlane, geo, dmats)
-    -> y [nrows, 128]``. Tables are runtime operands, so the same program
-    serves every device of a sharded fleet with per-device tables."""
+    ``call(start_rows, y0, xv, g_lane, g_row, s_row, s_nlane, mA, mB,
+    geo, dmats) -> y [nrows, 128]``. Tables are runtime operands, so the
+    same program serves every device of a sharded fleet with per-device
+    tables. ``nr``: scatter-merge rounds (mA/mB are [max(nr,1), nbatch,
+    128, 128] dummies when nr=0)."""
     npdt = np.dtype(dtype)
     kern = functools.partial(
-        _kernel, H=H, R=R, kg=kg, ks=ks, op=op,
+        _kernel, H=H, R=R, kg=kg, ks=ks, nr=nr, op=op,
         coeff=npdt.type(coeff), dtype=dtype,
     )
     if interpret is None:
@@ -318,6 +352,8 @@ def make_general_call(
             chain_spec(max(kg, 1), _LANES, _LANES),  # g_rowt (transposed)
             chain_spec(max(ks, 1), _LANES, H),  # s_rowt (transposed)
             chain_spec(max(ks, 1)),  # s_nlane
+            chain_spec(max(nr, 1), _LANES, _LANES),  # merge A
+            chain_spec(max(nr, 1), _LANES, _LANES),  # merge B
             chain_spec(ngeo, R),  # geo (compact rows)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dmats (whole)
         ],

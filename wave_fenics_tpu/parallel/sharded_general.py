@@ -249,6 +249,9 @@ class ShardedGeneralWave:
             cpr=tbs[0].cpr,
             start=start, g_lane=g_lane, g_rowt=g_rowt, s_rowt=s_rowt,
             s_nlane=s_nlane, geo=geo, sp_dof=sp_dof, sp_G=sp_G,
+            # scatter-merge placeholders (nr=0 in the shared program)
+            mA=np.zeros((self.ndev, 1, NB, 128, 128), np.int8),
+            mB=np.full((self.ndev, 1, NB, 128, 128), 127, np.int8),
         )
 
     @property
@@ -318,7 +321,7 @@ class ShardedGeneralWave:
             out["G"] = sh(s["G"], P("d", *([None] * (s["G"].ndim - 1))))
         else:
             for name in ("start", "g_lane", "g_rowt", "s_rowt",
-                         "s_nlane", "geo"):
+                         "s_nlane", "mA", "mB", "geo"):
                 a = fs[name]
                 out[name] = sh(a, P("d", *([None] * (a.ndim - 1))))
             if fs["nsp"]:
@@ -370,8 +373,8 @@ class ShardedGeneralWave:
         y0 = jnp.zeros((nrows, 128), dtype=md.dtype)
         b = self._gen_call(
             tb["start"], y0, u.reshape(nrows, 128), tb["g_lane"],
-            tb["g_rowt"], tb["s_rowt"], tb["s_nlane"], tb["geo"],
-            self._dmats,
+            tb["g_rowt"], tb["s_rowt"], tb["s_nlane"], tb["mA"],
+            tb["mB"], tb["geo"], self._dmats,
         ).reshape(-1)
         if fs["nsp"]:
             xe = u.at[tb["sp_dof"]].get(

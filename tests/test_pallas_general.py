@@ -183,3 +183,41 @@ def test_scatter_merge_exact(p, cells):
     y_merge = reference_merge_scatter(tb, mg, ye, dofs.ndofs)
     np.testing.assert_allclose(y_merge, y_chain, rtol=1e-13,
                                atol=1e-13 * np.abs(y_chain).max())
+
+
+@pytest.mark.parametrize("E,H", [(2, 256), (4, 256)])
+def test_multi_extent_windows_exact(E, H):
+    """Multi-extent windows (E disjoint He-row DMA extents per batch)
+    must reproduce the contiguous-window operator exactly — they are the
+    mesh-size-robust window form (contiguous spans grow ~N^(2/3) and
+    stop fitting beyond ~16^3 cells; 4x64-row extents cover Morton
+    batches at any size)."""
+    from wave_fenics_tpu.ops.general_tables import build_scatter_merge
+    from wave_fenics_tpu.ops.pallas_general import make_general_apply
+
+    p = 4
+    hm = _perturbed_mesh((5, 4, 4), (1.0, 1.0, 1.0), seed=E)
+    dofs = build_dofmap(hm, p)
+    ops = GeneralOperators(hm, dofs, dtype=jnp.float64)
+    dm = np.asarray(dofs.dofmap, np.int64)
+    tb = build_batch_tables(dm, dofs.ndofs, tile_h=H, extents=E)
+    assert tb.extents == E and len(tb.spill_cells) == 0
+    # extents of one batch must be disjoint (RMW write-back safety)
+    for i in range(tb.nbatch):
+        st = np.sort(tb.start_rows[i])
+        assert (np.diff(st) >= tb.He).all()
+    nd = (p + 1) ** 3
+    sym = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    G = np.asarray(ops._G).reshape(hm.ncells, nd, 3, 3)
+    geo = pack_cell_values(
+        tb, np.stack([G[:, :, a, b] for a, b in sym]), np.float64
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(dofs.ndofs))
+    o = np.asarray(ops.stiffness_indexed(x, 1.0))
+    for merge in (None, build_scatter_merge(tb)):
+        y = make_general_apply(tb, geo, "stiffness", D1=ops._D,
+                               coeff=-1.0, p=p, dtype=jnp.float64,
+                               merge=merge)(x)
+        np.testing.assert_allclose(np.asarray(y), o, rtol=1e-13,
+                                   atol=1e-13 * np.abs(o).max())

@@ -79,8 +79,14 @@ class GeneralBatchTables:
     #: element-tensor entries per cell
     nd: int
     nbatch: int
-    #: [nbatch] int32 window start as a ROW index into the padded [*, 128]
-    #: dof vector view
+    #: [nbatch, E] int32 extent starts as ROW indices into the padded
+    #: [*, 128] dof vector view: the in-kernel window is the
+    #: concatenation of E disjoint He = H/E-row extents (E = 1 is the
+    #: single contiguous window). Multi-extent windows keep the kernel
+    #: mesh-size-independent: a Morton batch's dof rows always cluster
+    #: into a few id-space runs (one per first-toucher epoch), while a
+    #: single contiguous span grows ~N^(2/3) and stops fitting VMEM
+    #: beyond ~16^3 cells.
     start_rows: np.ndarray
     #: [nbatch, B] int32 global cell ids (-1 = empty slot)
     batch_cells: np.ndarray
@@ -95,6 +101,14 @@ class GeneralBatchTables:
     spill_cells: np.ndarray
     #: number of [*, 128] rows the padded dof vector must have
     padded_rows: int
+
+    @property
+    def extents(self) -> int:
+        return self.start_rows.shape[1]
+
+    @property
+    def He(self) -> int:
+        return self.H // self.extents
 
     @property
     def kg(self) -> int:
@@ -116,12 +130,41 @@ class GeneralBatchTables:
         )
 
 
+def _cover_extents(rows: np.ndarray, E: int, He: int) -> np.ndarray | None:
+    """Greedy cover of sorted unique dof-row indices by E DISJOINT
+    extents of He rows each (8-aligned starts; the last extent's final
+    row is reserved for the zero sentinel). Disjointness matters: the
+    kernel read-modify-writes every extent back, so an HBM row held by
+    two extents of one batch would lose updates. Returns int64 [E]
+    increasing starts, or None when E extents cannot cover ``rows``."""
+    starts = np.zeros(E, np.int64)
+    i = 0
+    prev_end = 0
+    for e in range(E):
+        if i >= len(rows):
+            starts[e] = prev_end  # unused extent: parked, disjoint
+            prev_end += He
+            continue
+        s = max(int(rows[i]) & ~7, prev_end)
+        cap = He if e < E - 1 else He - 1
+        if rows[i] >= s + cap:
+            return None
+        starts[e] = s
+        while i < len(rows) and rows[i] < s + cap:
+            i += 1
+        prev_end = s + He
+    if i < len(rows):
+        return None
+    return starts
+
+
 def build_batch_tables(
     dofmap: np.ndarray,
     ndofs: int,
     *,
     batch_cells: int | None = None,
     tile_h: int = 128,
+    extents: int = 1,
     max_gather_chains: int = 8,
     max_scatter_chains: int = 12,
 ) -> GeneralBatchTables:
@@ -130,6 +173,11 @@ def build_batch_tables(
     Cells must already be locality-ordered with dofs numbered by first
     appearance — ``core.dofmap.build_dofmap(reorder='morton')`` or
     ``reorder='appearance'`` (lexicographic imports).
+
+    ``extents``: number of disjoint He = tile_h/extents-row DMA extents
+    forming each in-kernel window. extents=1 is the contiguous window
+    (only viable up to ~16^3-cell meshes); extents=4 covers Morton
+    batches at any mesh size with the same total window height.
     """
     dofmap = np.asarray(dofmap, dtype=np.int64)
     nc, nd = dofmap.shape
@@ -140,45 +188,51 @@ def build_batch_tables(
     H = tile_h
     if H % 8 or H > 256:
         raise ValueError("tile_h must be a multiple of 8, <= 256")
+    E = extents
+    if H % E or (H // E) % 8:
+        raise ValueError("tile_h/extents must be a multiple of 8")
+    He = H // E
     cpr = (_LANES - 1) // nd
     # default: fill the element tile (128 cell rows — the int8 s_row
-    # cap); pass 1 splits batches earlier when the id window runs out,
-    # and FEWER grid steps matter: the platform charges a fixed
-    # ~30-45 us per grid step (docs/BENCH_NOTES.md round 3)
+    # cap); pass 1 splits batches earlier when the extent budget runs
+    # out, and FEWER grid steps matter: the platform charges a fixed
+    # per-grid-step cost (docs/BENCH_NOTES.md round 3)
     B = batch_cells if batch_cells is not None else _LANES * cpr
     B = min(B, cpr * min(H - 1, _LANES))
     R = min((-(-B // cpr) + 7) // 8 * 8, H)  # cell rows, padded to 8
-    max_w = (H - 1) * _LANES  # row H-1 is the zero sentinel
     row_dt = np.int8 if H <= 128 else np.int16
 
-    # --- pass 1: greedy batching by window feasibility ------------------
+    # --- pass 1: batching by extent-cover feasibility -------------------
+    def cover(c0, n):
+        rows = np.unique(dofmap[c0 : c0 + n] // _LANES)
+        return _cover_extents(rows, E, He)
+
     spill: list[int] = []
     batches: list[list[int]] = []
-    starts: list[int] = []
+    starts: list[np.ndarray] = []
     c = 0
-    cur: list[int] = []
-    lo = hi = -1
     while c < nc:
-        ids = dofmap[c]
-        nlo = min(lo, ids.min()) if cur else ids.min()
-        nhi = max(hi, ids.max()) if cur else ids.max()
-        # window start row aligned down to 8 (DMA sublane alignment)
-        srow = (nlo // _LANES) & ~7
-        if (nhi + 1 - srow * _LANES) <= max_w and len(cur) < B:
-            cur.append(c)
-            lo, hi = nlo, nhi
+        n = min(B, nc - c)
+        st = cover(c, n)
+        if st is None:
+            # largest feasible prefix (cover is monotone in n)
+            lo, hi = 0, n
+            st_lo = None
+            while lo + 1 < hi:
+                mid = (lo + hi) // 2
+                stm = cover(c, mid)
+                if stm is not None:
+                    lo, st_lo = mid, stm
+                else:
+                    hi = mid
+            n, st = lo, st_lo
+        if n == 0:
+            spill.append(c)  # single cell exceeding the extent budget
             c += 1
             continue
-        if not cur:
-            spill.append(c)  # single cell spanning more than the window
-            c += 1
-            continue
-        batches.append(cur)
-        starts.append((lo // _LANES) & ~7)
-        cur, lo, hi = [], -1, -1
-    if cur:
-        batches.append(cur)
-        starts.append((lo // _LANES) & ~7)
+        batches.append(list(range(c, c + n)))
+        starts.append(st)
+        c += n
 
     # --- pass 2: per-batch chain assignment -----------------------------
     sent_row = H - 1  # zeroed window/element row (gather sentinel)
@@ -188,10 +242,10 @@ def build_batch_tables(
     nrange = np.arange(nd)
 
     kept_batches: list[np.ndarray] = []
-    kept_starts: list[int] = []
+    kept_starts: list[np.ndarray] = []
     all_g: list[tuple[list, list]] = []  # per batch: (g_lane_k, g_row_k)
     all_s: list[tuple[list, list]] = []
-    for cells, srow in zip(batches, starts):
+    for cells, est in zip(batches, starts):
         g_lane_c: list[np.ndarray] = []
         g_set_c: list[np.ndarray] = []
         g_row_c: list[np.ndarray] = []
@@ -206,9 +260,11 @@ def build_batch_tables(
         slots = np.full(B, -1, np.int32)
         for b, cell in enumerate(cells):
             r, lb = b // cpr, (b % cpr) * nd
-            loc = dofmap[cell] - srow * _LANES
-            t = loc // _LANES
-            l = loc % _LANES
+            g = dofmap[cell] // _LANES
+            l = dofmap[cell] % _LANES
+            # window row through the (disjoint, increasing) extent map
+            e = np.searchsorted(est, g, side="right") - 1
+            t = e * He + (g - est[e])
             lo_ = lb + nrange
             g_chain = np.full(nd, -1, np.int64)
             un = np.ones(nd, bool)
@@ -264,7 +320,7 @@ def build_batch_tables(
         s_keep = [i for i, u in enumerate(s_used_c) if u.any()]
         if (slots >= 0).any():
             kept_batches.append(slots.copy())
-            kept_starts.append(srow)
+            kept_starts.append(est)
             all_g.append(([g_lane_c[i] for i in g_keep],
                           [g_row_c[i] for i in g_keep]))
             all_s.append(([s_row_c[i] for i in s_keep],
@@ -285,11 +341,14 @@ def build_batch_tables(
 
     padded_rows = max(
         (ndofs + _LANES - 1) // _LANES + 1,
-        (max(kept_starts) + H) if kept_starts else 1,
+        (max(int(s.max()) for s in kept_starts) + He) if kept_starts
+        else 1,
     )
+    st = (np.stack(kept_starts).astype(np.int32) if kept_starts
+          else np.zeros((0, E), np.int32))
     return GeneralBatchTables(
         H=H, R=R, B=B, cpr=cpr, nd=nd, nbatch=nbatch,
-        start_rows=np.asarray(kept_starts, np.int32),
+        start_rows=st,
         batch_cells=bc,
         g_lane=_stack([g[0] for g in all_g], 0, np.int8, Kg)[:, :nbatch],
         g_row=_stack([g[1] for g in all_g], sent_row, row_dt,
@@ -453,8 +512,9 @@ def reference_merge_scatter(
             nlane = mg.s_nlane[j, i].astype(np.int64)
             P = np.take_along_axis(yet.T, row, axis=0)
             acc += np.take_along_axis(P, nlane, axis=1)
-        s = tb.start_rows[i]
-        yv[s : s + H] += acc
+        He = tb.He
+        for e, s in enumerate(tb.start_rows[i]):
+            yv[s : s + He] += acc[e * He : (e + 1) * He]
     return yv.reshape(-1)[:ndofs]
 
 
@@ -476,6 +536,15 @@ def pack_cell_values(tables: GeneralBatchTables, vals: np.ndarray,
     return out
 
 
+def window_view(tables: GeneralBatchTables, xv: np.ndarray, i: int
+                ) -> np.ndarray:
+    """Concatenated E-extent window of batch ``i`` (copy)."""
+    He = tables.He
+    return np.concatenate(
+        [xv[s : s + He] for s in tables.start_rows[i]], axis=0
+    )
+
+
 def reference_gather(tables: GeneralBatchTables, x: np.ndarray
                      ) -> np.ndarray:
     """NumPy emulation of the in-kernel gather chains (for tests):
@@ -487,7 +556,7 @@ def reference_gather(tables: GeneralBatchTables, x: np.ndarray
     out = np.zeros((tables.nbatch, H, _LANES), dtype=x.dtype)
     sent = np.full((H - tables.R, _LANES), H - 1, np.int64)
     for i in range(tables.nbatch):
-        Xw = xv[tables.start_rows[i] : tables.start_rows[i] + H].copy()
+        Xw = window_view(tables, xv, i)
         Xw[H - 1] = 0.0
         for k in range(tables.kg):
             lane = tables.g_lane[k, i].astype(np.int64)
@@ -512,6 +581,7 @@ def reference_scatter(tables: GeneralBatchTables, ye: np.ndarray,
             nlane = tables.s_nlane[j, i].astype(np.int64)
             P = np.take_along_axis(YE, row, axis=0)
             acc += np.take_along_axis(P, nlane, axis=1)
-        s = tables.start_rows[i]
-        yv[s : s + H] += acc
+        He = tables.He
+        for e, s in enumerate(tables.start_rows[i]):
+            yv[s : s + He] += acc[e * He : (e + 1) * He]
     return yv.reshape(-1)[:ndofs]

@@ -350,8 +350,12 @@ class GeneralOperators:
 
         nc = self.mesh.ncells
         best = None
-        for H in (128, 256):
-            tb = build_batch_tables(self._dofmap, self.ndofs, tile_h=H)
+        # contiguous windows first (cheapest DMA), then 4-extent
+        # windows — those cover Morton batches at ANY mesh size
+        # (docs/BENCH_NOTES.md round 3: contiguous spans grow ~N^(2/3))
+        for H, E in ((128, 1), (256, 1), (256, 4)):
+            tb = build_batch_tables(self._dofmap, self.ndofs, tile_h=H,
+                                    extents=E)
             if best is None or len(tb.spill_cells) < len(
                 best.spill_cells
             ):

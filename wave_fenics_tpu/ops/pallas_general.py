@@ -85,7 +85,7 @@ def contraction_matrices(p: int, cpr: int, D1: np.ndarray,
 
 
 def _kernel(
-    start_ref,  # scalar prefetch: [nbatch] int32 window start rows
+    start_ref,  # scalar prefetch: [nbatch, E] int32 extent start rows
     yin_ref,  # [padded_rows, 128] ANY — aliased with out_ref
     xv_ref,  # [padded_rows, 128] ANY
     glane_ref, growt_ref, srowt_ref, snlane_ref,  # chain tables (VMEM)
@@ -94,38 +94,45 @@ def _kernel(
     dmat_ref,  # [3, 128, 128] static contraction matrices (VMEM)
     out_ref,  # [padded_rows, 128] ANY (aliased input)
     xw, yw, ye, sem,  # scratch
-    *, H, R, kg, ks, nr, op, coeff, dtype,
+    *, H, R, kg, ks, nr, ext, op, coeff, dtype,
 ):
     del yin_ref
     i = pl.program_id(0)
     n = pl.num_programs(0)
     f32 = jnp.float32 if dtype != jnp.float64 else jnp.float64
     hi = jax.lax.Precision.HIGHEST
+    He = H // ext  # rows per (disjoint) DMA extent of the window
 
-    start = pl.multiple_of(start_ref[i], 8)
-
-    # double-buffered input-window DMA: batch i+1's window streams in
+    # double-buffered input-window DMA: batch i+1's extents stream in
     # while batch i computes. The output RMW read stays serial — it may
-    # overlap the PREVIOUS batch's window, whose write completes only at
-    # the end of that grid step.
-    def in_dma(slot, idx):
-        s = pl.multiple_of(start_ref[idx], 8)
+    # overlap the PREVIOUS batch's extents, whose write completes only
+    # at the end of that grid step.
+    def in_dma(slot, idx, e):
+        s = pl.multiple_of(start_ref[idx, e], 8)
         return pltpu.make_async_copy(
-            xv_ref.at[pl.ds(s, H)], xw.at[slot], sem.at[slot]
+            xv_ref.at[pl.ds(s, He)],
+            xw.at[slot, pl.ds(e * He, He)],
+            sem.at[slot, e],
         )
 
     @pl.when(i == 0)
     def _():
-        in_dma(0, 0).start()
+        for e in range(ext):
+            in_dma(0, 0, e).start()
 
     @pl.when(i + 1 < n)
     def _():
-        in_dma((i + 1) % 2, i + 1).start()
+        for e in range(ext):
+            in_dma((i + 1) % 2, i + 1, e).start()
 
-    pltpu.make_async_copy(
-        out_ref.at[pl.ds(start, H)], yw, sem.at[2]
-    ).start()
-    in_dma(i % 2, i).wait()
+    for e in range(ext):
+        s = pl.multiple_of(start_ref[i, e], 8)
+        pltpu.make_async_copy(
+            out_ref.at[pl.ds(s, He)], yw.at[pl.ds(e * He, He)],
+            sem.at[2, e],
+        ).start()
+    for e in range(ext):
+        in_dma(i % 2, i, e).wait()
     xw[i % 2, H - 1, :] = jnp.zeros((_LANES,), dtype=dtype)  # sentinel
 
     # gather chains. Mathematically XE = sum_k take(take(Xw, lane_k, 1),
@@ -189,9 +196,11 @@ def _kernel(
     # the row select again through the transpose (rowT[c, t] = row[t, c]
     # with values < R <= 128; YE lane 127 is zero, the unclaimed-slot
     # sentinel), in per-half [128, 128] gathers.
-    pltpu.make_async_copy(
-        out_ref.at[pl.ds(start, H)], yw, sem.at[2]
-    ).wait()
+    for e in range(ext):
+        pltpu.make_async_copy(
+            out_ref.at[pl.ds(pl.multiple_of(start_ref[i, e], 8), He)],
+            yw.at[pl.ds(e * He, He)], sem.at[2, e],
+        ).wait()
     accs = [
         yw[h * _LANES : (h + 1) * _LANES] for h in range(H // _LANES)
     ]
@@ -220,9 +229,18 @@ def _kernel(
             )
     for h in range(H // _LANES):
         yw[h * _LANES : (h + 1) * _LANES] = accs[h]
-    cp = pltpu.make_async_copy(yw, out_ref.at[pl.ds(start, H)], sem.at[3])
-    cp.start()
-    cp.wait()
+    cps = [
+        pltpu.make_async_copy(
+            yw.at[pl.ds(e * He, He)],
+            out_ref.at[pl.ds(pl.multiple_of(start_ref[i, e], 8), He)],
+            sem.at[3, e],
+        )
+        for e in range(ext)
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
 
 
 def make_general_apply(
@@ -262,7 +280,8 @@ def make_general_apply(
         ks = merge.ks
     ks = tb.ks if ks is None else ks
     call = make_general_call(
-        H=tb.H, R=tb.R, kg=kg, ks=ks, nr=nr, ngeo=geo.shape[0],
+        H=tb.H, R=tb.R, kg=kg, ks=ks, nr=nr, ext=tb.extents,
+        ngeo=geo.shape[0],
         nrows=tb.padded_rows, nbatch=tb.nbatch, op=op, coeff=coeff,
         dtype=dtype, interpret=interpret,
     )
@@ -320,7 +339,7 @@ def transposed_row_tables(tb) -> tuple[np.ndarray, np.ndarray]:
 
 def make_general_call(
     *, H, R, kg, ks, ngeo, nrows, nbatch, op, coeff, dtype,
-    interpret=None, nr=0,
+    interpret=None, nr=0, ext=1,
 ):
     """The compiled program alone (no table capture):
     ``call(start_rows, y0, xv, g_lane, g_row, s_row, s_nlane, mA, mB,
@@ -330,7 +349,7 @@ def make_general_call(
     128, 128] dummies when nr=0)."""
     npdt = np.dtype(dtype)
     kern = functools.partial(
-        _kernel, H=H, R=R, kg=kg, ks=ks, nr=nr, op=op,
+        _kernel, H=H, R=R, kg=kg, ks=ks, nr=nr, ext=ext, op=op,
         coeff=npdt.type(coeff), dtype=dtype,
     )
     if interpret is None:
@@ -362,7 +381,7 @@ def make_general_call(
             pltpu.VMEM((2, H, _LANES), dtype),  # xw (double-buffered)
             pltpu.VMEM((H, _LANES), dtype),  # yw
             pltpu.VMEM((H, _LANES), dtype),  # ye
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4, ext)),
         ],
     )
 

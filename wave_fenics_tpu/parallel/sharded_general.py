@@ -192,14 +192,14 @@ class ShardedGeneralWave:
         s = self._setup
         npdt = np.dtype(md.dtype)
         sym = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
-        for H in (128, 256):
+        for H, E in ((128, 1), (256, 1), (256, 4)):
             tbs = []
             nspill = 0
             for i in range(self.ndev):
                 nc_i = len(s["cells_of"][i])
                 tb = build_batch_tables(
                     s["ldof"][i, :nc_i].astype(np.int64),
-                    len(s["loc_ids"][i]), tile_h=H,
+                    len(s["loc_ids"][i]), tile_h=H, extents=E,
                 )
                 tbs.append(tb)
                 nspill += len(tb.spill_cells)
@@ -217,7 +217,7 @@ class ShardedGeneralWave:
 
         from ..ops.pallas_general import transposed_row_tables
 
-        start = np.zeros((self.ndev, NB), np.int32)
+        start = np.zeros((self.ndev, NB, tbs[0].extents), np.int32)
         g_lane = np.zeros((self.ndev, KG, NB, H, 128), np.int8)
         g_rowt = np.full((self.ndev, KG, NB, 128, 128), H - 1,
                          tbs[0].g_row.dtype)
@@ -246,7 +246,7 @@ class ShardedGeneralWave:
                 sp_G[i, j] = s["G"][i, cell]
         return dict(
             H=H, R=R, NB=NB, KG=KG, KS=KS, nrows=nrows, nsp=nsp,
-            cpr=tbs[0].cpr,
+            cpr=tbs[0].cpr, ext=tbs[0].extents,
             start=start, g_lane=g_lane, g_rowt=g_rowt, s_rowt=s_rowt,
             s_nlane=s_nlane, geo=geo, sp_dof=sp_dof, sp_G=sp_G,
             # scatter-merge placeholders (nr=0 in the shared program)
@@ -274,6 +274,7 @@ class ShardedGeneralWave:
         md = self.model
         return make_general_call(
             H=fs["H"], R=fs["R"], kg=fs["KG"], ks=fs["KS"], ngeo=6,
+            ext=fs["ext"],
             nrows=fs["nrows"], nbatch=fs["NB"], op="stiffness",
             coeff=-float(md.c0) ** 2, dtype=md.dtype,
         )

@@ -63,9 +63,13 @@ def main():
 
         # correctness: fused vs f32 indexed path (f64 oracle emulated on
         # TPU is too slow at these sizes; the small-mesh f64 oracle
-        # tests pin the math — here we pin fused == indexed)
-        jf = jax.jit(lambda a: ops.stiffness_fused(a, 1500.0))
-        ji = jax.jit(lambda a: ops.stiffness_indexed(a, 1500.0))
+        # tests pin the math — here we pin fused == indexed).
+        # hoisted_jit: tables/G as runtime args, not HLO literals (the
+        # tunnel 413s compile requests > ~100 MB)
+        from wave_fenics_tpu.utils.closure import hoisted_jit
+
+        jf = hoisted_jit(lambda a: ops.stiffness_fused(a, 1500.0), x)
+        ji = hoisted_jit(lambda a: ops.stiffness_indexed(a, 1500.0), x)
         compile_with_retry(jf, x)
         compile_with_retry(ji, x)
         yf = np.asarray(jf(x), np.float64)
@@ -79,11 +83,11 @@ def main():
         reps = args.reps
 
         def bench(name, f):
-            @jax.jit
-            def run(a, n):
-                return lax.fori_loop(0, n, lambda i, b: f(b), a,
-                                     unroll=False)
-
+            run = hoisted_jit(
+                lambda a, n: lax.fori_loop(0, n, lambda i, b: f(b), a,
+                                           unroll=False),
+                x, jnp.int32(2),
+            )
             compile_with_retry(run, x, jnp.int32(2))
             t = timeit(run, x, jnp.int32(reps), reps=3, warmup=1) / reps
             print(json.dumps({

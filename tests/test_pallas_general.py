@@ -221,3 +221,45 @@ def test_multi_extent_windows_exact(E, H):
                                merge=merge)(x)
         np.testing.assert_allclose(np.asarray(y), o, rtol=1e-13,
                                    atol=1e-13 * np.abs(o).max())
+
+
+@pytest.mark.parametrize("H,E", [(256, 1), (256, 4)])
+def test_gather_overflow_exact(H, E):
+    """Per-entry overflow re-encoding of gather chains >= 2 (dense-table
+    tail -> 1 KB/slot quadruple lists + one-hot MXU landing) must
+    reproduce the full-chain operator exactly."""
+    from wave_fenics_tpu.ops.general_tables import (
+        build_gather_overflow, build_scatter_merge,
+    )
+    from wave_fenics_tpu.ops.pallas_general import make_general_apply
+
+    p = 4
+    hm = box_mesh((8, 4, 4), (1.0, 1.0, 1.0)).to_hex_mesh()
+    dofs = build_dofmap(hm, p)
+    ops = GeneralOperators(hm, dofs, dtype=jnp.float64)
+    dm = np.asarray(dofs.dofmap, np.int64)
+    tb = build_batch_tables(dm, dofs.ndofs, tile_h=H, extents=E)
+    assert tb.kg > 2 and len(tb.spill_cells) == 0
+    assert build_gather_overflow(tb, max_slots=4) is None  # tail > 512
+    ov = build_gather_overflow(tb, max_slots=16)
+    assert ov is not None and ov.keep == 2
+    nd = (p + 1) ** 3
+    sym = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    G = np.asarray(ops._G).reshape(hm.ncells, nd, 3, 3)
+    geo = pack_cell_values(
+        tb, np.stack([G[:, :, a, b] for a, b in sym]), np.float64
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(dofs.ndofs))
+    o = np.asarray(ops.stiffness_indexed(x, 1.0))
+    y = make_general_apply(tb, geo, "stiffness", D1=ops._D, coeff=-1.0,
+                           p=p, dtype=jnp.float64,
+                           merge=build_scatter_merge(tb),
+                           overflow=16)(x)
+    np.testing.assert_allclose(np.asarray(y), o, rtol=1e-13,
+                               atol=1e-13 * np.abs(o).max())
+    # dense-chain path unchanged (overflow disabled)
+    y2 = make_general_apply(tb, geo, "stiffness", D1=ops._D, coeff=-1.0,
+                            p=p, dtype=jnp.float64, overflow=False)(x)
+    np.testing.assert_allclose(np.asarray(y2), o, rtol=1e-13,
+                               atol=1e-13 * np.abs(o).max())

@@ -56,7 +56,8 @@ from dataclasses import dataclass
 import numpy as np
 
 __all__ = ["GeneralBatchTables", "build_batch_tables", "ScatterMerge",
-           "build_scatter_merge"]
+           "build_scatter_merge", "GatherOverflow",
+           "build_gather_overflow"]
 
 _LANES = 128
 
@@ -158,6 +159,76 @@ def _cover_extents(rows: np.ndarray, E: int, He: int) -> np.ndarray | None:
     return starts
 
 
+_CACHE_VERSION = 2  # v2: unsigned-int8 g_row encoding
+#: table builds below this cell count skip the disk cache (IO not worth it)
+_CACHE_MIN_CELLS = 4096
+
+
+def _cache_path(kind: str, key_parts) -> str | None:
+    import hashlib
+    import os
+
+    d = os.environ.get(
+        "WAVE_FENICS_TABLE_CACHE",
+        os.path.expanduser("~/.wave_fenics_table_cache"),
+    )
+    if d in ("", "0", "off"):
+        return None
+    h = hashlib.blake2b(digest_size=20)
+    h.update(f"v{_CACHE_VERSION}:{kind}".encode())
+    for part in key_parts:
+        if isinstance(part, np.ndarray):
+            h.update(np.ascontiguousarray(part).tobytes())
+            h.update(str(part.dtype).encode() + str(part.shape).encode())
+        else:
+            h.update(repr(part).encode())
+    return os.path.join(d, f"{kind}-{h.hexdigest()}.npz")
+
+
+def _cache_load(cls, path: str):
+    import dataclasses
+    import os
+
+    if path is None or not os.path.exists(path):
+        return None
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            kw = {}
+            for f in dataclasses.fields(cls):
+                v = z[f.name]
+                kw[f.name] = (
+                    v.item() if v.shape == () and f.type in ("int", int)
+                    else v
+                )
+            return cls(**kw)
+    except Exception:
+        return None
+
+
+def _cache_store(obj, path: str) -> None:
+    import dataclasses
+    import os
+    import tempfile
+
+    if path is None:
+        return
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path),
+                                   suffix=".npz")
+        os.close(fd)
+        np.savez_compressed(
+            tmp,
+            **{
+                f.name: getattr(obj, f.name)
+                for f in dataclasses.fields(obj)
+            },
+        )
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
 def build_batch_tables(
     dofmap: np.ndarray,
     ndofs: int,
@@ -178,9 +249,24 @@ def build_batch_tables(
     forming each in-kernel window. extents=1 is the contiguous window
     (only viable up to ~16^3-cell meshes); extents=4 covers Morton
     batches at any mesh size with the same total window height.
+
+    Builds at >= 4096 cells are disk-cached (keyed by dofmap content +
+    parameters; dir ``$WAVE_FENICS_TABLE_CACHE`` or
+    ``~/.wave_fenics_table_cache``) — pass-2 chain assignment is
+    host-side Python and takes minutes at production sizes.
     """
     dofmap = np.asarray(dofmap, dtype=np.int64)
     nc, nd = dofmap.shape
+    cache = None
+    if nc >= _CACHE_MIN_CELLS:
+        cache = _cache_path(
+            "batch",
+            (dofmap, ndofs, batch_cells, tile_h, extents,
+             max_gather_chains, max_scatter_chains),
+        )
+        hit = _cache_load(GeneralBatchTables, cache)
+        if hit is not None:
+            return hit
     if nd > _LANES - 1:
         # lane 127 must stay zero (scatter sentinel): nd <= 127, i.e.
         # p <= 4 for hexes; higher degrees stay on the XLA indexed path
@@ -200,7 +286,10 @@ def build_batch_tables(
     B = batch_cells if batch_cells is not None else _LANES * cpr
     B = min(B, cpr * min(H - 1, _LANES))
     R = min((-(-B // cpr) + 7) // 8 * 8, H)  # cell rows, padded to 8
-    row_dt = np.int8 if H <= 128 else np.int16
+    # window-row indices are stored int8 UNSIGNED (two's complement,
+    # decoded in-kernel/in-emulation as ``v & 0xFF``): H <= 256 keeps
+    # every row in one byte and halves g_row DMA traffic vs int16
+    row_dt = np.int8
 
     # --- pass 1: batching by extent-cover feasibility -------------------
     def cover(c0, n):
@@ -333,7 +422,9 @@ def build_batch_tables(
     Ks = max((len(s[0]) for s in all_s), default=1) or 1
 
     def _stack(per_batch, default, dt, K, shp=shape):
-        out = np.full((K, max(nbatch, 1)) + shp, default, dt)
+        # default wraps mod 2^8 for the unsigned-int8 row encoding
+        out = np.full((K, max(nbatch, 1)) + shp,
+                      np.array(default, np.int64).astype(dt), dt)
         for i, chains in enumerate(per_batch):
             for k, ch in enumerate(chains):
                 out[k, i] = ch.astype(dt)
@@ -346,7 +437,7 @@ def build_batch_tables(
     )
     st = (np.stack(kept_starts).astype(np.int32) if kept_starts
           else np.zeros((0, E), np.int32))
-    return GeneralBatchTables(
+    tb = GeneralBatchTables(
         H=H, R=R, B=B, cpr=cpr, nd=nd, nbatch=nbatch,
         start_rows=st,
         batch_cells=bc,
@@ -359,6 +450,8 @@ def build_batch_tables(
         spill_cells=np.asarray(sorted(spill), np.int32),
         padded_rows=padded_rows,
     )
+    _cache_store(tb, cache)
+    return tb
 
 
 @dataclass(frozen=True)
@@ -398,8 +491,23 @@ def build_scatter_merge(
     (respecting the per-round A/B key constraints), and rebuilds the
     residual chains. Returns None when the claim structure cannot be
     reduced to ``max_chains`` within ``max_rounds`` (callers keep the
-    plain chains)."""
+    plain chains). Large builds are disk-cached like
+    :func:`build_batch_tables` (None results as an empty marker)."""
     H, nb = tb.H, tb.nbatch
+    cache = None
+    if nb * tb.B >= _CACHE_MIN_CELLS:
+        import os
+
+        cache = _cache_path(
+            "merge",
+            (tb.s_row, tb.s_nlane, tb.start_rows, max_chains,
+             max_rounds),
+        )
+        if cache is not None and os.path.exists(cache + ".none"):
+            return None
+        hit = _cache_load(ScatterMerge, cache)
+        if hit is not None:
+            return hit
     sent_lane = _LANES - 1
     A = np.zeros((max_rounds, nb, _LANES, _LANES), np.int8)
     B = np.full((max_rounds, nb, _LANES, _LANES), sent_lane, np.int8)
@@ -422,6 +530,11 @@ def build_scatter_merge(
             rnd = 0
             while len(lst) > max_chains:
                 if rnd >= max_rounds:
+                    if cache is not None:
+                        try:
+                            open(cache + ".none", "w").close()
+                        except OSError:
+                            pass
                     return None
                 nxt: list[tuple[int, int]] = []
                 k = 0
@@ -478,6 +591,11 @@ def build_scatter_merge(
         new_lanes.append(lanes)
 
     if rounds_used == 0:
+        if cache is not None:
+            try:
+                open(cache + ".none", "w").close()
+            except OSError:
+                pass
         return None  # nothing to merge; keep the original chains
     Ks = max((len(r) for r in new_rows), default=1) or 1
     s_row = np.zeros((Ks, max(nb, 1), H, _LANES), np.int8)
@@ -486,10 +604,78 @@ def build_scatter_merge(
         for j in range(len(new_rows[i])):
             s_row[j, i] = new_rows[i][j].astype(np.int8)
             s_nlane[j, i] = new_lanes[i][j].astype(np.int8)
-    return ScatterMerge(
+    mg = ScatterMerge(
         A=A[:rounds_used], B=B[:rounds_used],
         s_row=s_row[:, :nb], s_nlane=s_nlane[:, :nb],
     )
+    _cache_store(mg, cache)
+    return mg
+
+
+@dataclass(frozen=True)
+class GatherOverflow:
+    """Per-entry re-encoding of the sparse gather-chain tail.
+
+    Gather chains beyond the first two hold <~1% of the claims on
+    typical first-appearance dofmaps, yet each chain costs dense
+    [H, 128] + [128, 128] tables per batch (~48 KB). Entries of chains
+    >= ``keep`` are stored instead as 128-entry slots of (window row t,
+    source lane l, element row r, packed lane c) quadruples — 1 KB per
+    slot — applied in-kernel by two masked lane-gathers + one one-hot
+    MXU matmul (exact: every (r, c) is claimed at most once). This is
+    the TPU analogue of the reference letting rare indirections ride
+    the same gather kernel (common/cuda/scatter.cu:47-55) — rare cases
+    must not set the dense-table budget."""
+
+    #: [slots, nbatch, 4, 128] int16, rows (t, l, r, c); padding
+    #: entries are (H-1, 0, 0, 127): they read the zeroed sentinel
+    #: window row and add 0 into the element tile's zero lane
+    tab: np.ndarray
+    #: number of dense chains kept ahead of this encoding
+    keep: int
+
+    @property
+    def slots(self) -> int:
+        return self.tab.shape[0]
+
+
+def build_gather_overflow(
+    tb: GeneralBatchTables, keep: int = 2, max_slots: int = 4
+) -> GatherOverflow | None:
+    """Encode gather chains >= ``keep`` as overflow entry slots.
+
+    Returns None when any batch's tail exceeds ``max_slots * 128``
+    entries (callers keep the dense chains) or when there is no tail."""
+    if tb.kg <= keep:
+        return None
+    H = tb.H
+    sent = H - 1
+    per_batch: list[np.ndarray] = []
+    maxn = 0
+    for i in range(tb.nbatch):
+        es = []
+        for k in range(keep, tb.kg):
+            row = tb.g_row[k, i].astype(np.int64) & 0xFF
+            rr, cc = np.nonzero(row != sent)
+            tt = row[rr, cc]
+            ll = tb.g_lane[k, i, tt, cc].astype(np.int64)
+            es.append(np.stack([tt, ll, rr, cc], axis=1))
+        e = (np.concatenate(es, axis=0) if es
+             else np.zeros((0, 4), np.int64))
+        per_batch.append(e)
+        maxn = max(maxn, len(e))
+    slots = -(-maxn // _LANES) if maxn else 1
+    if slots > max_slots:
+        return None
+    tab = np.zeros((slots, tb.nbatch, 4, _LANES), np.int16)
+    tab[:, :, 0, :] = sent
+    tab[:, :, 3, :] = _LANES - 1
+    for i, e in enumerate(per_batch):
+        if len(e):
+            flat = tab[:, i].transpose(0, 2, 1).reshape(-1, 4)
+            flat[: len(e)] = e
+            tab[:, i] = flat.reshape(slots, _LANES, 4).transpose(0, 2, 1)
+    return GatherOverflow(tab=tab, keep=keep)
 
 
 def reference_merge_scatter(
@@ -561,7 +747,7 @@ def reference_gather(tables: GeneralBatchTables, x: np.ndarray
         for k in range(tables.kg):
             lane = tables.g_lane[k, i].astype(np.int64)
             row = np.concatenate(
-                [tables.g_row[k, i].astype(np.int64), sent]
+                [tables.g_row[k, i].astype(np.int64) & 0xFF, sent]
             )
             T = np.take_along_axis(Xw, lane, axis=1)
             out[i] += np.take_along_axis(T, row, axis=0)

@@ -89,12 +89,13 @@ def _kernel(
     yin_ref,  # [padded_rows, 128] ANY — aliased with out_ref
     xv_ref,  # [padded_rows, 128] ANY
     glane_ref, growt_ref, srowt_ref, snlane_ref,  # chain tables (VMEM)
+    ovt_ref,  # [slots, 4, 128] int16 gather-overflow entries (VMEM)
     mA_ref, mB_ref,  # [nr, 128, 128] scatter-merge rounds (VMEM)
     geo_ref,  # [ngeo, R, 128] geometric factors (VMEM, compact rows)
     dmat_ref,  # [3, 128, 128] static contraction matrices (VMEM)
     out_ref,  # [padded_rows, 128] ANY (aliased input)
     xw, yw, ye, sem,  # scratch
-    *, H, R, kg, ks, nr, ext, op, coeff, dtype,
+    *, H, R, kg, ks, nr, ext, n_ov, op, coeff, dtype,
 ):
     del yin_ref
     i = pl.program_id(0)
@@ -149,7 +150,8 @@ def _kernel(
         lane = glane_ref[k].astype(jnp.int32)
         t = _take_lanes(xvals, lane)  # [H, 128]
         tt = t.T  # [128, H]
-        rt = growt_ref[k].astype(jnp.int32)  # [128, 128]
+        # rows are stored int8 UNSIGNED (mod-256 two's complement)
+        rt = growt_ref[k].astype(jnp.int32) & 0xFF  # [128, 128]
         for h in range(H // _LANES):
             th = tt[:, h * _LANES : (h + 1) * _LANES]
             idx = jnp.clip(rt - h * _LANES, 0, _LANES - 1)
@@ -158,6 +160,41 @@ def _kernel(
                 m, jnp.take_along_axis(th, idx, axis=1),
                 jnp.zeros((), dtype=dtype),
             )
+    # gather-overflow entries (chains >= keep re-encoded per entry,
+    # general_tables.build_gather_overflow): two masked lane-gathers
+    # fetch v[e] = Xw[t_e, l_e]; one one-hot MXU matmul lands each
+    # entry at its (r_e, c_e) element slot — exact, every slot claimed
+    # at most once. ~1 KB of table per slot vs ~48 KB per dense chain.
+    if n_ov:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
+        xt = xvals.T  # [128, H]
+        for o in range(n_ov):
+            tv = ovt_ref[o].astype(jnp.int32)  # [4, 128]
+            t_b = jnp.broadcast_to(tv[0][None, :], (_LANES, _LANES))
+            qt = jnp.zeros((_LANES, _LANES), dtype=dtype)
+            for h in range(H // _LANES):
+                idx = jnp.clip(t_b - h * _LANES, 0, _LANES - 1)
+                m = (t_b >= h * _LANES) & (t_b < (h + 1) * _LANES)
+                qt = qt + jnp.where(
+                    m,
+                    jnp.take_along_axis(
+                        xt[:, h * _LANES : (h + 1) * _LANES], idx,
+                        axis=1,
+                    ),
+                    jnp.zeros((), dtype=dtype),
+                )
+            q = qt.T  # [e, l] = Xw[t_e, l]
+            v = jnp.take_along_axis(
+                q,
+                jnp.broadcast_to(tv[1][:, None], (_LANES, _LANES)),
+                axis=1,
+            )  # [e, 128]: every column holds v[e]
+            ch = (tv[3][:, None] == iota).astype(dtype)  # [e, c]
+            rh = (tv[2][:, None] == iota).astype(dtype)  # [e, r]
+            xe_t = xe_t + jax.lax.dot_general(
+                ch * v, rh, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=hi,
+            ).astype(dtype)  # [c, r]
     xe = xe_t.T  # [128(r), 128(c)]
     xer = xe[:R]
 
@@ -257,6 +294,7 @@ def make_general_apply(
     ks: int | None = None,
     idx_dtype=None,
     merge=None,
+    overflow: bool | int = True,
 ):
     """Build ``apply(x) -> y`` over flat [ndofs] vectors (kernel part only
     — spilled cells are the caller's responsibility).
@@ -274,14 +312,24 @@ def make_general_apply(
         dmats = np.zeros((3, _LANES, _LANES), npdt)
     geo = np.ascontiguousarray(geo, dtype=npdt)
 
-    kg = tb.kg if kg is None else kg
+    # sparse gather tail -> per-entry overflow slots (only on the
+    # default path: explicit kg pins the dense-chain form for ablations)
+    ovf = None
+    if kg is None and overflow:
+        from .general_tables import build_gather_overflow
+
+        ms = (overflow if isinstance(overflow, int)
+              and overflow is not True else 4)
+        ovf = build_gather_overflow(tb, max_slots=ms)
+    kg = (ovf.keep if ovf is not None else tb.kg) if kg is None else kg
+    n_ov = 0 if ovf is None else ovf.slots
     nr = 0 if merge is None else merge.nrounds
     if merge is not None and ks is None:
         ks = merge.ks
     ks = tb.ks if ks is None else ks
     call = make_general_call(
         H=tb.H, R=tb.R, kg=kg, ks=ks, nr=nr, ext=tb.extents,
-        ngeo=geo.shape[0],
+        n_ov=n_ov, ngeo=geo.shape[0],
         nrows=tb.padded_rows, nbatch=tb.nbatch, op=op, coeff=coeff,
         dtype=dtype, interpret=interpret,
     )
@@ -300,10 +348,13 @@ def make_general_apply(
         mA = np.zeros((1, tb.nbatch, _LANES, _LANES), np.int8)
         mB = np.full((1, tb.nbatch, _LANES, _LANES), _LANES - 1,
                      np.int8)
-    # chain truncation (timing ablations): specs keep >=1 chain table
+    # chain truncation (overflow re-encoding or timing ablations);
+    # specs keep >=1 chain table
     kt, st = max(kg, 1), max(ks, 1)
     g_lane, g_rowt = g_lane[:kt], g_rowt[:kt]
     s_rowt, s_nlane = s_rowt[:st], s_nlane[:st]
+    ovt = (ovf.tab if ovf is not None
+           else np.zeros((1, tb.nbatch, 4, _LANES), np.int16))
     if idx_dtype is not None:
         # wider index tables trade DMA for the in-kernel upcasts
         g_lane, g_rowt, s_rowt, s_nlane = (
@@ -318,7 +369,7 @@ def make_general_apply(
         xv = xp.reshape(nrows, _LANES)
         y0 = jnp.zeros((nrows, _LANES), dtype=dtype)
         out = call(start_rows, y0, xv, g_lane, g_rowt, s_rowt, s_nlane,
-                   mA, mB, geo, dmats)
+                   ovt, mA, mB, geo, dmats)
         return out.reshape(-1)[: x.shape[0]]
 
     return apply
@@ -330,8 +381,11 @@ def transposed_row_tables(tb) -> tuple[np.ndarray, np.ndarray]:
     rows r < R <= 128 by construction, sentinel H-1 beyond) and
     s_rowt[j, i, c, t] = s_row[j, i, t, c] ([Ks, nb, 128, H])."""
     Kg, nb = tb.g_row.shape[:2]
-    g_rowt = np.full((Kg, max(nb, 1), _LANES, _LANES), tb.H - 1,
-                     tb.g_row.dtype)
+    g_rowt = np.full(
+        (Kg, max(nb, 1), _LANES, _LANES),
+        np.array(tb.H - 1, np.int64).astype(tb.g_row.dtype),
+        tb.g_row.dtype,
+    )
     g_rowt[:, :nb, :, : tb.R] = np.swapaxes(tb.g_row, 2, 3)
     s_rowt = np.ascontiguousarray(np.swapaxes(tb.s_row, 2, 3))
     return g_rowt[:, :nb], s_rowt
@@ -339,18 +393,20 @@ def transposed_row_tables(tb) -> tuple[np.ndarray, np.ndarray]:
 
 def make_general_call(
     *, H, R, kg, ks, ngeo, nrows, nbatch, op, coeff, dtype,
-    interpret=None, nr=0, ext=1,
+    interpret=None, nr=0, ext=1, n_ov=0,
 ):
     """The compiled program alone (no table capture):
-    ``call(start_rows, y0, xv, g_lane, g_row, s_row, s_nlane, mA, mB,
-    geo, dmats) -> y [nrows, 128]``. Tables are runtime operands, so the
-    same program serves every device of a sharded fleet with per-device
-    tables. ``nr``: scatter-merge rounds (mA/mB are [max(nr,1), nbatch,
-    128, 128] dummies when nr=0)."""
+    ``call(start_rows, y0, xv, g_lane, g_row, s_row, s_nlane, ovt, mA,
+    mB, geo, dmats) -> y [nrows, 128]``. Tables are runtime operands, so
+    the same program serves every device of a sharded fleet with
+    per-device tables. ``nr``: scatter-merge rounds (mA/mB are
+    [max(nr,1), nbatch, 128, 128] dummies when nr=0). ``n_ov``:
+    gather-overflow slots (ovt is a [max(n_ov,1), nbatch, 4, 128] int16
+    dummy when n_ov=0)."""
     npdt = np.dtype(dtype)
     kern = functools.partial(
-        _kernel, H=H, R=R, kg=kg, ks=ks, nr=nr, ext=ext, op=op,
-        coeff=npdt.type(coeff), dtype=dtype,
+        _kernel, H=H, R=R, kg=kg, ks=ks, nr=nr, ext=ext, n_ov=n_ov,
+        op=op, coeff=npdt.type(coeff), dtype=dtype,
     )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -371,6 +427,7 @@ def make_general_call(
             chain_spec(max(kg, 1), _LANES, _LANES),  # g_rowt (transposed)
             chain_spec(max(ks, 1), _LANES, H),  # s_rowt (transposed)
             chain_spec(max(ks, 1)),  # s_nlane
+            chain_spec(max(n_ov, 1), 4, _LANES),  # gather overflow
             chain_spec(max(nr, 1), _LANES, _LANES),  # merge A
             chain_spec(max(nr, 1), _LANES, _LANES),  # merge B
             chain_spec(ngeo, R),  # geo (compact rows)

@@ -210,6 +210,21 @@ class ShardedGeneralWave:
         NB = max(tb.nbatch for tb in tbs)
         KG = max(tb.kg for tb in tbs)
         KS = max(tb.ks for tb in tbs)
+        # sparse gather tail -> per-entry overflow slots (same encoding
+        # as the single-device path; fleet-padded). Falls back to dense
+        # chains when any device's tail exceeds the slot budget.
+        from ..ops.general_tables import build_gather_overflow
+
+        n_ov = 0
+        ovs = None
+        if KG > 2:
+            ovs = [build_gather_overflow(tb) for tb in tbs]
+            if all(o is not None or tb.kg <= 2
+                   for o, tb in zip(ovs, tbs)):
+                KG = min(KG, 2)
+                n_ov = max(o.slots for o in ovs if o is not None)
+            else:
+                ovs = None
         R = tbs[0].R
         nrows = max(tb.padded_rows for tb in tbs)
         nrows = max(nrows, -(-s["NLP"] // 128), H)
@@ -219,10 +234,16 @@ class ShardedGeneralWave:
 
         start = np.zeros((self.ndev, NB, tbs[0].extents), np.int32)
         g_lane = np.zeros((self.ndev, KG, NB, H, 128), np.int8)
-        g_rowt = np.full((self.ndev, KG, NB, 128, 128), H - 1,
-                         tbs[0].g_row.dtype)
+        g_rowt = np.full(
+            (self.ndev, KG, NB, 128, 128),
+            np.array(H - 1, np.int64).astype(tbs[0].g_row.dtype),
+            tbs[0].g_row.dtype,
+        )
         s_rowt = np.zeros((self.ndev, KS, NB, 128, H), np.int8)
         s_nlane = np.full((self.ndev, KS, NB, H, 128), 127, np.int8)
+        ovt = np.zeros((self.ndev, max(n_ov, 1), NB, 4, 128), np.int16)
+        ovt[:, :, :, 0, :] = H - 1
+        ovt[:, :, :, 3, :] = 127
         geo = np.zeros((self.ndev, 6, NB, R, 128), npdt)
         # spill subset (XLA indexed per device), padded
         sp_dof = np.full((self.ndev, max(nsp, 1), nd), s["NL"], np.int32)
@@ -231,9 +252,12 @@ class ShardedGeneralWave:
         )
         for i, tb in enumerate(tbs):
             start[i, : tb.nbatch] = tb.start_rows
-            g_lane[i, : tb.kg, : tb.nbatch] = tb.g_lane
+            kg_i = min(tb.kg, KG)
+            g_lane[i, :kg_i, : tb.nbatch] = tb.g_lane[:kg_i]
             grt, srt = transposed_row_tables(tb)
-            g_rowt[i, : tb.kg, : tb.nbatch] = grt
+            g_rowt[i, :kg_i, : tb.nbatch] = grt[:kg_i]
+            if ovs is not None and ovs[i] is not None:
+                ovt[i, : ovs[i].slots, : tb.nbatch] = ovs[i].tab
             s_rowt[i, : tb.ks, : tb.nbatch] = srt
             s_nlane[i, : tb.ks, : tb.nbatch] = tb.s_nlane
             # geometric factors of this part's cells, packed per batch
@@ -246,9 +270,10 @@ class ShardedGeneralWave:
                 sp_G[i, j] = s["G"][i, cell]
         return dict(
             H=H, R=R, NB=NB, KG=KG, KS=KS, nrows=nrows, nsp=nsp,
-            cpr=tbs[0].cpr, ext=tbs[0].extents,
-            start=start, g_lane=g_lane, g_rowt=g_rowt, s_rowt=s_rowt,
-            s_nlane=s_nlane, geo=geo, sp_dof=sp_dof, sp_G=sp_G,
+            cpr=tbs[0].cpr, ext=tbs[0].extents, n_ov=n_ov,
+            start=start, g_lane=g_lane[:, :KG], g_rowt=g_rowt[:, :KG],
+            s_rowt=s_rowt,
+            s_nlane=s_nlane, ovt=ovt, geo=geo, sp_dof=sp_dof, sp_G=sp_G,
             # scatter-merge placeholders (nr=0 in the shared program)
             mA=np.zeros((self.ndev, 1, NB, 128, 128), np.int8),
             mB=np.full((self.ndev, 1, NB, 128, 128), 127, np.int8),
@@ -274,7 +299,7 @@ class ShardedGeneralWave:
         md = self.model
         return make_general_call(
             H=fs["H"], R=fs["R"], kg=fs["KG"], ks=fs["KS"], ngeo=6,
-            ext=fs["ext"],
+            ext=fs["ext"], n_ov=fs["n_ov"],
             nrows=fs["nrows"], nbatch=fs["NB"], op="stiffness",
             coeff=-float(md.c0) ** 2, dtype=md.dtype,
         )
@@ -322,7 +347,7 @@ class ShardedGeneralWave:
             out["G"] = sh(s["G"], P("d", *([None] * (s["G"].ndim - 1))))
         else:
             for name in ("start", "g_lane", "g_rowt", "s_rowt",
-                         "s_nlane", "mA", "mB", "geo"):
+                         "s_nlane", "ovt", "mA", "mB", "geo"):
                 a = fs[name]
                 out[name] = sh(a, P("d", *([None] * (a.ndim - 1))))
             if fs["nsp"]:
@@ -374,8 +399,8 @@ class ShardedGeneralWave:
         y0 = jnp.zeros((nrows, 128), dtype=md.dtype)
         b = self._gen_call(
             tb["start"], y0, u.reshape(nrows, 128), tb["g_lane"],
-            tb["g_rowt"], tb["s_rowt"], tb["s_nlane"], tb["mA"],
-            tb["mB"], tb["geo"], self._dmats,
+            tb["g_rowt"], tb["s_rowt"], tb["s_nlane"], tb["ovt"],
+            tb["mA"], tb["mB"], tb["geo"], self._dmats,
         ).reshape(-1)
         if fs["nsp"]:
             xe = u.at[tb["sp_dof"]].get(

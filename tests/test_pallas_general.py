@@ -263,3 +263,33 @@ def test_gather_overflow_exact(H, E):
                             p=p, dtype=jnp.float64, overflow=False)(x)
     np.testing.assert_allclose(np.asarray(y2), o, rtol=1e-13,
                                atol=1e-13 * np.abs(o).max())
+
+
+def test_affine_rank1_geometry_exact():
+    """Affine (parallelepiped) cells: G[c,q] = g6[c]*w_q exactly, so the
+    fused kernel streams 6 floats per cell instead of per node. Must be
+    exact on sheared (non-axis-aligned) parallelepiped meshes and must
+    NOT engage on curved meshes."""
+    from wave_fenics_tpu.core.mesh import HexMesh
+    from wave_fenics_tpu.ops import element_kernels as ek
+
+    bm = box_mesh((5, 4, 4), (1.0, 1.0, 1.0)).to_hex_mesh()
+    A = np.array([[1.0, 0.3, 0.1], [0.0, 0.9, 0.2], [0.0, 0.0, 1.1]])
+    sheared = HexMesh(points=bm.points @ A.T, cells=bm.cells)
+    rng = np.random.default_rng(0)
+    for hm, expect_affine in ((sheared, True),
+                              (_perturbed_mesh((5, 4, 4), (1, 1, 1),
+                                               seed=3), False)):
+        dofs = build_dofmap(hm, 4)
+        ops = GeneralOperators(hm, dofs, dtype=jnp.float64)
+        assert (ops._fused_affine is not None) == expect_affine
+        x = jnp.asarray(rng.standard_normal(dofs.ndofs))
+        o = np.asarray(ops.stiffness_indexed(x, 1.0))
+        y = np.asarray(ops._fused_apply("stiffness", -1.0)(x))
+        np.testing.assert_allclose(y, o, rtol=1e-13,
+                                   atol=1e-13 * np.abs(o).max())
+        ye = ek.spectral_mass_element(ops.gather(x), ops._detJw)
+        om = np.asarray(ops.scatter(ye))
+        ym = np.asarray(ops._fused_apply("mass", 1.0)(x))
+        np.testing.assert_allclose(ym, om, rtol=1e-13,
+                                   atol=1e-13 * np.abs(om).max())

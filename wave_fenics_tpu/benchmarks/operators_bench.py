@@ -98,10 +98,14 @@ def main():
 
     reps = args.reps
 
-    @jax.jit
-    def run(x):
-        return lax.fori_loop(0, reps, lambda i, a: f(a), x)
+    # hoisted_jit: operator tables/geometric factors become runtime
+    # arguments, not HLO literals (utils/closure.py — the remote
+    # compiler rejects >~100 MB bodies at production mesh sizes)
+    from ..utils.closure import hoisted_jit
 
+    run = hoisted_jit(
+        lambda x: lax.fori_loop(0, reps, lambda i, a: f(a), x), x
+    )
     compile_with_retry(run, x)
     t = timeit(run, x, reps=3, warmup=1) / reps
 

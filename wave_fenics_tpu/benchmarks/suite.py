@@ -169,6 +169,17 @@ def main():
         "--degree", "4", "--reps", reps, "--check")
     run("operators_bench", "--op", "stiffness-general-xla", "--size", gsize,
         "--degree", "4", "--reps", "10")
+    if not args.quick:
+        # at-scale fused general records (multi-extent windows + int8
+        # rows + gather-overflow slots). No --check here: the f64
+        # oracle is emulated-slow on TPU at >1M dofs; correctness is
+        # pinned at 16^3 above and by the fused==indexed f32 check in
+        # experiments/exp_general_scale.py (1.9e-7 at 32^3)
+        for gs in ("24", "32"):
+            run("operators_bench", "--op", "stiffness-general",
+                "--size", gs, "--degree", "4", "--reps", reps)
+            run("operators_bench", "--op", "mass-general",
+                "--size", gs, "--degree", "4", "--reps", reps)
     if args.platform != "cpu":
         # headline solves (real chip only): validated padded path and the
         # fused-stage candidate

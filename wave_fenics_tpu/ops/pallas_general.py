@@ -95,7 +95,7 @@ def _kernel(
     dmat_ref,  # [3, 128, 128] static contraction matrices (VMEM)
     out_ref,  # [padded_rows, 128] ANY (aliased input)
     xw, yw, ye, sem,  # scratch
-    *, H, R, kg, ks, nr, ext, n_ov, op, coeff, dtype,
+    *, H, R, kg, ks, nr, ext, n_ov, affine, op, coeff, dtype,
 ):
     del yin_ref
     i = pl.program_id(0)
@@ -198,9 +198,22 @@ def _kernel(
     xe = xe_t.T  # [128(r), 128(c)]
     xer = xe[:R]
 
-    # contraction on the compact cell rows only
+    # contraction on the compact cell rows only. In affine mode geo_ref
+    # is the rank-1 per-cell table [128, 8] (G = g6 * w with w folded
+    # into the static matrices) — a ~100x geo-DMA cut for
+    # parallelepiped-cell meshes.
+    def geo_entry(gi):
+        if affine:
+            return jnp.broadcast_to(
+                geo_ref[:, gi : gi + 1], (_LANES, _LANES)
+            )[:R]
+        return geo_ref[gi]
+
     if op == "mass":
-        yer = xer * geo_ref[0]
+        if affine:
+            yer = xer * geo_entry(0) * dmat_ref[0][:R]
+        else:
+            yer = xer * geo_ref[0]
     else:  # stiffness: ye = coeff * sum_dd' D_d^T (G_dd' * (D_d' xe))
         ud = [
             jax.lax.dot_general(
@@ -215,10 +228,12 @@ def _kernel(
             w = jnp.zeros((R, _LANES), dtype=dtype)
             for dp in range(3):
                 gi = sym.index(tuple(sorted((d, dp))))
-                w = w + geo_ref[gi] * ud[dp]
+                w = w + geo_entry(gi) * ud[dp]
             # transpose apply: contract output-node axis of M[d]
+            # (affine: the w-scaled copies at dmat_ref[3:6])
             yer = yer + jax.lax.dot_general(
-                w, dmat_ref[d], (((1,), (0,)), ((), ())),
+                w, dmat_ref[3 + d if affine else d],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=f32, precision=hi,
             ).astype(dtype)
         yer = yer * coeff
@@ -295,6 +310,7 @@ def make_general_apply(
     idx_dtype=None,
     merge=None,
     overflow: bool | int = True,
+    affine_w=None,
 ):
     """Build ``apply(x) -> y`` over flat [ndofs] vectors (kernel part only
     — spilled cells are the caller's responsibility).
@@ -303,13 +319,31 @@ def make_general_apply(
     (ngeo=1 detJw for mass; 6 symmetric G entries, order
     (xx, xy, xz, yy, yz, zz), for stiffness) laid out like the element
     tiles. ``D1``: collocated 1D derivative matrix (stiffness only).
+
+    ``affine_w``: nodal quadrature weights [nd] — switches to the
+    rank-1 affine-cell geometry form: ``geo`` is then the per-CELL
+    [nbatch, 128, 8] table (lanes 0-5 = g6 for stiffness, lane 0 =
+    |detJ| for mass) and the kernel reconstructs G = g6 * w by folding
+    w into the static contraction matrices.
     """
     tb = tables
     npdt = np.dtype(dtype)
+    affine = affine_w is not None
     if op == "stiffness":
         dmats = contraction_matrices(p, tb.cpr, np.asarray(D1), npdt)
+        if affine:
+            wv = np.zeros(_LANES, npdt)
+            wv[: tb.nd] = np.asarray(affine_w, npdt)
+            dmats = np.concatenate([dmats, wv[:, None] * dmats])
     else:
-        dmats = np.zeros((3, _LANES, _LANES), npdt)
+        if affine:
+            wv = np.zeros(_LANES, npdt)
+            wv[: tb.nd] = np.asarray(affine_w, npdt)
+            dmats = np.broadcast_to(
+                wv, (_LANES, _LANES)
+            )[None].astype(npdt)
+        else:
+            dmats = np.zeros((3, _LANES, _LANES), npdt)
     geo = np.ascontiguousarray(geo, dtype=npdt)
 
     # sparse gather tail -> per-entry overflow slots (only on the
@@ -329,7 +363,7 @@ def make_general_apply(
     ks = tb.ks if ks is None else ks
     call = make_general_call(
         H=tb.H, R=tb.R, kg=kg, ks=ks, nr=nr, ext=tb.extents,
-        n_ov=n_ov, ngeo=geo.shape[0],
+        n_ov=n_ov, ngeo=(0 if affine else geo.shape[0]), affine=affine,
         nrows=tb.padded_rows, nbatch=tb.nbatch, op=op, coeff=coeff,
         dtype=dtype, interpret=interpret,
     )
@@ -393,7 +427,7 @@ def transposed_row_tables(tb) -> tuple[np.ndarray, np.ndarray]:
 
 def make_general_call(
     *, H, R, kg, ks, ngeo, nrows, nbatch, op, coeff, dtype,
-    interpret=None, nr=0, ext=1, n_ov=0,
+    interpret=None, nr=0, ext=1, n_ov=0, affine=False,
 ):
     """The compiled program alone (no table capture):
     ``call(start_rows, y0, xv, g_lane, g_row, s_row, s_nlane, ovt, mA,
@@ -406,7 +440,7 @@ def make_general_call(
     npdt = np.dtype(dtype)
     kern = functools.partial(
         _kernel, H=H, R=R, kg=kg, ks=ks, nr=nr, ext=ext, n_ov=n_ov,
-        op=op, coeff=npdt.type(coeff), dtype=dtype,
+        affine=affine, op=op, coeff=npdt.type(coeff), dtype=dtype,
     )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -430,7 +464,11 @@ def make_general_call(
             chain_spec(max(n_ov, 1), 4, _LANES),  # gather overflow
             chain_spec(max(nr, 1), _LANES, _LANES),  # merge A
             chain_spec(max(nr, 1), _LANES, _LANES),  # merge B
-            chain_spec(ngeo, R),  # geo (compact rows)
+            # geo: full per-node factors, or the rank-1 per-cell table
+            # (lane dim 8 == its array dim)
+            (pl.BlockSpec((None, _LANES, 8), lambda i, *_: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+             if affine else chain_spec(ngeo, R)),  # geo
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dmats (whole)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),

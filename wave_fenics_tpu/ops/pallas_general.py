@@ -95,7 +95,7 @@ def _kernel(
     dmat_ref,  # [3, 128, 128] static contraction matrices (VMEM)
     out_ref,  # [padded_rows, 128] ANY (aliased input)
     xw, yw, ye, sem,  # scratch
-    *, H, R, kg, ks, nr, ext, n_ov, affine, op, coeff, dtype,
+    *, H, R, kg, ks, nr, ext, n_ov, affine, C, op, coeff, dtype,
 ):
     del yin_ref
     i = pl.program_id(0)
@@ -104,10 +104,10 @@ def _kernel(
     hi = jax.lax.Precision.HIGHEST
     He = H // ext  # rows per (disjoint) DMA extent of the window
 
-    # double-buffered input-window DMA: batch i+1's extents stream in
-    # while batch i computes. The output RMW read stays serial — it may
-    # overlap the PREVIOUS batch's extents, whose write completes only
-    # at the end of that grid step.
+    # double-buffered input-window DMA: sub-batch g+1's extents stream
+    # in while g computes. The output RMW read stays serial — it may
+    # overlap the PREVIOUS sub-batch's extents, whose write completes
+    # before the next read is issued.
     def in_dma(slot, idx, e):
         s = pl.multiple_of(start_ref[idx, e], 8)
         return pltpu.make_async_copy(
@@ -121,20 +121,50 @@ def _kernel(
         for e in range(ext):
             in_dma(0, 0, e).start()
 
-    @pl.when(i + 1 < n)
-    def _():
+    # C sub-batches per grid step (grid coarsening): the platform
+    # charges a fixed ~5-10 us cost per grid step (docs/BENCH_NOTES.md
+    # round 3, exp_general_bsize probe: time scales with batch COUNT at
+    # constant traffic), so fewer/bigger steps directly buy throughput.
+    for sub in range(C):
+        _kernel_sub(
+            sub, i * C + sub, i, n, start_ref, xv_ref, glane_ref,
+            growt_ref, srowt_ref, snlane_ref, ovt_ref, mA_ref, mB_ref,
+            geo_ref, dmat_ref, out_ref, xw, yw, ye, sem, in_dma,
+            H=H, R=R, kg=kg, ks=ks, nr=nr, ext=ext, n_ov=n_ov,
+            affine=affine, C=C, op=op, coeff=coeff, dtype=dtype,
+            f32=f32, hi=hi, He=He,
+        )
+
+
+def _kernel_sub(
+    sub, g, i, n, start_ref, xv_ref, glane_ref, growt_ref, srowt_ref,
+    snlane_ref, ovt_ref, mA_ref, mB_ref, geo_ref, dmat_ref, out_ref,
+    xw, yw, ye, sem, in_dma,
+    *, H, R, kg, ks, nr, ext, n_ov, affine, C, op, coeff, dtype,
+    f32, hi, He,
+):
+    """One sub-batch of a (possibly coarsened) grid step: window DMA in,
+    gather chains + overflow, contraction, merge + scatter chains,
+    RMW window accumulation out."""
+    # prefetch the next sub-batch's window into the other buffer
+    if sub + 1 < C:
         for e in range(ext):
-            in_dma((i + 1) % 2, i + 1, e).start()
+            in_dma((g + 1) % 2, g + 1, e).start()
+    else:
+        @pl.when(i + 1 < n)
+        def _():
+            for e in range(ext):
+                in_dma((g + 1) % 2, g + 1, e).start()
 
     for e in range(ext):
-        s = pl.multiple_of(start_ref[i, e], 8)
+        s = pl.multiple_of(start_ref[g, e], 8)
         pltpu.make_async_copy(
             out_ref.at[pl.ds(s, He)], yw.at[pl.ds(e * He, He)],
             sem.at[2, e],
         ).start()
     for e in range(ext):
-        in_dma(i % 2, i, e).wait()
-    xw[i % 2, H - 1, :] = jnp.zeros((_LANES,), dtype=dtype)  # sentinel
+        in_dma(g % 2, g, e).wait()
+    xw[g % 2, H - 1, :] = jnp.zeros((_LANES,), dtype=dtype)  # sentinel
 
     # gather chains. Mathematically XE = sum_k take(take(Xw, lane_k, 1),
     # row_k, 0) — but SUBLANE-wise dynamic_gather reliably crashes this
@@ -144,14 +174,14 @@ def _kernel(
     # transpose, with the row table stored transposed ([128, 128]:
     # rowT[c, r] = row[r, c], sentinel H-1 = the zeroed window row;
     # element rows r < R <= 128 by construction).
-    xvals = xw[i % 2]
+    xvals = xw[g % 2]
     xe_t = jnp.zeros((_LANES, _LANES), dtype=dtype)
     for k in range(kg):
-        lane = glane_ref[k].astype(jnp.int32)
+        lane = glane_ref[k, sub].astype(jnp.int32)
         t = _take_lanes(xvals, lane)  # [H, 128]
         tt = t.T  # [128, H]
         # rows are stored int8 UNSIGNED (mod-256 two's complement)
-        rt = growt_ref[k].astype(jnp.int32) & 0xFF  # [128, 128]
+        rt = growt_ref[k, sub].astype(jnp.int32) & 0xFF  # [128, 128]
         for h in range(H // _LANES):
             th = tt[:, h * _LANES : (h + 1) * _LANES]
             idx = jnp.clip(rt - h * _LANES, 0, _LANES - 1)
@@ -169,7 +199,7 @@ def _kernel(
         iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
         xt = xvals.T  # [128, H]
         for o in range(n_ov):
-            tv = ovt_ref[o].astype(jnp.int32)  # [4, 128]
+            tv = ovt_ref[o, sub].astype(jnp.int32)  # [4, 128]
             t_b = jnp.broadcast_to(tv[0][None, :], (_LANES, _LANES))
             qt = jnp.zeros((_LANES, _LANES), dtype=dtype)
             for h in range(H // _LANES):
@@ -205,15 +235,15 @@ def _kernel(
     def geo_entry(gi):
         if affine:
             return jnp.broadcast_to(
-                geo_ref[:, gi : gi + 1], (_LANES, _LANES)
+                geo_ref[sub, :, gi : gi + 1], (_LANES, _LANES)
             )[:R]
-        return geo_ref[gi]
+        return geo_ref[gi, sub]
 
     if op == "mass":
         if affine:
             yer = xer * geo_entry(0) * dmat_ref[0][:R]
         else:
-            yer = xer * geo_ref[0]
+            yer = xer * geo_ref[0, sub]
     else:  # stiffness: ye = coeff * sum_dd' D_d^T (G_dd' * (D_d' xe))
         ud = [
             jax.lax.dot_general(
@@ -250,7 +280,7 @@ def _kernel(
     # sentinel), in per-half [128, 128] gathers.
     for e in range(ext):
         pltpu.make_async_copy(
-            out_ref.at[pl.ds(pl.multiple_of(start_ref[i, e], 8), He)],
+            out_ref.at[pl.ds(pl.multiple_of(start_ref[g, e], 8), He)],
             yw.at[pl.ds(e * He, He)], sem.at[2, e],
         ).wait()
     accs = [
@@ -262,14 +292,14 @@ def _kernel(
     # round; B's sentinel lane 127 reads the tile's zero lane), leaving
     # the residual scatter with 1-2 chains instead of ~max-multiplicity
     for rnd in range(nr):
-        Ar = mA_ref[rnd].astype(jnp.int32)  # [c2, r1] -> r2
-        Br = mB_ref[rnd].astype(jnp.int32)  # [r1, c1] -> c2
+        Ar = mA_ref[rnd, sub].astype(jnp.int32)  # [c2, r1] -> r2
+        Br = mB_ref[rnd, sub].astype(jnp.int32)  # [r1, c1] -> c2
         s1 = jnp.take_along_axis(ye_t, Ar, axis=1)
         s2 = jnp.take_along_axis(s1.T, Br, axis=1)
         ye_t = ye_t + s2.T
-    for j in range(ks):
-        rt = srowt_ref[j].astype(jnp.int32)  # [128, H]
-        nlane = snlane_ref[j].astype(jnp.int32)
+    for sc in range(ks):
+        rt = srowt_ref[sc, sub].astype(jnp.int32)  # [128, H]
+        nlane = snlane_ref[sc, sub].astype(jnp.int32)
         # per-half: element-row select through the transpose, then the
         # lane realignment — all [128, 128] gathers, no concat
         for h in range(H // _LANES):
@@ -284,7 +314,7 @@ def _kernel(
     cps = [
         pltpu.make_async_copy(
             yw.at[pl.ds(e * He, He)],
-            out_ref.at[pl.ds(pl.multiple_of(start_ref[i, e], 8), He)],
+            out_ref.at[pl.ds(pl.multiple_of(start_ref[g, e], 8), He)],
             sem.at[3, e],
         )
         for e in range(ext)
@@ -311,6 +341,7 @@ def make_general_apply(
     merge=None,
     overflow: bool | int = True,
     affine_w=None,
+    coarsen: int | None = None,
 ):
     """Build ``apply(x) -> y`` over flat [ndofs] vectors (kernel part only
     — spilled cells are the caller's responsibility).
@@ -361,11 +392,16 @@ def make_general_apply(
     if merge is not None and ks is None:
         ks = merge.ks
     ks = tb.ks if ks is None else ks
+    # grid coarsening: C sub-batches per grid step amortize the
+    # platform's fixed per-step cost. Auto: 4 at production batch
+    # counts, off for small meshes.
+    C = coarsen if coarsen is not None else (4 if tb.nbatch >= 8 else 1)
+    nb_pad = -(-tb.nbatch // C) * C
     call = make_general_call(
         H=tb.H, R=tb.R, kg=kg, ks=ks, nr=nr, ext=tb.extents,
         n_ov=n_ov, ngeo=(0 if affine else geo.shape[0]), affine=affine,
-        nrows=tb.padded_rows, nbatch=tb.nbatch, op=op, coeff=coeff,
-        dtype=dtype, interpret=interpret,
+        nrows=tb.padded_rows, nbatch=nb_pad, op=op, coeff=coeff,
+        dtype=dtype, interpret=interpret, coarsen=C,
     )
     nrows = tb.padded_rows
     # tables stay NumPy: they become per-trace compile-time constants and
@@ -389,6 +425,37 @@ def make_general_apply(
     s_rowt, s_nlane = s_rowt[:st], s_nlane[:st]
     ovt = (ovf.tab if ovf is not None
            else np.zeros((1, tb.nbatch, 4, _LANES), np.int16))
+
+    # pad every per-batch array to the coarsened batch count with
+    # no-op sentinel batches (window [0, He): read and written back
+    # unchanged — safe because grid steps are sequential and padding
+    # batches come last)
+    def padb(a, axis, value):
+        padn = nb_pad - tb.nbatch
+        if padn == 0:
+            return a
+        shape = list(a.shape)
+        shape[axis] = padn
+        return np.concatenate(
+            [a, np.full(shape, np.array(value, np.int64).astype(a.dtype)
+                        if a.dtype.kind in "iu" else value, a.dtype)],
+            axis=axis,
+        )
+
+    if nb_pad != tb.nbatch:
+        start_rows = padb(start_rows, 0, 0)
+        g_lane = padb(g_lane, 1, 0)
+        g_rowt = padb(g_rowt, 1, tb.H - 1)
+        s_rowt = padb(s_rowt, 1, 0)
+        s_nlane = padb(s_nlane, 1, _LANES - 1)
+        mA = padb(mA, 1, 0)
+        mB = padb(mB, 1, _LANES - 1)
+        ovp = np.zeros((ovt.shape[0], nb_pad - tb.nbatch, 4, _LANES),
+                       np.int16)
+        ovp[:, :, 0, :] = tb.H - 1
+        ovp[:, :, 3, :] = _LANES - 1
+        ovt = np.concatenate([ovt, ovp], axis=1)
+        geo = padb(geo, 0 if affine else 1, 0)
     if idx_dtype is not None:
         # wider index tables trade DMA for the in-kernel upcasts
         g_lane, g_rowt, s_rowt, s_nlane = (
@@ -427,7 +494,7 @@ def transposed_row_tables(tb) -> tuple[np.ndarray, np.ndarray]:
 
 def make_general_call(
     *, H, R, kg, ks, ngeo, nrows, nbatch, op, coeff, dtype,
-    interpret=None, nr=0, ext=1, n_ov=0, affine=False,
+    interpret=None, nr=0, ext=1, n_ov=0, affine=False, coarsen=1,
 ):
     """The compiled program alone (no table capture):
     ``call(start_rows, y0, xv, g_lane, g_row, s_row, s_nlane, ovt, mA,
@@ -436,24 +503,30 @@ def make_general_call(
     per-device tables. ``nr``: scatter-merge rounds (mA/mB are
     [max(nr,1), nbatch, 128, 128] dummies when nr=0). ``n_ov``:
     gather-overflow slots (ovt is a [max(n_ov,1), nbatch, 4, 128] int16
-    dummy when n_ov=0)."""
+    dummy when n_ov=0). ``coarsen``: sub-batches per grid step —
+    ``nbatch`` must already be padded to a multiple; the platform's
+    fixed per-grid-step cost makes this the dominant throughput knob
+    at production sizes (docs/BENCH_NOTES.md round 3)."""
     npdt = np.dtype(dtype)
+    C = coarsen
+    if nbatch % C:
+        raise ValueError("nbatch must be padded to a multiple of coarsen")
     kern = functools.partial(
         _kernel, H=H, R=R, kg=kg, ks=ks, nr=nr, ext=ext, n_ov=n_ov,
-        affine=affine, op=op, coeff=npdt.type(coeff), dtype=dtype,
+        affine=affine, C=C, op=op, coeff=npdt.type(coeff), dtype=dtype,
     )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     def chain_spec(K, rows=H, cols=_LANES):
         return pl.BlockSpec(
-            (K, None, rows, cols), lambda i, *_: (0, i, 0, 0),
+            (K, C, rows, cols), lambda i, *_: (0, i, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nbatch,),
+        grid=(nbatch // C,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # y0 (aliased)
             pl.BlockSpec(memory_space=pltpu.ANY),  # xv
@@ -466,7 +539,7 @@ def make_general_call(
             chain_spec(max(nr, 1), _LANES, _LANES),  # merge B
             # geo: full per-node factors, or the rank-1 per-cell table
             # (lane dim 8 == its array dim)
-            (pl.BlockSpec((None, _LANES, 8), lambda i, *_: (i, 0, 0),
+            (pl.BlockSpec((C, _LANES, 8), lambda i, *_: (i, 0, 0),
                           memory_space=pltpu.VMEM)
              if affine else chain_spec(ngeo, R)),  # geo
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dmats (whole)

@@ -187,14 +187,31 @@ class GeneralLinearWave:
         return z, z
 
     def solve(self, t0, tf, dt, u0=None, v0=None):
+        """End-to-end solve, compiled with operator tables hoisted to
+        runtime arguments (utils.closure.hoisted_jit) — closing the
+        fused-kernel tables into the scan as HLO literals rejects the
+        compile at production mesh sizes (remote 413)."""
+        from ..utils.closure import hoisted_jit
+
         if u0 is None:
             u0, v0 = self.zero_state()
-        return rk4_solve(self.f0, self.f1, u0, v0, t0, tf, dt)
+        fn = hoisted_jit(
+            lambda u, v: rk4_solve(self.f0, self.f1, u, v, t0, tf, dt),
+            u0, v0,
+        )
+        return fn(u0, v0)
 
     def solve_n(self, t0, dt, nsteps, u0=None, v0=None):
+        from ..utils.closure import hoisted_jit
+
         if u0 is None:
             u0, v0 = self.zero_state()
-        return rk4_solve_n(self.f0, self.f1, u0, v0, t0, dt, nsteps)
+        fn = hoisted_jit(
+            lambda u, v: rk4_solve_n(self.f0, self.f1, u, v, t0, dt,
+                                     nsteps),
+            u0, v0,
+        )
+        return fn(u0, v0)
 
 
 def from_xdmf(

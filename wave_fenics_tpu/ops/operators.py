@@ -404,8 +404,18 @@ class GeneralOperators:
         w3 = geometry.quadrature_weights_3d(self._tab).astype(np.float64)
         nc = self.mesh.ncells
         nd = (self.dofs.p + 1) ** 3
-        detJw = np.asarray(self._detJw, np.float64).reshape(nc, nd)
-        G = np.asarray(self._G, np.float64).reshape(nc, nd, 3, 3)
+        # detect on FULL-precision factors: the stored f32 copies fail
+        # any meaningful rank-1 test by their own rounding (this bit
+        # round 3: affine silently never engaged on chip)
+        G, detJw = geometry.precompute_geometric_data(
+            self.mesh, self.dofs.p, self.q, self.rule
+        )
+        if self.coeff_cells is not None:
+            G = G * np.asarray(self.coeff_cells, np.float64)[
+                :, None, None, None
+            ]
+        detJw = np.asarray(detJw, np.float64).reshape(nc, nd)
+        G = np.asarray(G, np.float64).reshape(nc, nd, 3, 3)
         sym = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
         Gs = np.stack([G[:, :, a, b] for a, b in sym])  # [6, nc, nd]
         g6 = Gs[:, :, :1] / w3[0]

@@ -166,6 +166,44 @@ def _kernel_sub(
         in_dma(g % 2, g, e).wait()
     xw[g % 2, H - 1, :] = jnp.zeros((_LANES,), dtype=dtype)  # sentinel
 
+    halves = _window_contrib(
+        xw[g % 2], sub, glane_ref, growt_ref, srowt_ref, snlane_ref,
+        ovt_ref, mA_ref, mB_ref, geo_ref, dmat_ref, ye,
+        H=H, R=R, kg=kg, ks=ks, nr=nr, n_ov=n_ov, affine=affine,
+        op=op, coeff=coeff, dtype=dtype, f32=f32, hi=hi,
+    )
+    for e in range(ext):
+        pltpu.make_async_copy(
+            out_ref.at[pl.ds(pl.multiple_of(start_ref[g, e], 8), He)],
+            yw.at[pl.ds(e * He, He)], sem.at[2, e],
+        ).wait()
+    for h in range(H // _LANES):
+        yw[h * _LANES : (h + 1) * _LANES] = (
+            yw[h * _LANES : (h + 1) * _LANES] + halves[h]
+        )
+    cps = [
+        pltpu.make_async_copy(
+            yw.at[pl.ds(e * He, He)],
+            out_ref.at[pl.ds(pl.multiple_of(start_ref[g, e], 8), He)],
+            sem.at[3, e],
+        )
+        for e in range(ext)
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+
+def _window_contrib(
+    xvals, sub, glane_ref, growt_ref, srowt_ref, snlane_ref,
+    ovt_ref, mA_ref, mB_ref, geo_ref, dmat_ref, ye,
+    *, H, R, kg, ks, nr, n_ov, affine, op, coeff, dtype, f32, hi,
+):
+    """The window-shaped operator contribution of one sub-batch: gather
+    chains + overflow -> contraction -> merge + scatter chains. Returns
+    the H//128 row-halves of the [H, 128] window ADDEND (caller owns
+    accumulation into HBM or a VMEM-resident output)."""
     # gather chains. Mathematically XE = sum_k take(take(Xw, lane_k, 1),
     # row_k, 0) — but SUBLANE-wise dynamic_gather reliably crashes this
     # platform's compiler, and lane-wise gather only handles 128 lanes
@@ -174,7 +212,6 @@ def _kernel_sub(
     # transpose, with the row table stored transposed ([128, 128]:
     # rowT[c, r] = row[r, c], sentinel H-1 = the zeroed window row;
     # element rows r < R <= 128 by construction).
-    xvals = xw[g % 2]
     xe_t = jnp.zeros((_LANES, _LANES), dtype=dtype)
     for k in range(kg):
         lane = glane_ref[k, sub].astype(jnp.int32)
@@ -278,13 +315,9 @@ def _kernel_sub(
     # the row select again through the transpose (rowT[c, t] = row[t, c]
     # with values < R <= 128; YE lane 127 is zero, the unclaimed-slot
     # sentinel), in per-half [128, 128] gathers.
-    for e in range(ext):
-        pltpu.make_async_copy(
-            out_ref.at[pl.ds(pl.multiple_of(start_ref[g, e], 8), He)],
-            yw.at[pl.ds(e * He, He)], sem.at[2, e],
-        ).wait()
     accs = [
-        yw[h * _LANES : (h + 1) * _LANES] for h in range(H // _LANES)
+        jnp.zeros((_LANES, _LANES), dtype=dtype)
+        for _ in range(H // _LANES)
     ]
     ye_t = ye[: _LANES].T  # [128(c), 128(r)] — rows r < R <= 128
     # element-space claim pre-reduction: binary-tree merge of duplicate
@@ -309,19 +342,73 @@ def _kernel_sub(
             accs[h] = accs[h] + jnp.take_along_axis(
                 ph, nlane[h * _LANES : (h + 1) * _LANES], axis=1
             )
-    for h in range(H // _LANES):
-        yw[h * _LANES : (h + 1) * _LANES] = accs[h]
-    cps = [
-        pltpu.make_async_copy(
-            yw.at[pl.ds(e * He, He)],
-            out_ref.at[pl.ds(pl.multiple_of(start_ref[g, e], 8), He)],
-            sem.at[3, e],
-        )
-        for e in range(ext)
-    ]
-    for cp in cps:
+    return accs
+
+
+def _kernel_resident(
+    start_ref,  # scalar prefetch: [nbatch, E] int32 extent start rows
+    yin_ref,  # [padded_rows, 128] ANY — aliased with out_ref
+    xv_ref,  # [padded_rows, 128] ANY
+    glane_ref, growt_ref, srowt_ref, snlane_ref,  # chain tables (VMEM)
+    ovt_ref,  # [slots, C, 4, 128] int16 gather-overflow entries (VMEM)
+    mA_ref, mB_ref,  # [nr, C, 128, 128] scatter-merge rounds (VMEM)
+    geo_ref,  # geometric factors (VMEM)
+    dmat_ref,  # static contraction matrices (VMEM)
+    out_ref,  # [padded_rows, 128] ANY (aliased input)
+    xacc, yacc, ye, sem,  # scratch
+    *, H, R, kg, ks, nr, ext, n_ov, affine, C, nrows, op, coeff, dtype,
+):
+    """VMEM-RESIDENT variant: the whole dof vector (x AND the output
+    accumulator) lives in VMEM for the entire grid — one inbound DMA at
+    step 0, one outbound flush at the last step, ZERO per-batch DMA
+    chains. The windowed kernel's per-batch serialized RMW round trips
+    (read window -> accumulate -> write, ~5-7 us each on this
+    platform's virtualized memory path — docs/BENCH_NOTES.md round 3)
+    were the dominant cost at production sizes; they simply disappear
+    when 2*nrows*512 bytes fit the ~128 MB VMEM budget (<= ~12M dofs
+    f32). Larger meshes keep the windowed kernel."""
+    del yin_ref
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    f32 = jnp.float32 if dtype != jnp.float64 else jnp.float64
+    hi = jax.lax.Precision.HIGHEST
+    He = H // ext
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(xv_ref, xacc, sem.at[0])
         cp.start()
-    for cp in cps:
+        cp.wait()
+        yacc[...] = jnp.zeros((nrows, _LANES), dtype=dtype)
+
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (H, _LANES), 0)
+    for sub in range(C):
+        g = i * C + sub
+        parts = [
+            xacc[pl.ds(pl.multiple_of(start_ref[g, e], 8), He)]
+            for e in range(ext)
+        ]
+        Xw = parts[0] if ext == 1 else jnp.concatenate(parts, axis=0)
+        Xw = jnp.where(rows_iota == H - 1,
+                       jnp.zeros((), dtype=dtype), Xw)  # sentinel row
+        halves = _window_contrib(
+            Xw, sub, glane_ref, growt_ref, srowt_ref, snlane_ref,
+            ovt_ref, mA_ref, mB_ref, geo_ref, dmat_ref, ye,
+            H=H, R=R, kg=kg, ks=ks, nr=nr, n_ov=n_ov, affine=affine,
+            op=op, coeff=coeff, dtype=dtype, f32=f32, hi=hi,
+        )
+        ywadd = (halves[0] if len(halves) == 1
+                 else jnp.concatenate(halves, axis=0))
+        for e in range(ext):
+            s = pl.multiple_of(start_ref[g, e], 8)
+            yacc[pl.ds(s, He)] = (
+                yacc[pl.ds(s, He)] + ywadd[e * He : (e + 1) * He]
+            )
+
+    @pl.when(i == n - 1)
+    def _():
+        cp = pltpu.make_async_copy(yacc, out_ref, sem.at[1])
+        cp.start()
         cp.wait()
 
 
@@ -342,6 +429,7 @@ def make_general_apply(
     overflow: bool | int = True,
     affine_w=None,
     coarsen: int | None = None,
+    resident: bool | None = None,
 ):
     """Build ``apply(x) -> y`` over flat [ndofs] vectors (kernel part only
     — spilled cells are the caller's responsibility).
@@ -392,16 +480,21 @@ def make_general_apply(
     if merge is not None and ks is None:
         ks = merge.ks
     ks = tb.ks if ks is None else ks
-    # grid coarsening: C sub-batches per grid step amortize the
-    # platform's fixed per-step cost. Auto: 4 at production batch
-    # counts, off for small meshes.
-    C = coarsen if coarsen is not None else (4 if tb.nbatch >= 8 else 1)
+    # VMEM-resident mode: x and the output accumulator live in VMEM for
+    # the whole grid (no per-batch RMW DMA chains — the measured
+    # dominant cost). Auto when 2 vectors + ye fit a conservative
+    # budget; the windowed kernel covers larger meshes.
+    if resident is None:
+        resident = 2 * tb.padded_rows * _LANES * npdt.itemsize <= (
+            80 * 1024 * 1024
+        )
+    C = coarsen if coarsen is not None else 1
     nb_pad = -(-tb.nbatch // C) * C
     call = make_general_call(
         H=tb.H, R=tb.R, kg=kg, ks=ks, nr=nr, ext=tb.extents,
         n_ov=n_ov, ngeo=(0 if affine else geo.shape[0]), affine=affine,
         nrows=tb.padded_rows, nbatch=nb_pad, op=op, coeff=coeff,
-        dtype=dtype, interpret=interpret, coarsen=C,
+        dtype=dtype, interpret=interpret, coarsen=C, resident=resident,
     )
     nrows = tb.padded_rows
     # tables stay NumPy: they become per-trace compile-time constants and
@@ -495,6 +588,7 @@ def transposed_row_tables(tb) -> tuple[np.ndarray, np.ndarray]:
 def make_general_call(
     *, H, R, kg, ks, ngeo, nrows, nbatch, op, coeff, dtype,
     interpret=None, nr=0, ext=1, n_ov=0, affine=False, coarsen=1,
+    resident=False,
 ):
     """The compiled program alone (no table capture):
     ``call(start_rows, y0, xv, g_lane, g_row, s_row, s_nlane, ovt, mA,
@@ -511,10 +605,18 @@ def make_general_call(
     C = coarsen
     if nbatch % C:
         raise ValueError("nbatch must be padded to a multiple of coarsen")
-    kern = functools.partial(
-        _kernel, H=H, R=R, kg=kg, ks=ks, nr=nr, ext=ext, n_ov=n_ov,
-        affine=affine, C=C, op=op, coeff=npdt.type(coeff), dtype=dtype,
-    )
+    if resident:
+        kern = functools.partial(
+            _kernel_resident, H=H, R=R, kg=kg, ks=ks, nr=nr, ext=ext,
+            n_ov=n_ov, affine=affine, C=C, nrows=nrows, op=op,
+            coeff=npdt.type(coeff), dtype=dtype,
+        )
+    else:
+        kern = functools.partial(
+            _kernel, H=H, R=R, kg=kg, ks=ks, nr=nr, ext=ext, n_ov=n_ov,
+            affine=affine, C=C, op=op, coeff=npdt.type(coeff),
+            dtype=dtype,
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -545,12 +647,21 @@ def make_general_call(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dmats (whole)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, H, _LANES), dtype),  # xw (double-buffered)
-            pltpu.VMEM((H, _LANES), dtype),  # yw
-            pltpu.VMEM((H, _LANES), dtype),  # ye
-            pltpu.SemaphoreType.DMA((4, ext)),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((nrows, _LANES), dtype),  # xacc (whole x)
+                pltpu.VMEM((nrows, _LANES), dtype),  # yacc (whole y)
+                pltpu.VMEM((H, _LANES), dtype),  # ye
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if resident
+            else [
+                pltpu.VMEM((2, H, _LANES), dtype),  # xw (double-buffer)
+                pltpu.VMEM((H, _LANES), dtype),  # yw
+                pltpu.VMEM((H, _LANES), dtype),  # ye
+                pltpu.SemaphoreType.DMA((4, ext)),
+            ]
+        ),
     )
 
     return pl.pallas_call(

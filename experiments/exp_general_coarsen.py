@@ -31,6 +31,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[32])
     ap.add_argument("--coarsen", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--resident", action="store_true")
     ap.add_argument("--reps", type=int, default=100)
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir",
@@ -58,7 +59,8 @@ def main():
             ):
                 f = make_general_apply(
                     tb, geo, op_name, p=p, dtype=jnp.float32, merge=mg,
-                    affine_w=wq, coarsen=C, **kw,
+                    affine_w=wq, coarsen=C, resident=args.resident,
+                    **kw,
                 )
                 run = hoisted_jit(
                     lambda a, n, f=f: lax.fori_loop(
@@ -78,7 +80,7 @@ def main():
                            warmup=1) / args.reps
                 print(json.dumps({
                     "metric": f"general {op_name} {size}^3", "C": C,
-                    "nbatch": tb.nbatch,
+                    "resident": args.resident, "nbatch": tb.nbatch,
                     "ms_per_apply": round(t * 1e3, 4),
                     "gdofs_per_s": round(ops.ndofs / t / 1e9, 4),
                     "rel_vs_C1": err,

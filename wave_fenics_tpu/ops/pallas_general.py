@@ -480,14 +480,24 @@ def make_general_apply(
     if merge is not None and ks is None:
         ks = merge.ks
     ks = tb.ks if ks is None else ks
-    # VMEM-resident mode: x and the output accumulator live in VMEM for
-    # the whole grid (no per-batch RMW DMA chains — the measured
-    # dominant cost). Auto when 2 vectors + ye fit a conservative
-    # budget; the windowed kernel covers larger meshes.
+    # VMEM-resident mode (opt-in): x and the output accumulator live in
+    # VMEM for the whole grid (one inbound DMA, one final flush, no
+    # per-batch RMW DMA chains). Measured on chip (32^3, p=4): resident
+    # 2.23/2.33 ms mass/stiffness vs windowed 2.13/2.21 — the window
+    # DMAs fully overlap compute behind double buffering, so removing
+    # them buys nothing and VMEM window slicing costs ~5% extra. The
+    # per-batch floor is the gather/scatter chain VPU work itself
+    # (docs/BENCH_NOTES.md round 3). Kept for configs where HBM traffic
+    # matters (e.g. future multi-operator fusion over one residency).
     if resident is None:
-        resident = 2 * tb.padded_rows * _LANES * npdt.itemsize <= (
-            80 * 1024 * 1024
-        )
+        resident = False
+    if resident and 2 * tb.padded_rows * _LANES * npdt.itemsize > (
+        100 * 1024 * 1024
+    ):
+        raise ValueError("resident mode: vectors exceed the VMEM budget")
+    # grid coarsening (C sub-batches per grid step): measured a wash at
+    # every C in 1..32, windowed AND resident — the per-sub-batch cost
+    # is chain compute, not grid-step dispatch. Default off.
     C = coarsen if coarsen is not None else 1
     nb_pad = -(-tb.nbatch // C) * C
     call = make_general_call(

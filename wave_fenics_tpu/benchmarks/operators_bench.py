@@ -38,6 +38,11 @@ def main():
                  "mass-general", "stiffness-padded", "bp1-mass"],
         default="stiffness",
     )
+    ap.add_argument(
+        "--resident", action="store_true",
+        help="general family: VMEM-resident fused-kernel variant "
+             "(same speed; escape hatch for remote-compiler rejects)",
+    )
     args = ap.parse_args()
     apply_platform(args)
     dtype = resolve_dtype(args.dtype)
@@ -75,7 +80,8 @@ def main():
         hexm = mesh.to_hex_mesh()
         dofs = build_dofmap(hexm, p)
         rule = "gauss" if args.op == "mass" else "gll"
-        gops = GeneralOperators(hexm, dofs, dtype=dtype, rule=rule)
+        gops = GeneralOperators(hexm, dofs, dtype=dtype, rule=rule,
+                                fused_resident=args.resident)
         x = jnp.asarray(rng.standard_normal(gops.ndofs), dtype=dtype)
         f = {
             "mass": gops.mass,
@@ -112,6 +118,8 @@ def main():
     out = {"metric": f"{args.op} matvec", "degree": p, "ndofs": ndofs,
            "dtype": args.dtype, "ms_per_apply": round(t * 1e3, 4),
            "gdofs_per_s": round(ndofs / t / 1e9, 4)}
+    if getattr(args, "resident", False):
+        out["variant"] = "resident"
 
     if args.check and args.op in (
         "mass-general", "stiffness-general", "stiffness-general-xla"

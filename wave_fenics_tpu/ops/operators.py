@@ -211,6 +211,13 @@ class GeneralOperators:
     coeff_cells: object = None
     #: 'ell' (transpose-gather, default) or 'sorted' (XLA sorted scatter)
     scatter_mode: str = "ell"
+    #: run the fused kernel in its VMEM-resident variant (both vectors
+    #: resident for the whole grid). Same speed as windowed (±5%), but a
+    #: DIFFERENT Mosaic program: the platform's remote compiler has been
+    #: observed to reject one variant and accept the other at some mesh
+    #: sizes (docs/BENCH_NOTES.md round 3), so this doubles as an escape
+    #: hatch.
+    fused_resident: bool = False
 
     def __post_init__(self):
         p = self.dofs.p
@@ -472,6 +479,7 @@ class GeneralOperators:
                 D1=self._D if op == "stiffness" else None,
                 coeff=coeff, p=self.dofs.p, dtype=self.dtype,
                 merge=self._fused_merge, affine_w=wq,
+                resident=self.fused_resident or None,
             )
             self._fused_cache[key] = fn
         return fn

@@ -293,3 +293,39 @@ def test_affine_rank1_geometry_exact():
         ym = np.asarray(ops._fused_apply("mass", 1.0)(x))
         np.testing.assert_allclose(ym, om, rtol=1e-13,
                                    atol=1e-13 * np.abs(om).max())
+
+
+def test_resident_mode_and_coarsening_exact():
+    """VMEM-resident kernel variant (whole x + output accumulator in
+    VMEM, one inbound DMA, one final flush) and grid coarsening must
+    reproduce the windowed operator exactly — including sub-batch
+    padding when C does not divide (or exceeds) nbatch."""
+    from wave_fenics_tpu.ops.general_tables import build_scatter_merge
+    from wave_fenics_tpu.ops.pallas_general import make_general_apply
+
+    p = 4
+    hm = _perturbed_mesh((5, 4, 4), (1.0, 1.0, 1.0), seed=11)
+    dofs = build_dofmap(hm, p)
+    ops = GeneralOperators(hm, dofs, dtype=jnp.float64)
+    nd = (p + 1) ** 3
+    sym = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    G = np.asarray(ops._G).reshape(hm.ncells, nd, 3, 3)
+    tb = ops._fused_tables
+    geo = pack_cell_values(
+        tb, np.stack([G[:, :, a, b] for a, b in sym]), np.float64
+    )
+    mg = build_scatter_merge(tb)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(dofs.ndofs))
+    o = np.asarray(ops.stiffness_indexed(x, 1.0))
+    tol = 1e-13 * np.abs(o).max()
+    for resident in (False, True):
+        # C > nbatch exercises whole padded sub-batches
+        for C in (1, 3, tb.nbatch + 2):
+            y = make_general_apply(
+                tb, geo, "stiffness", D1=ops._D, coeff=-1.0, p=p,
+                dtype=jnp.float64, merge=mg, coarsen=C,
+                resident=resident,
+            )(x)
+            np.testing.assert_allclose(np.asarray(y), o, rtol=1e-13,
+                                       atol=tol)

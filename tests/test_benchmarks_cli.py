@@ -57,3 +57,24 @@ def test_scatter_cli(capsys):
         capsys,
     )
     assert r["gdofs_per_s"] > 0
+
+
+@pytest.mark.parametrize(
+    "op,extra",
+    [("stiffness-general", []), ("mass-general", []),
+     ("stiffness-general-xla", []),
+     ("mass-general", ["--resident"])],
+)
+def test_general_operators_cli(op, extra, capsys):
+    from wave_fenics_tpu.benchmarks import operators_bench
+
+    r = _run_main(
+        operators_bench,
+        ["--op", op, "--size", "3", "--degree", "2", "--reps", "2",
+         "--check"] + extra,
+        capsys,
+    )
+    assert r["gdofs_per_s"] > 0
+    assert r["max_rel_err_vs_f64_oracle"] < 1e-4
+    if "--resident" in extra:
+        assert r.get("variant") == "resident"

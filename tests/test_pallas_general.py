@@ -329,3 +329,35 @@ def test_resident_mode_and_coarsening_exact():
             )(x)
             np.testing.assert_allclose(np.asarray(y), o, rtol=1e-13,
                                        atol=tol)
+
+
+@pytest.mark.parametrize("p,cells", [(1, (5, 3, 2)), (2, (4, 3, 3)),
+                                     (3, (3, 3, 2)), (4, (3, 2, 2))])
+def test_fused_gauss_mass_matches_indexed(p, cells):
+    """Non-collocated (Gauss-rule) mass — the decomposed B^T diag(detJw)
+    B pipeline of demo/gpu_operator/main.cpp:144-160 — fused into the
+    window kernel must match the XLA indexed path at f64."""
+    from wave_fenics_tpu.ops import element_kernels as ek
+    from wave_fenics_tpu.ops.general_tables import pack_cell_qvalues
+    from wave_fenics_tpu.ops.pallas_general import interpolation_tiles
+
+    hm = _perturbed_mesh(cells, (1.0, 1.0, 1.0), seed=p)
+    dofs = build_dofmap(hm, p)
+    ops = GeneralOperators(hm, dofs, dtype=jnp.float64, rule="gauss")
+    assert not ops._tab.collocated
+    assert ops._fused_tables is not None
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(dofs.ndofs))
+    o = np.asarray(
+        ops.scatter(ek.mass_element(ops.gather(x), ops._B, ops._detJw))
+    )
+    y = np.asarray(ops.mass_gauss_fused(x))
+    np.testing.assert_allclose(y, o, rtol=1e-13,
+                               atol=1e-13 * np.abs(o).max())
+    # tile layout invariants: q-tiles and B-tiles agree in count
+    tb = ops._fused_tables
+    Bq = np.kron(np.kron(ops._B, ops._B), ops._B)
+    tiles = interpolation_tiles(tb.cpr, tb.nd, Bq)
+    djq = np.asarray(ops._detJw, np.float64).reshape(hm.ncells, -1)
+    geo = pack_cell_qvalues(tb, djq, tiles.shape[0])
+    assert geo.shape[0] == tiles.shape[0]

@@ -722,6 +722,34 @@ def pack_cell_values(tables: GeneralBatchTables, vals: np.ndarray,
     return out
 
 
+def pack_cell_qvalues(tables: GeneralBatchTables, vals: np.ndarray,
+                      T: int, dtype=np.float32) -> np.ndarray:
+    """Pack per-cell QUADRATURE-point values [nc, nq] (nq independent of
+    nd — the non-collocated case) into ``T`` q-space tiles
+    [T, nbatch, R, 128]: the cell packed at slot (r, g) occupies lanes
+    [g*nq_t, g*nq_t + cnt_t) of tile ``t``, holding its qpoints
+    [t*nq_t, t*nq_t + cnt_t), nq_t = ceil(nq / T). Layout matches
+    ``pallas_general.interpolation_tiles``."""
+    nc, nq = vals.shape
+    nq_t = -(-nq // T)
+    if tables.cpr * nq_t > _LANES:
+        raise ValueError("q-tile lanes exceed 128; raise T")
+    out = np.zeros((T, tables.nbatch, tables.R, _LANES),
+                   dtype=np.dtype(dtype))
+    for i in range(tables.nbatch):
+        for b, cell in enumerate(tables.batch_cells[i]):
+            if cell < 0:
+                continue
+            r, lb = tables.cell_slot(b)
+            g = lb // tables.nd
+            for t in range(T):
+                cnt = min(nq_t, nq - t * nq_t)
+                out[t, i, r, g * nq_t : g * nq_t + cnt] = vals[
+                    cell, t * nq_t : t * nq_t + cnt
+                ]
+    return out
+
+
 def window_view(tables: GeneralBatchTables, xv: np.ndarray, i: int
                 ) -> np.ndarray:
     """Concatenated E-extent window of batch ``i`` (copy)."""

@@ -276,12 +276,14 @@ class GeneralOperators:
         import os
 
         if (
-            self._tab.collocated
-            and jax.default_backend() == "tpu"
+            jax.default_backend() == "tpu"
             and not os.environ.get("WAVE_FENICS_TPU_NO_PALLAS")
             and self._fused_tables is not None
         ):
-            return self.spectral_mass_fused(x)
+            if self._tab.collocated:
+                return self.spectral_mass_fused(x)
+            if self._tab.nq**3 <= 2 * (128 // self._fused_tables.cpr):
+                return self.mass_gauss_fused(x)
         return self.scatter(ek.mass_element(self.gather(x), self._B, self._detJw))
 
     def spectral_mass(self, x: jax.Array) -> jax.Array:
@@ -326,6 +328,7 @@ class GeneralOperators:
         static_c0 = isinstance(c0, (int, float))
         if (
             static_c0
+            and self._tab.collocated
             and jax.default_backend() == "tpu"
             and not os.environ.get("WAVE_FENICS_TPU_NO_PALLAS")
             and self._fused_tables is not None
@@ -349,9 +352,10 @@ class GeneralOperators:
     @cached_property
     def _fused_tables(self):
         """Window/chain tables for the fused kernel, or None when the
-        mesh/degree cannot use it (non-collocated, p > 4, or a dof
-        numbering so non-local that most cells spill)."""
-        if not self._tab.collocated or (self.dofs.p + 1) ** 3 > 127:
+        mesh/degree cannot use it (p > 4, or a dof numbering so
+        non-local that most cells spill). The tables depend only on the
+        dofmap — quadrature-specific gating lives at each dispatch."""
+        if (self.dofs.p + 1) ** 3 > 127:
             return None
         from .general_tables import build_batch_tables
 
@@ -375,9 +379,11 @@ class GeneralOperators:
 
     @cached_property
     def _fused_geo(self):
-        """Packed geometric factors: (detJw [1, ...], G-sym [6, ...])."""
+        """Packed geometric factors: (detJw [1, ...], G-sym [6, ...]).
+        Collocated only — per-cell factor count must equal nd."""
         from .general_tables import pack_cell_values
 
+        assert self._tab.collocated
         tb = self._fused_tables
         nc = self.mesh.ncells
         nd = (self.dofs.p + 1) ** 3
@@ -406,7 +412,7 @@ class GeneralOperators:
         — this specialization is free accuracy-preserving bandwidth on
         the (very common) affine-cell meshes."""
         tb = self._fused_tables
-        if tb is None or tb.cpr != 1:
+        if tb is None or tb.cpr != 1 or not self._tab.collocated:
             return None
         w3 = geometry.quadrature_weights_3d(self._tab).astype(np.float64)
         nc = self.mesh.ncells
@@ -467,7 +473,20 @@ class GeneralOperators:
         if fn is None:
             tb = self._fused_tables
             af = self._fused_affine
-            if af is not None:
+            Bq = None
+            if op == "mass_gauss":
+                # non-collocated quadrature: q-space detJw tiles + the
+                # 3D interpolation kron (demo/gpu_operator pipeline)
+                from .general_tables import pack_cell_qvalues
+
+                nc = self.mesh.ncells
+                djq = np.asarray(self._detJw, np.float64).reshape(nc, -1)
+                Bq = np.kron(np.kron(self._B, self._B), self._B)
+                T = -(-Bq.shape[0] // (128 // tb.cpr))
+                geo = pack_cell_qvalues(tb, djq, T,
+                                        dtype=np.dtype(self.dtype))
+                wq = None
+            elif af is not None:
                 geo = af["m1"] if op == "mass" else af["g6"]
                 wq = geometry.quadrature_weights_3d(self._tab)
             else:
@@ -479,7 +498,7 @@ class GeneralOperators:
                 D1=self._D if op == "stiffness" else None,
                 coeff=coeff, p=self.dofs.p, dtype=self.dtype,
                 merge=self._fused_merge, affine_w=wq,
-                resident=self.fused_resident or None,
+                resident=self.fused_resident or None, Bq=Bq,
             )
             self._fused_cache[key] = fn
         return fn
@@ -501,7 +520,10 @@ class GeneralOperators:
         m = self.dofs.p + 1
         dmap = self._dofmap[cells]
         xe = gs.gather_indexed(x, dmap).reshape(-1, m, m, m)
-        ye = ek.spectral_mass_element(xe, self._detJw[cells])
+        if self._tab.collocated:
+            ye = ek.spectral_mass_element(xe, self._detJw[cells])
+        else:
+            ye = ek.mass_element(xe, self._B, self._detJw[cells])
         return gs.scatter_indexed(
             ye.reshape(len(cells), -1), dmap, self.ndofs
         )
@@ -518,6 +540,17 @@ class GeneralOperators:
         """Fused gather -> detJw -> scatter mass (the reference's
         spectral_mass.hpp:84-89 data-movement shape at device speed)."""
         y = self._fused_apply("mass", 1.0)(x)
+        if len(self._fused_tables.spill_cells):
+            y = y + self._spill_mass(x)
+        return y
+
+    def mass_gauss_fused(self, x: jax.Array) -> jax.Array:
+        """Fused NON-collocated mass: gather -> B^T diag(detJw) B at
+        Gauss points -> scatter in one window pass (the decomposed
+        gpu_operator pipeline, demo/gpu_operator/main.cpp:144-160, as a
+        single fused kernel). Covers any quadrature whose per-cell
+        qpoints fit <= 2 lane tiles."""
+        y = self._fused_apply("mass_gauss", 1.0)(x)
         if len(self._fused_tables.spill_cells):
             y = y + self._spill_mass(x)
         return y

@@ -84,6 +84,31 @@ def contraction_matrices(p: int, cpr: int, D1: np.ndarray,
     return out
 
 
+def interpolation_tiles(cpr: int, nd: int, B: np.ndarray,
+                        dtype=np.float32) -> np.ndarray:
+    """Block-diagonal node->quadrature interpolation tiles for the packed
+    element layout, non-collocated quadrature (nq != nd).
+
+    ``B`` is the 3D interpolation matrix [nq, nd] (row-major kron of the
+    1D tabulation). Returns [T, 128, 128] with
+    ``tiles[t, g*nq_t + j, g*nd + n] = B[t*nq_t + j, n]`` so that
+    ``(XE @ tiles[t].T)[r, g*nq_t + j]`` is qpoint ``t*nq_t + j`` of the
+    cell packed at (r, g); T = ceil(nq / (128 // cpr)) tiles cover all
+    qpoints. Layout matches ``general_tables.pack_cell_qvalues``."""
+    nq = B.shape[0]
+    cap = _LANES // cpr
+    T = -(-nq // cap)
+    nq_t = -(-nq // T)
+    tiles = np.zeros((T, _LANES, _LANES), dtype=np.dtype(dtype))
+    for t in range(T):
+        cnt = min(nq_t, nq - t * nq_t)
+        blk = B[t * nq_t : t * nq_t + cnt]
+        for g in range(cpr):
+            tiles[t, g * nq_t : g * nq_t + cnt,
+                  g * nd : g * nd + nd] = blk
+    return tiles
+
+
 def _kernel(
     start_ref,  # scalar prefetch: [nbatch, E] int32 extent start rows
     yin_ref,  # [padded_rows, 128] ANY — aliased with out_ref
@@ -281,6 +306,21 @@ def _window_contrib(
             yer = xer * geo_entry(0) * dmat_ref[0][:R]
         else:
             yer = xer * geo_ref[0, sub]
+    elif op == "mass_gauss":
+        # decomposed B^T diag(detJw) B at NON-collocated qpoints — the
+        # reference's gpu_operator pipeline (demo/gpu_operator/
+        # main.cpp:144-160) fused into the same window pass. Per q-tile
+        # t: q = (XE @ B_t^T) .* detJw_t; YE += q @ B_t.
+        yer = jnp.zeros((R, _LANES), dtype=dtype)
+        for t in range(dmat_ref.shape[0]):
+            qt = jax.lax.dot_general(
+                xer, dmat_ref[t], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=hi,
+            ).astype(dtype) * geo_ref[t, sub]
+            yer = yer + jax.lax.dot_general(
+                qt, dmat_ref[t], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=hi,
+            ).astype(dtype)
     else:  # stiffness: ye = coeff * sum_dd' D_d^T (G_dd' * (D_d' xe))
         ud = [
             jax.lax.dot_general(
@@ -430,6 +470,7 @@ def make_general_apply(
     affine_w=None,
     coarsen: int | None = None,
     resident: bool | None = None,
+    Bq=None,
 ):
     """Build ``apply(x) -> y`` over flat [ndofs] vectors (kernel part only
     — spilled cells are the caller's responsibility).
@@ -454,6 +495,14 @@ def make_general_apply(
             wv = np.zeros(_LANES, npdt)
             wv[: tb.nd] = np.asarray(affine_w, npdt)
             dmats = np.concatenate([dmats, wv[:, None] * dmats])
+    elif op == "mass_gauss":
+        # geo = pack_cell_qvalues(tb, detJw[nc, nq], T) q-tiles;
+        # Bq = [nq, nd] 3D interpolation matrix
+        if affine:
+            raise ValueError("mass_gauss: affine form not supported")
+        dmats = interpolation_tiles(tb.cpr, tb.nd, np.asarray(Bq), npdt)
+        if dmats.shape[0] != geo.shape[0]:
+            raise ValueError("mass_gauss: geo tiles != B tiles")
     else:
         if affine:
             wv = np.zeros(_LANES, npdt)

@@ -122,14 +122,16 @@ def main():
         out["variant"] = "resident"
 
     if args.check and args.op in (
-        "mass-general", "stiffness-general", "stiffness-general-xla"
+        "mass", "mass-general", "stiffness-general", "stiffness-general-xla"
     ):
         # f64 oracle: the XLA indexed path of a fresh f64 operator set
         hexm64 = mesh.to_hex_mesh()
-        ops64 = GeneralOperators(hexm64, dofs, dtype=jnp.float64)
+        rule64 = "gauss" if args.op == "mass" else "gll"
+        ops64 = GeneralOperators(hexm64, dofs, dtype=jnp.float64, rule=rule64)
         x64 = jnp.asarray(np.asarray(x), dtype=jnp.float64)
         g64 = (
             ops64.spectral_mass_roundtrip if args.op == "mass-general"
+            else ops64.mass_indexed if args.op == "mass"
             else (lambda a: ops64.stiffness_indexed(a, 1500.0))
         )
         y = np.asarray(f(x), dtype=np.float64)

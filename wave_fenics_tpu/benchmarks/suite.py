@@ -158,10 +158,12 @@ def main():
     # over ICI — fwd/rev split like gpu_scatter_mpi/main.cpp:105-160)
     _run(args.out, results, "scatter_bench", "--mode", "halo", "--size",
          "16" if args.quick else "32", "--ndev", "8", "--platform", "cpu")
-    # explicit-dofmap (unstructured-mesh) operator path at p=4
+    # explicit-dofmap (unstructured-mesh) operator path at p=4. 'mass' is
+    # the non-collocated Gauss B^T diag B pipeline — fused windowed
+    # kernel on TPU since round 3 (was the 0.03 GDoF/s XLA-indexed hole)
     gsize = "8" if args.quick else "16"
     run("operators_bench", "--op", "mass", "--size", gsize, "--degree", "4",
-        "--reps", reps)
+        "--reps", reps, "--check")
     # fused windowed kernel (round 3) + pinned XLA indexed baseline
     run("operators_bench", "--op", "stiffness-general", "--size", gsize,
         "--degree", "4", "--reps", reps, "--check")
@@ -180,6 +182,8 @@ def main():
                 "--size", gs, "--degree", "4", "--reps", reps)
             run("operators_bench", "--op", "mass-general",
                 "--size", gs, "--degree", "4", "--reps", reps)
+        run("operators_bench", "--op", "mass", "--size", "32",
+            "--degree", "4", "--reps", reps)
     if args.platform != "cpu":
         # headline solves (real chip only): validated padded path and the
         # fused-stage candidate

@@ -284,6 +284,12 @@ class GeneralOperators:
                 return self.spectral_mass_fused(x)
             if self._tab.nq**3 <= 2 * (128 // self._fused_tables.cpr):
                 return self.mass_gauss_fused(x)
+        return self.mass_indexed(x)
+
+    def mass_indexed(self, x: jax.Array) -> jax.Array:
+        """XLA indexed baseline of :meth:`mass` — gather -> per-element
+        B^T diag(detJw) B -> scatter, any quadrature rule. Pinned for
+        benches/oracles regardless of backend dispatch."""
         return self.scatter(ek.mass_element(self.gather(x), self._B, self._detJw))
 
     def spectral_mass(self, x: jax.Array) -> jax.Array:

@@ -8,6 +8,10 @@ report (steps/period, dofs, solve time — matching the reference's stdout).
 Run:
   python -m wave_fenics_tpu.apps.planar3d_app --cells 64 32 32 [--ndev N]
          [--config cfg.json] [--checkpoint-dir ckpt] [--dtype f32]
+  python -m wave_fenics_tpu.apps.planar3d_app --mesh m.xdmf \
+         [--meshtags tags.xdmf]   # imported-mesh mode (main.cpp:39-45):
+         # explicit-dofmap GeneralLinearWave, fused windowed operators
+         # on TPU, RCB-sharded when --ndev > 1
 """
 
 from __future__ import annotations
@@ -41,9 +45,18 @@ def run(cfg: SimulationConfig) -> dict:
     log.info("Number of steps: %d", nstep)
     log.info("Degrees of freedom: %d", m.ops.ndofs)
 
+    from ..models.general_wave import GeneralLinearWave
+
+    is_general = isinstance(m, GeneralLinearWave)
     ndev = cfg.run.ndev
     sharded = ndev > 1
-    if sharded:
+    if sharded and is_general:
+        # imported mesh: RCB partition + fused local applies
+        from ..parallel.sharded_general import ShardedGeneralWave
+
+        sw = ShardedGeneralWave(m, ndev)
+        u, v = sw.zero_state()
+    elif sharded:
         from ..parallel.partition import decompose3d
         from ..parallel.sharded_padded import ShardedPaddedWave
 
@@ -72,6 +85,23 @@ def run(cfg: SimulationConfig) -> dict:
 
     if sharded:
         solve_chunk = lambda u, v, t0_, n: sw.solve_n(t0_, dt, n, u, v)
+    elif is_general:
+        # fused-operator tables must be runtime args, not HLO literals
+        # (utils/closure.py); one compiled solver per chunk length
+        from ..utils.closure import hoisted_jit
+
+        _solvers: dict = {}
+
+        def solve_chunk(u, v, t0_, n):
+            if n not in _solvers:
+                _solvers[n] = hoisted_jit(
+                    lambda uu, vv, tt: rk4_solve_n(
+                        m.f0, m.f1, uu, vv, tt, dt, n
+                    ),
+                    u, v, jnp.asarray(t0_),
+                )
+            uo, vo = _solvers[n](u, v, jnp.asarray(t0_))
+            return uo, vo, None
     else:
         from functools import partial
 
@@ -108,18 +138,37 @@ def run(cfg: SimulationConfig) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, default=None)
+    ap.add_argument("--mesh", type=str, default=None,
+                    help="XDMF mesh file (imported-mesh mode — the "
+                         "reference's cpu_planar3d workflow)")
+    ap.add_argument("--meshtags", type=str, default=None,
+                    help="XDMF facet meshtags (tag 1 source, 2 absorbing)")
     ap.add_argument("--cells", type=int, nargs=3, default=None)
     ap.add_argument("--degree", type=int, default=None)
     ap.add_argument("--ndev", type=int, default=None)
     ap.add_argument("--dtype", choices=["f32", "bf16", "f64"], default=None)
     ap.add_argument("--checkpoint-dir", type=str, default=None)
+    ap.add_argument("--platform", choices=["default", "cpu"],
+                    default="default",
+                    help="cpu: run on the host (virtual devices when "
+                         "--ndev > 1), like the benchmark CLIs")
     args = ap.parse_args()
+    if args.platform == "cpu":
+        from ..benchmarks.common import apply_platform
+
+        apply_platform(
+            type("A", (), {"platform": "cpu", "ndev": args.ndev or 1})()
+        )
 
     cfg = (
         SimulationConfig.from_json(open(args.config).read())
         if args.config
         else SimulationConfig()
     )
+    if args.mesh:
+        cfg.domain.mesh_path = args.mesh
+    if args.meshtags:
+        cfg.domain.meshtags_path = args.meshtags
     if args.cells:
         cfg.domain.ncells = tuple(args.cells)
     if args.degree:

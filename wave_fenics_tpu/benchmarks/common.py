@@ -57,8 +57,14 @@ def apply_platform(args) -> None:
 
 
 def resolve_dtype(name: str):
+    import jax
     import jax.numpy as jnp
 
+    if name == "f64" and not jax.config.read("jax_enable_x64"):
+        # without x64, jnp silently downcasts f64 VALUES to f32 while
+        # Pallas scratch refs keep true f64 — a guaranteed kernel dtype
+        # mismatch. f64 requested means x64 semantics.
+        jax.config.update("jax_enable_x64", True)
     return {"f32": jnp.float32, "bf16": jnp.bfloat16, "f64": jnp.float64}[name]
 
 

@@ -25,7 +25,7 @@ import numpy as np
 from ..core.mesh import FacetTags, box_mesh
 from .linear_wave import LinearWave
 
-__all__ = ["Planar3DCase", "planar3d_case"]
+__all__ = ["Planar3DCase", "planar3d_case", "planar3d_case_xdmf"]
 
 
 @dataclass(frozen=True)
@@ -80,6 +80,58 @@ def planar3d_case(
     steps_per_period = int(period / dt) + 1
     dt = period / steps_per_period
 
+    t0 = 0.0
+    tf = L / speed_of_sound + n_tail_periods / source_frequency
+    return Planar3DCase(
+        model=model, t0=t0, tf=tf, dt=dt, steps_per_period=steps_per_period
+    )
+
+
+def planar3d_case_xdmf(
+    mesh_path: str,
+    meshtags_path: str | None = None,
+    degree: int = 4,
+    speed_of_sound: float = 1500.0,
+    source_frequency: float = 0.5e6,
+    pressure_amplitude: float = 60000.0,
+    cfl: float = 0.5,
+    n_tail_periods: float = 8.0,
+    source_tag: int = 1,
+    abc_tag: int = 2,
+    dtype=None,
+) -> Planar3DCase:
+    """The planar3d case on an IMPORTED mesh — the reference's actual
+    workflow (demo/cpu_planar3d/main.cpp:39-45 reads mesh + facet
+    meshtags from XDMF; ds(1) = source, ds(2) = absorbing). The model is
+    the explicit-dofmap ``GeneralLinearWave`` (fused windowed Pallas
+    operators on TPU); dt uses the same CFL-snap as the box case
+    (main.cpp:61-66) with hmin measured on the imported geometry, and
+    tf = Lx/c0 + tail with Lx the mesh's x-extent (main.cpp:64)."""
+    import jax.numpy as jnp
+
+    from .general_wave import from_xdmf
+
+    if dtype is None:
+        dtype = jnp.float32
+    model = from_xdmf(
+        mesh_path,
+        meshtags_path,
+        p=degree,
+        c0=speed_of_sound,
+        freq0=source_frequency,
+        p0=pressure_amplitude,
+        source_tag=source_tag,
+        abc_tag=abc_tag,
+        dtype=dtype,
+    )
+    h = model.mesh.hmin()
+    dt = cfl * h / (speed_of_sound * degree**2)
+    period = 1.0 / source_frequency
+    steps_per_period = int(period / dt) + 1
+    dt = period / steps_per_period
+
+    xs = np.asarray(model.mesh.points)[:, 0]
+    L = float(xs.max() - xs.min())
     t0 = 0.0
     tf = L / speed_of_sound + n_tail_periods / source_frequency
     return Planar3DCase(

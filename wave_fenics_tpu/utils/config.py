@@ -30,6 +30,12 @@ class DomainConfig:
     degree: int = 4                      # basis degree p
     source_tag: int = 1
     abc_tag: int = 2
+    #: imported-mesh mode (the reference's actual planar3d workflow,
+    #: demo/cpu_planar3d/main.cpp:39-45): XDMF mesh + facet meshtags.
+    #: When ``mesh_path`` is set, ``ncells``/``domain_length``/``width``
+    #: are ignored and the model is the explicit-dofmap GeneralLinearWave.
+    mesh_path: str | None = None
+    meshtags_path: str | None = None
 
 
 @dataclass
@@ -74,8 +80,22 @@ class SimulationConfig:
     def build_case(self):
         """Construct the Planar3DCase for this config."""
         from ..benchmarks.common import resolve_dtype
-        from ..models.planar3d import planar3d_case
+        from ..models.planar3d import planar3d_case, planar3d_case_xdmf
 
+        if self.domain.mesh_path is not None:
+            return planar3d_case_xdmf(
+                self.domain.mesh_path,
+                self.domain.meshtags_path,
+                degree=self.domain.degree,
+                speed_of_sound=self.physics.speed_of_sound,
+                source_frequency=self.physics.source_frequency,
+                pressure_amplitude=self.physics.pressure_amplitude,
+                cfl=self.time.cfl,
+                n_tail_periods=self.time.n_tail_periods,
+                source_tag=self.domain.source_tag,
+                abc_tag=self.domain.abc_tag,
+                dtype=resolve_dtype(self.run.dtype),
+            )
         return planar3d_case(
             ncells=tuple(self.domain.ncells),
             domain_length=self.domain.domain_length,

@@ -107,3 +107,30 @@ def test_write_xdmf_time_series(tmp_path):
         np.testing.assert_array_equal(f["/step000002/u"][()], snaps[2][1]["u"])
     txt = (tmp_path / "series.xdmf").read_text()
     assert txt.count("<Grid Name=\"t") == 3 and "Temporal" in txt
+
+
+def test_write_xdmf_unstructured(tmp_path):
+    """General-dofmap output: p-refined sub-hex grid roundtrips through
+    read_xdmf; nodal field lands exactly at the dof points; sub-hex
+    volumes tile the box."""
+    h5py = pytest.importorskip("h5py")
+    from wave_fenics_tpu.core.dofmap import build_dofmap
+    from wave_fenics_tpu.core.mesh import box_mesh
+
+    p = 3
+    hm = box_mesh((2, 2, 1), (1.0, 0.8, 0.5)).to_hex_mesh()
+    dofs = build_dofmap(hm, p)
+    u = dofs.dof_coords[:, 0] + 2.0 * dofs.dof_coords[:, 1]
+    out = str(tmp_path / "sol.xdmf")
+    mio.write_xdmf_unstructured(out, dofs, {"u": u}, time=0.5)
+
+    sub = mio.read_xdmf(out)
+    assert sub.ncells == hm.ncells * p**3
+    np.testing.assert_allclose(sub.points, dofs.dof_coords, atol=1e-14)
+    with h5py.File(tmp_path / "sol.h5") as f:
+        np.testing.assert_array_equal(f["/u"][()], u)
+    # rectangular sub-hexes tile the domain exactly
+    cc = sub.cell_coords()  # [nsub, 8, 3]
+    vol = np.prod(cc.max(axis=1) - cc.min(axis=1), axis=1).sum()
+    np.testing.assert_allclose(vol, 1.0 * 0.8 * 0.5, rtol=1e-12)
+    assert 'Time Value="0.5"' in (tmp_path / "sol.xdmf").read_text()

@@ -125,6 +125,29 @@ def run(cfg: SimulationConfig) -> dict:
 
     solve_s = tm._acc["solve"]
     log.info("Solve time: %.3f s", solve_s)
+    out_path = getattr(cfg.run, "output_path", None)
+    if out_path:
+        if sharded:
+            log.info("output: skipped for sharded runs (save a "
+                     "checkpoint and post-process instead)")
+        elif is_general:
+            from ..core.io import write_xdmf_unstructured
+
+            write_xdmf_unstructured(
+                out_path, m.dofs,
+                {"u": np.asarray(u), "v": np.asarray(v)}, time=t,
+            )
+            log.info("wrote %s", out_path)
+        else:
+            from ..core.dofmap import StructuredDofGrid
+            from ..core.io import write_xdmf_rectilinear
+
+            dg = StructuredDofGrid(m.mesh, m.p)
+            write_xdmf_rectilinear(
+                out_path, tuple(dg.axis_coords(d) for d in range(3)),
+                {"u": np.asarray(u), "v": np.asarray(v)}, time=t,
+            )
+            log.info("wrote %s", out_path)
     return {
         "ndofs": int(m.ops.ndofs),
         "nsteps": nstep,
@@ -148,6 +171,8 @@ def main():
     ap.add_argument("--ndev", type=int, default=None)
     ap.add_argument("--dtype", choices=["f32", "bf16", "f64"], default=None)
     ap.add_argument("--checkpoint-dir", type=str, default=None)
+    ap.add_argument("--output", type=str, default=None,
+                    help="write final u/v as XDMF (ParaView-readable)")
     ap.add_argument("--platform", choices=["default", "cpu"],
                     default="default",
                     help="cpu: run on the host (virtual devices when "
@@ -179,6 +204,8 @@ def main():
         cfg.run.dtype = args.dtype
     if args.checkpoint_dir:
         cfg.run.checkpoint_dir = args.checkpoint_dir
+    if args.output:
+        cfg.run.output_path = args.output
 
     out = run(cfg)
     print(json.dumps(out))

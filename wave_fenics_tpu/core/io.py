@@ -157,6 +157,71 @@ def write_xdmf_rectilinear(
 </Domain></Xdmf>""")
 
 
+def write_xdmf_unstructured(
+    path: str,
+    dofs,
+    fields: dict[str, np.ndarray],
+    time: float | None = None,
+) -> None:
+    """Write flat dof-vector fields of a GENERAL (imported/unstructured)
+    solve as an XDMF hexahedral grid (ParaView-readable).
+
+    Each degree-p spectral cell is emitted as its p^3 linear sub-hexes
+    over the GLL nodes (the standard high-order visualization
+    refinement), so nodal values appear exactly at the dof points.
+    ``dofs``: core.dofmap.GeneralDofMap; ``fields``: name -> [ndofs].
+    The reference writes no solution output at all (SURVEY.md §5);
+    this completes the imported-mesh IO loop read_xdmf opens.
+    """
+    import h5py
+
+    p = dofs.p
+    m = p + 1
+    idx = np.arange(m**3).reshape(m, m, m)  # (x, y, z)-nodes, z fastest
+    corners = [
+        idx[di : di + p, dj : dj + p, dk : dk + p].reshape(-1)
+        for di, dj, dk in (
+            # VTK hexahedron winding: bottom quad CCW, then top
+            (0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+            (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1),
+        )
+    ]
+    sub = np.stack(corners, axis=1)  # [p^3, 8] local node ids
+    topo = np.asarray(dofs.dofmap, np.int64)[:, sub].reshape(-1, 8)
+
+    base = os.path.splitext(path)[0]
+    h5name = base + ".h5"
+    with h5py.File(h5name, "w") as f:
+        f["/geom"] = np.asarray(dofs.dof_coords, np.float64)
+        f["/topo"] = topo
+        for name, arr in fields.items():
+            arr = np.asarray(arr, np.float64).reshape(-1)
+            assert arr.shape == (dofs.ndofs,), (name, arr.shape)
+            f["/" + name] = arr
+
+    h5base = os.path.basename(h5name)
+    attrs = "\n".join(
+        f"""<Attribute Name="{n}" Center="Node">
+<DataItem Dimensions="{dofs.ndofs}" Format="HDF">{h5base}:/{n}</DataItem>
+</Attribute>"""
+        for n in fields
+    )
+    tval = f'<Time Value="{time}"/>' if time is not None else ""
+    with open(base + ".xdmf", "w") as f:
+        f.write(f"""<?xml version="1.0"?>
+<Xdmf Version="3.0"><Domain>
+<Grid Name="grid">{tval}
+<Topology TopologyType="Hexahedron" NumberOfElements="{topo.shape[0]}">
+<DataItem Dimensions="{topo.shape[0]} 8" Format="HDF">{h5base}:/topo</DataItem>
+</Topology>
+<Geometry GeometryType="XYZ">
+<DataItem Dimensions="{dofs.ndofs} 3" Format="HDF">{h5base}:/geom</DataItem>
+</Geometry>
+{attrs}
+</Grid>
+</Domain></Xdmf>""")
+
+
 def save_npz(path: str, mesh: HexMesh) -> None:
     np.savez(
         path,

@@ -52,6 +52,9 @@ class RunConfig:
     checkpoint_dir: str | None = None
     checkpoint_every_steps: int = 1000
     log_every_steps: int = 50
+    #: write final u/v as XDMF (rectilinear grid for box runs, p-refined
+    #: sub-hex grid for imported meshes); sharded runs skip it
+    output_path: str | None = None
 
 
 @dataclass

@@ -266,3 +266,27 @@ def test_planar3d_app_imported_mesh(tmp_path):
     out2 = run(cfg)
     assert np.isfinite(out2["u_norm"]) and out2["u_norm"] > 0
     assert out2["ndofs"] == out["ndofs"]
+
+
+def test_general_probe_recording_matches_structured():
+    """Probe series on the general model == the structured model's at
+    the same physical points (placed exactly at dof coordinates)."""
+    from wave_fenics_tpu.models.general_wave import solve_recording as gsr
+    from wave_fenics_tpu.models.linear_wave import solve_recording as ssr
+
+    tags = FacetTags({1: (0,), 2: (1,)})
+    mesh = box_mesh((4, 2, 2), (0.01, 0.005, 0.005), facet_tags=tags)
+    sm = LinearWave(mesh, p=2, dtype=jnp.float64)
+    f_src, hm = _box_face_facets(mesh, 0, 0)
+    f_abc, _ = _box_face_facets(mesh, 0, 1)
+    gm = GeneralLinearWave(
+        mesh=hm, p=2, facet_tags={1: f_src, 2: f_abc}, dtype=jnp.float64
+    )
+    pts = np.asarray(gm.dofs.dof_coords)[[7, 101, 160]]
+    dt, n = 1e-9, 25
+    _, _, s_g = gsr(gm, 0.0, dt, n, pts)
+    _, _, s_s = ssr(sm, 0.0, dt, n, pts)
+    assert np.abs(np.asarray(s_g)).max() > 0
+    np.testing.assert_allclose(
+        np.asarray(s_g), np.asarray(s_s), rtol=1e-10, atol=1e-14
+    )

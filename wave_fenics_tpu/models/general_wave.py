@@ -214,6 +214,50 @@ class GeneralLinearWave:
         return fn(u0, v0)
 
 
+def probe_dofs(model: GeneralLinearWave, points) -> np.ndarray:
+    """Dof ids nearest to the given physical points — hydrophone
+    placement on an imported mesh (the general-mesh analogue of
+    ``linear_wave.probe_indices``; same nearest-GLL-node fidelity)."""
+    pts = np.atleast_2d(np.asarray(points, np.float64))
+    dc = np.asarray(model.dofs.dof_coords, np.float64)
+    ids = np.empty(len(pts), np.int64)
+    for i, q in enumerate(pts):  # npoints is tiny; O(npts * ndofs)
+        ids[i] = int(((dc - q) ** 2).sum(axis=1).argmin())
+    return ids
+
+
+def solve_recording(
+    model: GeneralLinearWave,
+    t0: float,
+    dt: float,
+    nsteps: int,
+    points,
+    u0=None,
+    v0=None,
+):
+    """RK4 solve recording the pressure time series at probe points on a
+    general mesh. Returns (u, v, series[nsteps, npoints]); the series is
+    the only per-step output, so recording is ~free (mirrors
+    ``linear_wave.solve_recording``)."""
+    from ..solvers.rk4 import rk4_solve_n_recording
+    from ..utils.closure import hoisted_jit
+
+    if u0 is None:
+        u0, v0 = model.zero_state()
+    ids = jnp.asarray(probe_dofs(model, points))
+
+    def sample(t, u, v):
+        return u[ids]
+
+    fn = hoisted_jit(
+        lambda uu, vv: rk4_solve_n_recording(
+            model.f0, model.f1, uu, vv, t0, dt, nsteps, sample
+        ),
+        u0, v0,
+    )
+    return fn(u0, v0)
+
+
 def from_xdmf(
     mesh_path: str,
     meshtags_path: str | None = None,

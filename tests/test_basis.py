@@ -199,3 +199,16 @@ def test_hex_permutation_golden_table(p, table):
     for basix_id, (i, j, k) in enumerate(table):
         golden[i + n * j + n * n * k] = basix_id
     np.testing.assert_array_equal(perm, golden)
+
+
+def test_gauss_default_rule_is_full_rank():
+    """rule='gauss' with q=None must give p+1 points (the reference
+    demo's own q=2p, demo/gpu_operator/main.cpp:96). The GLL-oriented
+    q(p) map under a Gauss rule gives only p points — a rank-deficient
+    B and a SINGULAR mass matrix (round-3 bug, found by a CG drive)."""
+    from wave_fenics_tpu.core.basis import tabulate_1d
+
+    for p in range(1, 7):
+        tab = tabulate_1d(p, None, "gauss")
+        assert tab.nq == p + 1, (p, tab.nq)
+        assert np.linalg.matrix_rank(tab.B) == p + 1

@@ -361,3 +361,26 @@ def test_fused_gauss_mass_matches_indexed(p, cells):
     djq = np.asarray(ops._detJw, np.float64).reshape(hm.ncells, -1)
     geo = pack_cell_qvalues(tb, djq, tiles.shape[0])
     assert geo.shape[0] == tiles.shape[0]
+
+
+@pytest.mark.parametrize("p,cells", [(1, (5, 3, 2)), (2, (4, 3, 3)),
+                                     (3, (3, 3, 2)), (4, (3, 2, 2))])
+def test_fused_gauss_stiffness_matches_indexed(p, cells):
+    """Non-collocated (Gauss-rule) full-G stiffness — the skernel sum of
+    common/operators.hpp:112-133 at Gauss points — fused into the window
+    kernel must match the XLA indexed path at f64."""
+    hm = _perturbed_mesh(cells, (1.0, 1.0, 1.0), seed=10 + p)
+    dofs = build_dofmap(hm, p)
+    ops = GeneralOperators(hm, dofs, dtype=jnp.float64, rule="gauss")
+    assert not ops._tab.collocated
+    assert ops._fused_tables is not None
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(dofs.ndofs))
+    o = np.asarray(ops.stiffness_indexed(x, 1500.0))
+    y = np.asarray(ops.stiffness_gauss_fused(x, 1500.0))
+    np.testing.assert_allclose(y, o, rtol=1e-12,
+                               atol=1e-12 * np.abs(o).max())
+    # annihilates constants (pure Neumann stiffness)
+    ones = jnp.ones((dofs.ndofs,), dtype=jnp.float64)
+    z = np.asarray(ops.stiffness_gauss_fused(ones, 1.0))
+    assert np.abs(z).max() < 1e-9 * np.abs(o).max()

@@ -199,11 +199,16 @@ def tabulate_1d(p: int, q: int | None = None, rule: str = "gll") -> Tab1D:
     Args:
       p: basis degree (nodes = p+1 GLL points on [0,1] — the ``gll_warped``
          Lagrange variant of the reference, common/operators.hpp:20-22).
-      q: quadrature exactness degree; defaults to the reference q(p) map.
+      q: quadrature exactness degree. Defaults: GLL -> the reference q(p)
+         map (p+1 points, collocation); GAUSS -> 2p, the reference's own
+         choice for its Gauss-rule demo (demo/gpu_operator/main.cpp:96),
+         giving p+1 points. (The GLL-oriented q(p) map under a Gauss rule
+         yields only p points — a rank-deficient B and a SINGULAR mass
+         matrix; round 3 bug found by a CG drive on a gauss operator.)
       rule: 'gll' (reference default) or 'gauss' (gpu_operator bench path).
     """
     if q is None:
-        q = qdegree(p)
+        q = 2 * p if rule == "gauss" else qdegree(p)
     nodes, _ = gll_points_weights(p + 1)
     if rule == "gll":
         nq = gll_rule_size(q)

@@ -334,12 +334,14 @@ class GeneralOperators:
         static_c0 = isinstance(c0, (int, float))
         if (
             static_c0
-            and self._tab.collocated
             and jax.default_backend() == "tpu"
             and not os.environ.get("WAVE_FENICS_TPU_NO_PALLAS")
             and self._fused_tables is not None
         ):
-            return self.stiffness_fused(x, c0)
+            if self._tab.collocated:
+                return self.stiffness_fused(x, c0)
+            if self._tab.nq**3 <= 2 * (128 // self._fused_tables.cpr):
+                return self.stiffness_gauss_fused(x, c0)
         return self.stiffness_indexed(x, c0)
 
     def stiffness_indexed(
@@ -492,6 +494,30 @@ class GeneralOperators:
                 geo = pack_cell_qvalues(tb, djq, T,
                                         dtype=np.dtype(self.dtype))
                 wq = None
+            elif op == "stiffness_gauss":
+                # 6 symmetric G entries at qpoints (gi*T + t tiles) +
+                # the 3 axis-derivative interpolation krons
+                from .general_tables import pack_cell_qvalues
+
+                nc = self.mesh.ncells
+                nq3 = self._tab.nq ** 3
+                B1, D1 = self._B, self._D
+                Bq = (
+                    np.kron(np.kron(D1, B1), B1),  # d/dx (i slowest)
+                    np.kron(np.kron(B1, D1), B1),  # d/dy
+                    np.kron(B1, np.kron(B1, D1)),  # d/dz (k fastest)
+                )
+                T = -(-nq3 // (128 // tb.cpr))
+                G = np.asarray(self._G, np.float64).reshape(
+                    nc, nq3, 3, 3
+                )
+                sym = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+                geo = np.concatenate(
+                    [pack_cell_qvalues(tb, G[:, :, a, b], T,
+                                       dtype=np.dtype(self.dtype))
+                     for a, b in sym]
+                )
+                wq = None
             elif af is not None:
                 geo = af["m1"] if op == "mass" else af["g6"]
                 wq = geometry.quadrature_weights_3d(self._tab)
@@ -548,6 +574,20 @@ class GeneralOperators:
         y = self._fused_apply("mass", 1.0)(x)
         if len(self._fused_tables.spill_cells):
             y = y + self._spill_mass(x)
+        return y
+
+    def stiffness_gauss_fused(
+        self, x: jax.Array, c0: float = 1.0
+    ) -> jax.Array:
+        """Fused NON-collocated full-G stiffness: the skernel sum
+        (common/operators.hpp:112-133) at Gauss points in one window
+        pass — 3 derivative-interpolation q-tile families + 6 symmetric
+        G q-tile entries. Covers any quadrature whose per-cell qpoints
+        fit <= 2 lane tiles."""
+        coeff = -float(c0) ** 2
+        y = self._fused_apply("stiffness_gauss", coeff)(x)
+        if len(self._fused_tables.spill_cells):
+            y = y + self._spill_stiffness(x, coeff)
         return y
 
     def mass_gauss_fused(self, x: jax.Array) -> jax.Array:

@@ -321,6 +321,33 @@ def _window_contrib(
                 qt, dmat_ref[t], (((1,), (0,)), ((), ())),
                 preferred_element_type=f32, precision=hi,
             ).astype(dtype)
+    elif op == "stiffness_gauss":
+        # full-G stiffness at NON-collocated qpoints: dmat tiles are the
+        # 3 axis-derivative interpolations (Dx|Dy|Dz, T q-tiles each);
+        # geo tiles the 6 symmetric G entries at qpoints (gi*T + t).
+        # Disjoint q-tiles partition the quadrature sum, so per-tile
+        # contributions add exactly.
+        T = dmat_ref.shape[0] // 3
+        symm = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+        yer = jnp.zeros((R, _LANES), dtype=dtype)
+        for t in range(T):
+            ud = [
+                jax.lax.dot_general(
+                    xer, dmat_ref[d * T + t], (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32, precision=hi,
+                ).astype(dtype)
+                for d in range(3)
+            ]
+            for d in range(3):
+                w = jnp.zeros((R, _LANES), dtype=dtype)
+                for dp in range(3):
+                    gi = symm.index(tuple(sorted((d, dp))))
+                    w = w + geo_ref[gi * T + t, sub] * ud[dp]
+                yer = yer + jax.lax.dot_general(
+                    w, dmat_ref[d * T + t], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=hi,
+                ).astype(dtype)
+        yer = yer * coeff
     else:  # stiffness: ye = coeff * sum_dd' D_d^T (G_dd' * (D_d' xe))
         ud = [
             jax.lax.dot_general(
@@ -503,6 +530,17 @@ def make_general_apply(
         dmats = interpolation_tiles(tb.cpr, tb.nd, np.asarray(Bq), npdt)
         if dmats.shape[0] != geo.shape[0]:
             raise ValueError("mass_gauss: geo tiles != B tiles")
+    elif op == "stiffness_gauss":
+        # Bq = (Dx, Dy, Dz) [nq, nd] axis-derivative interpolations;
+        # geo = 6 symmetric G entries at qpoints, gi*T + t tile order
+        if affine:
+            raise ValueError("stiffness_gauss: affine form not supported")
+        dmats = np.concatenate(
+            [interpolation_tiles(tb.cpr, tb.nd, np.asarray(Dq), npdt)
+             for Dq in Bq]
+        )
+        if 2 * dmats.shape[0] != geo.shape[0]:
+            raise ValueError("stiffness_gauss: geo tiles != 2 * D tiles")
     else:
         if affine:
             wv = np.zeros(_LANES, npdt)

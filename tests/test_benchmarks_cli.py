@@ -78,3 +78,15 @@ def test_general_operators_cli(op, extra, capsys):
     assert r["max_rel_err_vs_f64_oracle"] < 1e-4
     if "--resident" in extra:
         assert r.get("variant") == "resident"
+
+
+def test_scatter_general_halo_cli(capsys):
+    from wave_fenics_tpu.benchmarks import scatter_bench
+
+    r = _run_main(
+        scatter_bench,
+        ["--mode", "general-halo", "--size", "4", "--degree", "2",
+         "--ndev", "4", "--reps", "2"],
+        capsys,
+    )
+    assert r["us_per_exchange"] > 0 and r["interface_slots"] > 0

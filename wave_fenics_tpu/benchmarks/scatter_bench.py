@@ -28,7 +28,8 @@ from .common import apply_platform, make_parser, report, resolve_dtype
 
 def main():
     ap = make_parser(size=32, degree=4, reps=50)
-    ap.add_argument("--mode", choices=["local", "halo"], default="local")
+    ap.add_argument("--mode", choices=["local", "halo", "general-halo"],
+                    default="local")
     ap.add_argument("--ndev", type=int, default=8)
     args = ap.parse_args()
     apply_platform(args)
@@ -62,6 +63,46 @@ def main():
             ndofs=dg.ndofs, degree=p, dtype=args.dtype,
             ms=round(t * 1e3, 4),
             gdofs_per_s=round(dg.ndofs / t / 1e9, 4),
+        )
+    elif args.mode == "general-halo":
+        # UNSTRUCTURED interface assembly: one all_gather of the
+        # fixed-size interface buffer + static gather-sum — the
+        # VectorUpdater update_rev+fwd analogue for arbitrary RCB
+        # cell partitions (demo/gpu_scatter_mpi/VectorUpdater.hpp:106-152)
+        from jax import shard_map
+
+        from ..models.general_wave import GeneralLinearWave
+        from ..parallel.sharded_general import ShardedGeneralWave
+
+        gm = GeneralLinearWave(
+            mesh=mesh.to_hex_mesh(), p=p, facet_tags={}, dtype=dtype
+        )
+        sw = ShardedGeneralWave(gm, args.ndev)
+        u, _ = sw.zero_state()
+        tb = sw._tables
+        specs = (tb["bidx"].sharding.spec, tb["recv"].sharding.spec)
+
+        def local(xb, bidx, recv):
+            sq = xb.reshape(xb.shape[1:])
+            bi = bidx.reshape(bidx.shape[1:])
+            rv = recv.reshape(recv.shape[1:])
+            out = lax.fori_loop(
+                0, reps, lambda i, a: sw._assemble(a, bi, rv), sq
+            )
+            return out.reshape(xb.shape)
+
+        run = jax.jit(shard_map(
+            local, mesh=sw.mesh,
+            in_specs=(sw.state_spec,) + specs,
+            out_specs=sw.state_spec, check_vma=False,
+        ))
+        f = lambda x: run(x, tb["bidx"], tb["recv"])
+        t = timeit(f, u, reps=3, warmup=1) / reps
+        report(
+            metric="unstructured interface assembly (all_gather + gather-sum)",
+            ndev=args.ndev, ndofs=gm.ndofs, degree=p, dtype=args.dtype,
+            interface_slots=int(tb["bidx"].shape[1]),
+            us_per_exchange=round(t * 1e6, 2),
         )
     else:
         from ..models.linear_wave import LinearWave

@@ -32,7 +32,8 @@ def _perturbed_mesh(cells, extent, seed=0, amp=0.02):
 
 
 @pytest.mark.parametrize("p,cells", [(1, (5, 3, 2)), (2, (6, 5, 4)),
-                                     (3, (4, 4, 3)), (4, (4, 3, 3))])
+                                     (3, (4, 4, 3)), (4, (4, 3, 3)),
+                                     (5, (3, 2, 2))])
 def test_tables_gather_scatter_exact(p, cells):
     """Chain tables reproduce gather/scatter bit-exactly (NumPy emulation
     of the in-kernel dynamic-gather sequence)."""
@@ -49,9 +50,9 @@ def test_tables_gather_scatter_exact(p, cells):
             if cell < 0:
                 continue
             covered[cell] = True
-            r, lb = tb.cell_slot(b)
+            r_, lo_ = tb.slot_coords(b)
             np.testing.assert_array_equal(
-                xe[i, r, lb : lb + nd], x[dm.dofmap[cell]]
+                xe[i, r_, lo_], x[dm.dofmap[cell]]
             )
     assert covered.sum() + len(tb.spill_cells) == hm.ncells
     # scatter: random element values, exact sum
@@ -61,19 +62,21 @@ def test_tables_gather_scatter_exact(p, cells):
         for b, cell in enumerate(tb.batch_cells[i]):
             if cell < 0:
                 continue
-            r, lb = tb.cell_slot(b)
+            r_, lo_ = tb.slot_coords(b)
             vals = rng.standard_normal(nd)
-            ye[i, r, lb : lb + nd] = vals
+            ye[i, r_, lo_] = vals
             np.add.at(y_ref, dm.dofmap[cell], vals)
     y = reference_scatter(tb, ye, dm.ndofs)
     np.testing.assert_allclose(y, y_ref, atol=1e-12)
 
 
-@pytest.mark.parametrize("p", [1, 2, 4])
+@pytest.mark.parametrize("p", [1, 2, 4, 5])
 def test_fused_general_ops_match_indexed(p):
     """Fused windowed kernel (interpret mode) == XLA indexed path on a
-    perturbed (genuinely unstructured) mesh, f64."""
-    cells = (4, 3, 3) if p >= 3 else (5, 4, 3)
+    perturbed (genuinely unstructured) mesh, f64. p=5 exercises the
+    split-row (rpc=2) cell packing — nd=216 > 127 lanes."""
+    cells = ((3, 2, 2) if p >= 5
+             else (4, 3, 3) if p >= 3 else (5, 4, 3))
     hm = _perturbed_mesh(cells, (1.0, 0.8, 0.9), seed=p)
     dm = build_dofmap(hm, p)
     ops = GeneralOperators(hm, dm, dtype=jnp.float64)

@@ -102,6 +102,12 @@ class GeneralBatchTables:
     spill_cells: np.ndarray
     #: number of [*, 128] rows the padded dof vector must have
     padded_rows: int
+    #: element-tile ROWS PER CELL (1 for nd <= 127; 2 for p=5 hexes,
+    #: nd <= 254: the cell's first npl nodes live in row ``b`` of the
+    #: first half-block [0, R/2), the rest in row ``b`` of the second
+    #: half-block [R/2, R) — halves are cheap major-dim slices for the
+    #: split-block MXU contraction)
+    rpc: int = 1
 
     @property
     def extents(self) -> int:
@@ -119,9 +125,29 @@ class GeneralBatchTables:
     def ks(self) -> int:
         return self.s_row.shape[0]
 
+    @property
+    def npl(self) -> int:
+        """Nodes per element-tile row of one cell."""
+        return -(-self.nd // self.rpc)
+
+    @property
+    def R2(self) -> int:
+        """Rows per half-block (== R when rpc == 1)."""
+        return self.R // self.rpc
+
     def cell_slot(self, b: int) -> tuple[int, int]:
-        """Packed (row, lane_base) of cell slot ``b``."""
+        """Packed (row, lane_base) of cell slot ``b`` (rpc == 1 only)."""
+        assert self.rpc == 1
         return b // self.cpr, (b % self.cpr) * self.nd
+
+    def slot_coords(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        """Per-node (row, lane) arrays [nd] of cell slot ``b`` for any
+        rpc (the packed element-tile layout)."""
+        n = np.arange(self.nd)
+        if self.rpc == 1:
+            r, lb = self.cell_slot(b)
+            return np.full(self.nd, r), lb + n
+        return b // self.cpr + (n // self.npl) * self.R2, n % self.npl
 
     @property
     def table_bytes(self) -> int:
@@ -159,7 +185,7 @@ def _cover_extents(rows: np.ndarray, E: int, He: int) -> np.ndarray | None:
     return starts
 
 
-_CACHE_VERSION = 2  # v2: unsigned-int8 g_row encoding
+_CACHE_VERSION = 3  # v3: rpc field (two-row p=5 cells)
 #: table builds below this cell count skip the disk cache (IO not worth it)
 _CACHE_MIN_CELLS = 4096
 
@@ -267,10 +293,14 @@ def build_batch_tables(
         hit = _cache_load(GeneralBatchTables, cache)
         if hit is not None:
             return hit
-    if nd > _LANES - 1:
-        # lane 127 must stay zero (scatter sentinel): nd <= 127, i.e.
-        # p <= 4 for hexes; higher degrees stay on the XLA indexed path
-        raise ValueError(f"nd={nd} exceeds {_LANES - 1} usable lanes")
+    if nd > 2 * (_LANES - 1):
+        # two half-block rows per cell cover nd <= 254 (p <= 5 hexes);
+        # higher degrees stay on the XLA indexed path
+        raise ValueError(f"nd={nd} exceeds {2 * (_LANES - 1)} usable lanes")
+    # rows per cell: lane 127 must stay zero (scatter sentinel), so a
+    # row holds at most 127 of one cell's nodes
+    rpc = 1 if nd <= _LANES - 1 else 2
+    npl = -(-nd // rpc)  # nodes per row of one cell
     H = tile_h
     if H % 8 or H > 256:
         raise ValueError("tile_h must be a multiple of 8, <= 256")
@@ -278,14 +308,16 @@ def build_batch_tables(
     if H % E or (H // E) % 8:
         raise ValueError("tile_h/extents must be a multiple of 8")
     He = H // E
-    cpr = (_LANES - 1) // nd
+    cpr = max((_LANES - 1) // nd, 1)
     # default: fill the element tile (128 cell rows — the int8 s_row
     # cap); pass 1 splits batches earlier when the extent budget runs
     # out, and FEWER grid steps matter: the platform charges a fixed
     # per-grid-step cost (docs/BENCH_NOTES.md round 3)
-    B = batch_cells if batch_cells is not None else _LANES * cpr
-    B = min(B, cpr * min(H - 1, _LANES))
-    R = min((-(-B // cpr) + 7) // 8 * 8, H)  # cell rows, padded to 8
+    B = batch_cells if batch_cells is not None else (_LANES // rpc) * cpr
+    B = min(B, cpr * (min(H - 1, _LANES) // rpc))
+    # rows per half-block, padded to 8; R = rpc * R2 element rows total
+    R2 = min((-(-B // cpr) + 7) // 8 * 8, min(H, _LANES) // rpc)
+    R = rpc * R2
     # window-row indices are stored int8 UNSIGNED (two's complement,
     # decoded in-kernel/in-emulation as ``v & 0xFF``): H <= 256 keeps
     # every row in one byte and halves g_row DMA traffic vs int16
@@ -344,17 +376,34 @@ def build_batch_tables(
         s_used_c: list[np.ndarray] = []
         # cells keep their original slot b even when earlier slots spill
         # (claims are keyed on the slot; spilled slots stay all-sentinel
-        # and read as zeros). Within one cell all (t, lo) and (t, l)
-        # pairs are distinct, so chain claims vectorize per cell.
+        # and read as zeros). Within one cell all (t, l) pairs are
+        # distinct; (t, lo) pairs are distinct at rpc == 1 but can
+        # repeat across the rpc == 2 halves — _first_of_key defers the
+        # duplicate to the next chain so claims still vectorize.
+        def _first_of_key(ok, t, lo):
+            if rpc == 1 or not ok.any():
+                return ok
+            idx = np.nonzero(ok)[0]
+            _, first = np.unique(t[idx] * _LANES + lo[idx],
+                                 return_index=True)
+            out = np.zeros_like(ok)
+            out[idx[first]] = True
+            return out
+
         slots = np.full(B, -1, np.int32)
         for b, cell in enumerate(cells):
-            r, lb = b // cpr, (b % cpr) * nd
+            # per-node packed (element row, lane) of slot b
+            if rpc == 1:
+                r_ = np.full(nd, b // cpr, np.int64)
+                lo_ = (b % cpr) * nd + nrange
+            else:
+                r_ = b // cpr + (nrange // npl) * R2
+                lo_ = nrange % npl
             g = dofmap[cell] // _LANES
             l = dofmap[cell] % _LANES
             # window row through the (disjoint, increasing) extent map
             e = np.searchsorted(est, g, side="right") - 1
             t = e * He + (g - est[e])
-            lo_ = lb + nrange
             g_chain = np.full(nd, -1, np.int64)
             un = np.ones(nd, bool)
             k = 0
@@ -366,6 +415,7 @@ def build_batch_tables(
                 ok = un & (
                     ~g_set_c[k][t, lo_] | (g_lane_c[k][t, lo_] == l)
                 )
+                ok = _first_of_key(ok, t, lo_)
                 g_chain[ok] = k
                 un &= ~ok
                 k += 1
@@ -383,8 +433,9 @@ def build_batch_tables(
                         )
                         s_used_c.append(np.zeros(shape, bool))
                     ok = un & ~s_used_c[j][t, l] & (
-                        ~s_set_c[j][t, lo_] | (s_row_c[j][t, lo_] == r)
+                        ~s_set_c[j][t, lo_] | (s_row_c[j][t, lo_] == r_)
                     )
+                    ok = _first_of_key(ok, t, lo_)
                     s_chain[ok] = j
                     un &= ~ok
                     j += 1
@@ -394,10 +445,10 @@ def build_batch_tables(
                     m = g_chain == k
                     g_lane_c[k][t[m], lo_[m]] = l[m]
                     g_set_c[k][t[m], lo_[m]] = True
-                    g_row_c[k][r, lo_[m]] = t[m]
+                    g_row_c[k][r_[m], lo_[m]] = t[m]
                 for j in np.unique(s_chain):
                     m = s_chain == j
-                    s_row_c[j][t[m], lo_[m]] = r
+                    s_row_c[j][t[m], lo_[m]] = r_[m]
                     s_set_c[j][t[m], lo_[m]] = True
                     s_nlane_c[j][t[m], l[m]] = lo_[m]
                     s_used_c[j][t[m], l[m]] = True
@@ -449,6 +500,7 @@ def build_batch_tables(
                        Ks)[:, :nbatch],
         spill_cells=np.asarray(sorted(spill), np.int32),
         padded_rows=padded_rows,
+        rpc=rpc,
     )
     _cache_store(tb, cache)
     return tb
@@ -717,8 +769,12 @@ def pack_cell_values(tables: GeneralBatchTables, vals: np.ndarray,
         for b, cell in enumerate(tables.batch_cells[i]):
             if cell < 0:
                 continue
-            r, lb = tables.cell_slot(b)
-            out[..., i, r, lb : lb + nd] = vals[..., cell, :]
+            if tables.rpc == 1:
+                r, lb = tables.cell_slot(b)
+                out[..., i, r, lb : lb + nd] = vals[..., cell, :]
+            else:
+                r_, lo_ = tables.slot_coords(b)
+                out[..., i, r_, lo_] = vals[..., cell, :]
     return out
 
 
@@ -731,6 +787,8 @@ def pack_cell_qvalues(tables: GeneralBatchTables, vals: np.ndarray,
     [t*nq_t, t*nq_t + cnt_t), nq_t = ceil(nq / T). Layout matches
     ``pallas_general.interpolation_tiles``."""
     nc, nq = vals.shape
+    if tables.rpc != 1:
+        raise ValueError("q-tile packing requires single-row cells")
     nq_t = -(-nq // T)
     if tables.cpr * nq_t > _LANES:
         raise ValueError("q-tile lanes exceed 128; raise T")

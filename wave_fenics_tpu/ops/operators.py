@@ -282,7 +282,9 @@ class GeneralOperators:
         ):
             if self._tab.collocated:
                 return self.spectral_mass_fused(x)
-            if self._tab.nq**3 <= 2 * (128 // self._fused_tables.cpr):
+            if (self._fused_tables.rpc == 1
+                    and self._tab.nq**3
+                    <= 2 * (128 // self._fused_tables.cpr)):
                 return self.mass_gauss_fused(x)
         return self.mass_indexed(x)
 
@@ -340,7 +342,9 @@ class GeneralOperators:
         ):
             if self._tab.collocated:
                 return self.stiffness_fused(x, c0)
-            if self._tab.nq**3 <= 2 * (128 // self._fused_tables.cpr):
+            if (self._fused_tables.rpc == 1
+                    and self._tab.nq**3
+                    <= 2 * (128 // self._fused_tables.cpr)):
                 return self.stiffness_gauss_fused(x, c0)
         return self.stiffness_indexed(x, c0)
 
@@ -360,10 +364,12 @@ class GeneralOperators:
     @cached_property
     def _fused_tables(self):
         """Window/chain tables for the fused kernel, or None when the
-        mesh/degree cannot use it (p > 4, or a dof numbering so
-        non-local that most cells spill). The tables depend only on the
-        dofmap — quadrature-specific gating lives at each dispatch."""
-        if (self.dofs.p + 1) ** 3 > 127:
+        mesh/degree cannot use it (p > 5, or a dof numbering so
+        non-local that most cells spill). p == 5 cells (nd = 216 > 127
+        lanes) pack as two half-block rows (general_tables rpc = 2).
+        The tables depend only on the dofmap — quadrature-specific
+        gating lives at each dispatch."""
+        if (self.dofs.p + 1) ** 3 > 254:
             return None
         from .general_tables import build_batch_tables
 
@@ -420,7 +426,8 @@ class GeneralOperators:
         — this specialization is free accuracy-preserving bandwidth on
         the (very common) affine-cell meshes."""
         tb = self._fused_tables
-        if tb is None or tb.cpr != 1 or not self._tab.collocated:
+        if (tb is None or tb.cpr != 1 or tb.rpc != 1
+                or not self._tab.collocated):
             return None
         w3 = geometry.quadrature_weights_3d(self._tab).astype(np.float64)
         nc = self.mesh.ncells

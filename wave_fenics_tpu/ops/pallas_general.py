@@ -60,13 +60,19 @@ def _take_lanes(x, idx):
 
 
 def contraction_matrices(p: int, cpr: int, D1: np.ndarray,
-                         dtype=np.float32) -> np.ndarray:
+                         dtype=np.float32, rpc: int = 1) -> np.ndarray:
     """Static [3, 128, 128] per-axis derivative matrices for the packed
     element layout: M[d] = I_cpr kron (axis-d application of D1 on the
     C-ordered (i,j,k) node index), zero-padded to 128 lanes.
 
     ``(XE @ M[d].T)[r, lb+n'] = (axis-d D-contraction of the cell packed
     at (r, lb))[n']``.
+
+    ``rpc > 1`` (split-row cells, nd > 127): returns the
+    [3*rpc*rpc, 128, 128] half-block decomposition
+    ``out[(d*rpc + ho)*rpc + hi][n', n] = M[d][ho*npl + n', hi*npl + n]``
+    so the kernel contracts per (output-half, input-half) pair of the
+    split element rows (cpr must be 1).
     """
     m = p + 1
     nd = m**3
@@ -76,6 +82,22 @@ def contraction_matrices(p: int, cpr: int, D1: np.ndarray,
         np.kron(np.kron(eye, D1), eye),  # y: j index
         np.kron(eye, np.kron(eye, D1)),  # z: k index (fastest)
     ]
+    if rpc > 1:
+        if cpr != 1:
+            raise ValueError("split-row cells require cpr == 1")
+        npl = -(-nd // rpc)
+        out = np.zeros((3 * rpc * rpc, _LANES, _LANES),
+                       dtype=np.dtype(dtype))
+        for d in range(3):
+            for ho in range(rpc):
+                for hi in range(rpc):
+                    blk = mats[d][
+                        ho * npl : min((ho + 1) * npl, nd),
+                        hi * npl : min((hi + 1) * npl, nd),
+                    ]
+                    out[(d * rpc + ho) * rpc + hi,
+                        : blk.shape[0], : blk.shape[1]] = blk
+        return out
     out = np.zeros((3, _LANES, _LANES), dtype=np.dtype(dtype))
     for d in range(3):
         for g in range(cpr):
@@ -120,7 +142,7 @@ def _kernel(
     dmat_ref,  # [3, 128, 128] static contraction matrices (VMEM)
     out_ref,  # [padded_rows, 128] ANY (aliased input)
     xw, yw, ye, sem,  # scratch
-    *, H, R, kg, ks, nr, ext, n_ov, affine, C, op, coeff, dtype,
+    *, H, R, kg, ks, nr, ext, n_ov, affine, C, op, coeff, dtype, rpc=1,
 ):
     del yin_ref
     i = pl.program_id(0)
@@ -157,7 +179,7 @@ def _kernel(
             geo_ref, dmat_ref, out_ref, xw, yw, ye, sem, in_dma,
             H=H, R=R, kg=kg, ks=ks, nr=nr, ext=ext, n_ov=n_ov,
             affine=affine, C=C, op=op, coeff=coeff, dtype=dtype,
-            f32=f32, hi=hi, He=He,
+            f32=f32, hi=hi, He=He, rpc=rpc,
         )
 
 
@@ -166,7 +188,7 @@ def _kernel_sub(
     snlane_ref, ovt_ref, mA_ref, mB_ref, geo_ref, dmat_ref, out_ref,
     xw, yw, ye, sem, in_dma,
     *, H, R, kg, ks, nr, ext, n_ov, affine, C, op, coeff, dtype,
-    f32, hi, He,
+    f32, hi, He, rpc=1,
 ):
     """One sub-batch of a (possibly coarsened) grid step: window DMA in,
     gather chains + overflow, contraction, merge + scatter chains,
@@ -195,7 +217,7 @@ def _kernel_sub(
         xw[g % 2], sub, glane_ref, growt_ref, srowt_ref, snlane_ref,
         ovt_ref, mA_ref, mB_ref, geo_ref, dmat_ref, ye,
         H=H, R=R, kg=kg, ks=ks, nr=nr, n_ov=n_ov, affine=affine,
-        op=op, coeff=coeff, dtype=dtype, f32=f32, hi=hi,
+        op=op, coeff=coeff, dtype=dtype, f32=f32, hi=hi, rpc=rpc,
     )
     for e in range(ext):
         pltpu.make_async_copy(
@@ -224,6 +246,7 @@ def _window_contrib(
     xvals, sub, glane_ref, growt_ref, srowt_ref, snlane_ref,
     ovt_ref, mA_ref, mB_ref, geo_ref, dmat_ref, ye,
     *, H, R, kg, ks, nr, n_ov, affine, op, coeff, dtype, f32, hi,
+    rpc=1,
 ):
     """The window-shaped operator contribution of one sub-batch: gather
     chains + overflow -> contraction -> merge + scatter chains. Returns
@@ -348,6 +371,44 @@ def _window_contrib(
                     preferred_element_type=f32, precision=hi,
                 ).astype(dtype)
         yer = yer * coeff
+    elif op == "stiffness" and rpc > 1:
+        # split-row cells (nd > 127): per-cell nodes span rpc half-block
+        # rows; the contraction runs per (output-half, input-half) pair
+        # on the half-block matrices of contraction_matrices(rpc=rpc).
+        # Halves are cheap major-dim slices (R2 is 8-aligned).
+        R2 = R // rpc
+        xh = [xer[ho * R2 : (ho + 1) * R2] for ho in range(rpc)]
+        ud = []
+        for d in range(3):
+            parts = []
+            for ho in range(rpc):
+                acc = jnp.zeros((R2, _LANES), dtype=dtype)
+                for hi_ in range(rpc):
+                    acc = acc + jax.lax.dot_general(
+                        xh[hi_], dmat_ref[(d * rpc + ho) * rpc + hi_],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=f32, precision=hi,
+                    ).astype(dtype)
+                parts.append(acc)
+            ud.append(jnp.concatenate(parts, axis=0))
+        sym = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+        yparts = [jnp.zeros((R2, _LANES), dtype=dtype)
+                  for _ in range(rpc)]
+        for d in range(3):
+            w = jnp.zeros((R, _LANES), dtype=dtype)
+            for dp in range(3):
+                gi = sym.index(tuple(sorted((d, dp))))
+                w = w + geo_entry(gi) * ud[dp]
+            # transpose apply: yer_ho += W_hi @ M[d][hi, ho]
+            for ho in range(rpc):
+                for hi_ in range(rpc):
+                    yparts[ho] = yparts[ho] + jax.lax.dot_general(
+                        w[hi_ * R2 : (hi_ + 1) * R2],
+                        dmat_ref[(d * rpc + hi_) * rpc + ho],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32, precision=hi,
+                    ).astype(dtype)
+        yer = jnp.concatenate(yparts, axis=0) * coeff
     else:  # stiffness: ye = coeff * sum_dd' D_d^T (G_dd' * (D_d' xe))
         ud = [
             jax.lax.dot_general(
@@ -424,6 +485,7 @@ def _kernel_resident(
     out_ref,  # [padded_rows, 128] ANY (aliased input)
     xacc, yacc, ye, sem,  # scratch
     *, H, R, kg, ks, nr, ext, n_ov, affine, C, nrows, op, coeff, dtype,
+    rpc=1,
 ):
     """VMEM-RESIDENT variant: the whole dof vector (x AND the output
     accumulator) lives in VMEM for the entire grid — one inbound DMA at
@@ -462,7 +524,7 @@ def _kernel_resident(
             Xw, sub, glane_ref, growt_ref, srowt_ref, snlane_ref,
             ovt_ref, mA_ref, mB_ref, geo_ref, dmat_ref, ye,
             H=H, R=R, kg=kg, ks=ks, nr=nr, n_ov=n_ov, affine=affine,
-            op=op, coeff=coeff, dtype=dtype, f32=f32, hi=hi,
+            op=op, coeff=coeff, dtype=dtype, f32=f32, hi=hi, rpc=rpc,
         )
         ywadd = (halves[0] if len(halves) == 1
                  else jnp.concatenate(halves, axis=0))
@@ -516,8 +578,14 @@ def make_general_apply(
     tb = tables
     npdt = np.dtype(dtype)
     affine = affine_w is not None
+    if tb.rpc != 1 and (affine or op in ("mass_gauss", "stiffness_gauss")):
+        raise ValueError(
+            "split-row cells (nd > 127) support only the collocated "
+            "mass/stiffness forms with full per-node factors"
+        )
     if op == "stiffness":
-        dmats = contraction_matrices(p, tb.cpr, np.asarray(D1), npdt)
+        dmats = contraction_matrices(p, tb.cpr, np.asarray(D1), npdt,
+                                     rpc=tb.rpc)
         if affine:
             wv = np.zeros(_LANES, npdt)
             wv[: tb.nd] = np.asarray(affine_w, npdt)
@@ -592,6 +660,7 @@ def make_general_apply(
         n_ov=n_ov, ngeo=(0 if affine else geo.shape[0]), affine=affine,
         nrows=tb.padded_rows, nbatch=nb_pad, op=op, coeff=coeff,
         dtype=dtype, interpret=interpret, coarsen=C, resident=resident,
+        rpc=tb.rpc,
     )
     nrows = tb.padded_rows
     # tables stay NumPy: they become per-trace compile-time constants and
@@ -685,7 +754,7 @@ def transposed_row_tables(tb) -> tuple[np.ndarray, np.ndarray]:
 def make_general_call(
     *, H, R, kg, ks, ngeo, nrows, nbatch, op, coeff, dtype,
     interpret=None, nr=0, ext=1, n_ov=0, affine=False, coarsen=1,
-    resident=False,
+    resident=False, rpc=1,
 ):
     """The compiled program alone (no table capture):
     ``call(start_rows, y0, xv, g_lane, g_row, s_row, s_nlane, ovt, mA,
@@ -706,13 +775,13 @@ def make_general_call(
         kern = functools.partial(
             _kernel_resident, H=H, R=R, kg=kg, ks=ks, nr=nr, ext=ext,
             n_ov=n_ov, affine=affine, C=C, nrows=nrows, op=op,
-            coeff=npdt.type(coeff), dtype=dtype,
+            coeff=npdt.type(coeff), dtype=dtype, rpc=rpc,
         )
     else:
         kern = functools.partial(
             _kernel, H=H, R=R, kg=kg, ks=ks, nr=nr, ext=ext, n_ov=n_ov,
             affine=affine, C=C, op=op, coeff=npdt.type(coeff),
-            dtype=dtype,
+            dtype=dtype, rpc=rpc,
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -124,10 +124,13 @@ def test_sharded_general_cg_matches_global(ndev, p):
                                atol=1e-10 * np.abs(xgn).max())
 
 
-def test_sharded_general_fused_and_indexed_agree():
+@pytest.mark.parametrize("p", [4, 5])
+def test_sharded_general_fused_and_indexed_agree(p):
     """The per-device fused windowed kernel and the XLA indexed local
-    apply must produce identical distributed solves."""
-    md = _perturbed_model(p=4, seed=5)
+    apply must produce identical distributed solves. p=5 exercises the
+    split-row (rpc=2) packing across the partition."""
+    md = _perturbed_model(p=p, cells=(6, 4, 4) if p == 4 else (4, 3, 3),
+                          seed=5)
     dt = 1e-9
     sw_f = ShardedGeneralWave(md, 8, use_fused=True)
     sw_x = ShardedGeneralWave(md, 8, use_fused=False)

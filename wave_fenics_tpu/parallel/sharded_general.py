@@ -178,12 +178,14 @@ class ShardedGeneralWave:
     @cached_property
     def _fused_setup(self):
         """Per-device fused-kernel tables padded to fleet maxima, or None
-        when the fused path does not apply (p > 4 / excessive spill)."""
+        when the fused path does not apply (p > 5 / excessive spill).
+        p == 5 cells pack as split rows (rpc = 2), same as the
+        single-device path."""
         if not self.use_fused:
             return None
         md = self.model
         nd = (md.p + 1) ** 3
-        if nd > 127:
+        if nd > 254:
             return None
         from ..ops.general_tables import (
             build_batch_tables, pack_cell_values,
@@ -270,7 +272,8 @@ class ShardedGeneralWave:
                 sp_G[i, j] = s["G"][i, cell]
         return dict(
             H=H, R=R, NB=NB, KG=KG, KS=KS, nrows=nrows, nsp=nsp,
-            cpr=tbs[0].cpr, ext=tbs[0].extents, n_ov=n_ov,
+            cpr=tbs[0].cpr, rpc=tbs[0].rpc, ext=tbs[0].extents,
+            n_ov=n_ov,
             start=start, g_lane=g_lane[:, :KG], g_rowt=g_rowt[:, :KG],
             s_rowt=s_rowt,
             s_nlane=s_nlane, ovt=ovt, geo=geo, sp_dof=sp_dof, sp_G=sp_G,
@@ -299,7 +302,7 @@ class ShardedGeneralWave:
         md = self.model
         return make_general_call(
             H=fs["H"], R=fs["R"], kg=fs["KG"], ks=fs["KS"], ngeo=6,
-            ext=fs["ext"], n_ov=fs["n_ov"],
+            ext=fs["ext"], n_ov=fs["n_ov"], rpc=fs["rpc"],
             nrows=fs["nrows"], nbatch=fs["NB"], op="stiffness",
             coeff=-float(md.c0) ** 2, dtype=md.dtype,
         )
@@ -313,7 +316,7 @@ class ShardedGeneralWave:
 
         return contraction_matrices(
             self.model.p, fs["cpr"], np.asarray(self.model.ops._D),
-            np.dtype(self.model.dtype),
+            np.dtype(self.model.dtype), rpc=fs["rpc"],
         )
 
     # ------------------------------------------------------------------

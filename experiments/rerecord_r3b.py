@@ -99,6 +99,13 @@ def main():
                           "--check")
         m32 = run_inproc("operators_bench", "--op", "mass", "--size", "32",
                          "--degree", "4", "--reps", REPS)
+        # p=5 split-row (rpc=2) fused records (new this session)
+        sg5 = run_inproc("operators_bench", "--op", "stiffness-general",
+                         "--size", "16", "--degree", "5", "--reps", REPS,
+                         "--check")
+        mg5 = run_inproc("operators_bench", "--op", "mass-general",
+                         "--size", "16", "--degree", "5", "--reps", REPS,
+                         "--check")
         mg32 = run_inproc("operators_bench", "--op", "mass-general",
                           "--size", "32", "--degree", "4", "--reps", REPS)
         if "error" in mg32:
@@ -119,6 +126,9 @@ def main():
             results.append(sg16)
         if "error" not in m32:
             results.append(m32)
+        for r5 in (sg5, mg5):
+            if "error" not in r5:
+                results.append(r5)
         if "error" not in mg32:
             idx = [i for i, r in enumerate(results)
                    if r.get("metric", "").startswith(

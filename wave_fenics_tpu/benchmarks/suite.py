@@ -177,6 +177,13 @@ def main():
         "--degree", "4", "--reps", reps, "--check")
     run("operators_bench", "--op", "stiffness-general-xla", "--size", gsize,
         "--degree", "4", "--reps", "10")
+    # p=5 split-row (rpc=2) fused records — beyond the reference, whose
+    # unstructured mass caps at p=3 (common/cuda/mass.hpp:80-93)
+    if not args.quick:
+        run("operators_bench", "--op", "stiffness-general", "--size",
+            gsize, "--degree", "5", "--reps", reps, "--check")
+        run("operators_bench", "--op", "mass-general", "--size", gsize,
+            "--degree", "5", "--reps", reps, "--check")
     if not args.quick:
         # at-scale fused general records (multi-extent windows + int8
         # rows + gather-overflow slots). No --check here: the f64

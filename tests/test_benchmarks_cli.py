@@ -90,3 +90,16 @@ def test_scatter_general_halo_cli(capsys):
         capsys,
     )
     assert r["us_per_exchange"] > 0 and r["interface_slots"] > 0
+
+
+def test_general_solve_cli(capsys):
+    from wave_fenics_tpu.benchmarks import general_solve
+
+    r = _run_main(
+        general_solve,
+        ["--size", "4", "--degree", "2", "--steps", "5", "--reps", "2"],
+        capsys,
+    )
+    assert r["gdof_steps_per_s"] > 0
+    assert r["fused_kernel"] in (True, False)
+    assert 0.0 < r["vmax"] < 1e15

@@ -184,6 +184,11 @@ def main():
             gsize, "--degree", "5", "--reps", reps, "--check")
         run("operators_bench", "--op", "mass-general", "--size", gsize,
             "--degree", "5", "--reps", reps, "--check")
+        # unstructured-mesh RK4 solve rate — the imported-mesh analogue
+        # of the reference's flagship solve-time metric
+        # (demo/cpu_planar3d/main.cpp:85-93)
+        run("general_solve", "--size", "16", "--degree", "4",
+            "--steps", "200")
     if not args.quick:
         # at-scale fused general records (multi-extent windows + int8
         # rows + gather-overflow slots). No --check here: the f64

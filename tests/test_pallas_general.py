@@ -33,7 +33,7 @@ def _perturbed_mesh(cells, extent, seed=0, amp=0.02):
 
 @pytest.mark.parametrize("p,cells", [(1, (5, 3, 2)), (2, (6, 5, 4)),
                                      (3, (4, 4, 3)), (4, (4, 3, 3)),
-                                     (5, (3, 2, 2))])
+                                     (5, (3, 2, 2)), (6, (2, 2, 2))])
 def test_tables_gather_scatter_exact(p, cells):
     """Chain tables reproduce gather/scatter bit-exactly (NumPy emulation
     of the in-kernel dynamic-gather sequence)."""
@@ -70,12 +70,12 @@ def test_tables_gather_scatter_exact(p, cells):
     np.testing.assert_allclose(y, y_ref, atol=1e-12)
 
 
-@pytest.mark.parametrize("p", [1, 2, 4, 5])
+@pytest.mark.parametrize("p", [1, 2, 4, 5, 6])
 def test_fused_general_ops_match_indexed(p):
     """Fused windowed kernel (interpret mode) == XLA indexed path on a
-    perturbed (genuinely unstructured) mesh, f64. p=5 exercises the
-    split-row (rpc=2) cell packing — nd=216 > 127 lanes."""
-    cells = ((3, 2, 2) if p >= 5
+    perturbed (genuinely unstructured) mesh, f64. p=5/6 exercise the
+    split-row (rpc=2/3) cell packing — nd > 127 lanes."""
+    cells = ((2, 2, 2) if p >= 6 else (3, 2, 2) if p >= 5
              else (4, 3, 3) if p >= 3 else (5, 4, 3))
     hm = _perturbed_mesh(cells, (1.0, 0.8, 0.9), seed=p)
     dm = build_dofmap(hm, p)

@@ -293,13 +293,13 @@ def build_batch_tables(
         hit = _cache_load(GeneralBatchTables, cache)
         if hit is not None:
             return hit
-    if nd > 2 * (_LANES - 1):
-        # two half-block rows per cell cover nd <= 254 (p <= 5 hexes);
+    if nd > 3 * (_LANES - 1):
+        # split-row cells cover nd <= 381 (p <= 6 hexes) at rpc <= 3;
         # higher degrees stay on the XLA indexed path
-        raise ValueError(f"nd={nd} exceeds {2 * (_LANES - 1)} usable lanes")
+        raise ValueError(f"nd={nd} exceeds {3 * (_LANES - 1)} usable lanes")
     # rows per cell: lane 127 must stay zero (scatter sentinel), so a
     # row holds at most 127 of one cell's nodes
-    rpc = 1 if nd <= _LANES - 1 else 2
+    rpc = 1 if nd <= _LANES - 1 else -(-nd // (_LANES - 1))
     npl = -(-nd // rpc)  # nodes per row of one cell
     H = tile_h
     if H % 8 or H > 256:
@@ -313,10 +313,17 @@ def build_batch_tables(
     # cap); pass 1 splits batches earlier when the extent budget runs
     # out, and FEWER grid steps matter: the platform charges a fixed
     # per-grid-step cost (docs/BENCH_NOTES.md round 3)
+    # rows per half-block cap: 8-aligned when rpc > 1 (the kernel's
+    # half-block slices xer[h*R2:(h+1)*R2] must hit sublane boundaries
+    # or Mosaic relayouts them; 64 for rpc=2 — unchanged — and 40 for
+    # rpc=3)
+    R2cap = min(H, _LANES) // rpc
+    if rpc > 1:
+        R2cap &= ~7
     B = batch_cells if batch_cells is not None else (_LANES // rpc) * cpr
-    B = min(B, cpr * (min(H - 1, _LANES) // rpc))
+    B = min(B, cpr * (min(H - 1, _LANES) // rpc), cpr * R2cap)
     # rows per half-block, padded to 8; R = rpc * R2 element rows total
-    R2 = min((-(-B // cpr) + 7) // 8 * 8, min(H, _LANES) // rpc)
+    R2 = min((-(-B // cpr) + 7) // 8 * 8, R2cap)
     R = rpc * R2
     # window-row indices are stored int8 UNSIGNED (two's complement,
     # decoded in-kernel/in-emulation as ``v & 0xFF``): H <= 256 keeps

@@ -364,12 +364,12 @@ class GeneralOperators:
     @cached_property
     def _fused_tables(self):
         """Window/chain tables for the fused kernel, or None when the
-        mesh/degree cannot use it (p > 5, or a dof numbering so
-        non-local that most cells spill). p == 5 cells (nd = 216 > 127
-        lanes) pack as two half-block rows (general_tables rpc = 2).
+        mesh/degree cannot use it (p > 6, or a dof numbering so
+        non-local that most cells spill). p == 5/6 cells (nd > 127
+        lanes) pack as rpc = 2/3 split-block rows (general_tables).
         The tables depend only on the dofmap — quadrature-specific
         gating lives at each dispatch."""
-        if (self.dofs.p + 1) ** 3 > 254:
+        if (self.dofs.p + 1) ** 3 > 381:
             return None
         from .general_tables import build_batch_tables
 

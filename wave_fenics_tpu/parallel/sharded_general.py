@@ -178,14 +178,14 @@ class ShardedGeneralWave:
     @cached_property
     def _fused_setup(self):
         """Per-device fused-kernel tables padded to fleet maxima, or None
-        when the fused path does not apply (p > 5 / excessive spill).
-        p == 5 cells pack as split rows (rpc = 2), same as the
+        when the fused path does not apply (p > 6 / excessive spill).
+        p == 5/6 cells pack as split rows (rpc = 2/3), same as the
         single-device path."""
         if not self.use_fused:
             return None
         md = self.model
         nd = (md.p + 1) ** 3
-        if nd > 254:
+        if nd > 381:
             return None
         from ..ops.general_tables import (
             build_batch_tables, pack_cell_values,

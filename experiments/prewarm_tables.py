@@ -38,7 +38,8 @@ def prewarm(p: int, size: int) -> None:
     # the operators.GeneralOperators._fused_tables search order
     best = None
     for H, E in ((128, 1), (256, 1), (256, 4)):
-        tb = build_batch_tables(dm.dofmap, dm.ndofs, tile_h=H, extents=E)
+        tb = build_batch_tables(dm.dofmap, dm.ndofs, tile_h=H, extents=E,
+                                max_spill_frac=0.5)
         if best is None or len(tb.spill_cells) < len(best.spill_cells):
             best = tb
         if len(tb.spill_cells) <= 0.02 * hexm.ncells:

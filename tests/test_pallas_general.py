@@ -387,3 +387,25 @@ def test_fused_gauss_stiffness_matches_indexed(p, cells):
     ones = jnp.ones((dofs.ndofs,), dtype=jnp.float64)
     z = np.asarray(ops.stiffness_gauss_fused(ones, 1.0))
     assert np.abs(z).max() < 1e-9 * np.abs(o).max()
+
+
+def test_build_tables_early_abandon():
+    """max_spill_frac abandons infeasible window configs early, returning
+    every remaining cell as spill (and caching nothing)."""
+    hm = box_mesh((20, 20, 20), (1.0, 1.0, 1.0)).to_hex_mesh()
+    dm = build_dofmap(hm, 4)
+    import os
+    os.environ["WAVE_FENICS_TABLE_CACHE"] = "off"
+    try:
+        # contiguous window at 20^3 is infeasible (spans ~N^(2/3))
+        tb = build_batch_tables(dm.dofmap, dm.ndofs, tile_h=128,
+                                extents=1, max_spill_frac=0.5)
+    finally:
+        del os.environ["WAVE_FENICS_TABLE_CACHE"]
+    assert len(tb.spill_cells) > 0.5 * hm.ncells
+    # spill + kept slots still cover every cell exactly once
+    kept = set()
+    for i in range(tb.nbatch):
+        kept.update(int(c) for c in tb.batch_cells[i] if c >= 0)
+    assert kept.isdisjoint(tb.spill_cells.tolist())
+    assert len(kept) + len(tb.spill_cells) == hm.ncells

@@ -264,6 +264,7 @@ def build_batch_tables(
     extents: int = 1,
     max_gather_chains: int = 8,
     max_scatter_chains: int = 12,
+    max_spill_frac: float | None = None,
 ) -> GeneralBatchTables:
     """Build window/chain tables from an explicit dofmap [nc, nd].
 
@@ -280,6 +281,13 @@ def build_batch_tables(
     parameters; dir ``$WAVE_FENICS_TABLE_CACHE`` or
     ``~/.wave_fenics_table_cache``) — pass-2 chain assignment is
     host-side Python and takes minutes at production sizes.
+
+    ``max_spill_frac``: abandon the build early (returning everything
+    as spill) once that fraction of the cells seen so far has spilled —
+    infeasible window configs (e.g. contiguous windows past ~16^3) then
+    cost ~1s instead of a full degenerate build. Aborted builds are
+    never disk-cached; the cache key is unchanged, so complete builds
+    hit the same entries regardless of the limit.
     """
     dofmap = np.asarray(dofmap, dtype=np.int64)
     nc, nd = dofmap.shape
@@ -338,8 +346,14 @@ def build_batch_tables(
     spill: list[int] = []
     batches: list[list[int]] = []
     starts: list[np.ndarray] = []
+    aborted = False
     c = 0
     while c < nc:
+        if (max_spill_frac is not None and c >= 2048
+                and len(spill) > max_spill_frac * c):
+            spill.extend(range(c, nc))
+            aborted = True
+            break
         n = min(B, nc - c)
         st = cover(c, n)
         if st is None:
@@ -509,7 +523,8 @@ def build_batch_tables(
         padded_rows=padded_rows,
         rpc=rpc,
     )
-    _cache_store(tb, cache)
+    if not aborted:
+        _cache_store(tb, cache)
     return tb
 
 

@@ -380,7 +380,7 @@ class GeneralOperators:
         # (docs/BENCH_NOTES.md round 3: contiguous spans grow ~N^(2/3))
         for H, E in ((128, 1), (256, 1), (256, 4)):
             tb = build_batch_tables(self._dofmap, self.ndofs, tile_h=H,
-                                    extents=E)
+                                    extents=E, max_spill_frac=0.5)
             if best is None or len(tb.spill_cells) < len(
                 best.spill_cells
             ):

@@ -202,6 +202,7 @@ class ShardedGeneralWave:
                 tb = build_batch_tables(
                     s["ldof"][i, :nc_i].astype(np.int64),
                     len(s["loc_ids"][i]), tile_h=H, extents=E,
+                    max_spill_frac=0.5,
                 )
                 tbs.append(tb)
                 nspill += len(tb.spill_cells)

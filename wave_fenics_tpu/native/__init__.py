@@ -11,7 +11,8 @@ import ctypes
 
 import numpy as np
 
-__all__ = ["available", "geometry_factors", "dedup_dofs", "box_cells"]
+__all__ = ["available", "geometry_factors", "dedup_dofs", "box_cells",
+           "assign_chains"]
 
 _lib = None
 
@@ -48,6 +49,20 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    if hasattr(lib, "assign_chains"):
+        lib.assign_chains.restype = ctypes.c_int64
+        lib.assign_chains.argtypes = (
+            [ctypes.POINTER(ctypes.c_int64)] + [ctypes.c_int64] * 2
+            + [ctypes.POINTER(ctypes.c_int64)] + [ctypes.c_int64] * 9
+            + [ctypes.POINTER(ctypes.c_int16),
+               ctypes.POINTER(ctypes.c_uint8),
+               ctypes.POINTER(ctypes.c_int16),
+               ctypes.POINTER(ctypes.c_int16),
+               ctypes.POINTER(ctypes.c_uint8),
+               ctypes.POINTER(ctypes.c_int16),
+               ctypes.POINTER(ctypes.c_uint8),
+               ctypes.POINTER(ctypes.c_uint8)]
+        )
     _lib = lib
     return _lib
 
@@ -92,6 +107,40 @@ def dedup_dofs(keys: np.ndarray) -> tuple[np.ndarray, int]:
     ids = np.empty(k.shape[0], dtype=np.int32)
     n = lib.dedup_dofs(_ptr(k, ctypes.c_int64), k.shape[0], _ptr(ids, ctypes.c_int32))
     return ids, int(n)
+
+
+def assign_chains(
+    dofs: np.ndarray, est: np.ndarray, *, He: int, H: int, R2: int,
+    rpc: int, npl: int, cpr: int, max_g: int, max_s: int,
+):
+    """One batch of fused-kernel chain assignment (native path of
+    ops.general_tables.build_batch_tables pass 2).
+
+    Returns (g_lane, g_set, g_row, s_row, s_nlane, s_used, keep) with
+    the chain axes at max_g/max_s (caller trims unused chains)."""
+    lib = _load()
+    assert lib and hasattr(lib, "assign_chains"), "native lib unavailable"
+    d = np.ascontiguousarray(dofs, dtype=np.int64)
+    e = np.ascontiguousarray(est, dtype=np.int64)
+    ncand, nd = d.shape
+    R = rpc * R2
+    g_lane = np.zeros((max_g, H, 128), np.int16)
+    g_set = np.zeros((max_g, H, 128), np.uint8)
+    g_row = np.full((max_g, R, 128), H - 1, np.int16)
+    s_row = np.zeros((max_s, H, 128), np.int16)
+    s_set = np.zeros((max_s, H, 128), np.uint8)
+    s_nlane = np.full((max_s, H, 128), 127, np.int16)
+    s_used = np.zeros((max_s, H, 128), np.uint8)
+    keep = np.zeros(ncand, np.uint8)
+    lib.assign_chains(
+        _ptr(d, ctypes.c_int64), ncand, nd, _ptr(e, ctypes.c_int64),
+        len(e), He, H, R2, rpc, npl, cpr, max_g, max_s,
+        _ptr(g_lane, ctypes.c_int16), _ptr(g_set, ctypes.c_uint8),
+        _ptr(g_row, ctypes.c_int16), _ptr(s_row, ctypes.c_int16),
+        _ptr(s_set, ctypes.c_uint8), _ptr(s_nlane, ctypes.c_int16),
+        _ptr(s_used, ctypes.c_uint8), _ptr(keep, ctypes.c_uint8),
+    )
+    return g_lane, g_set, g_row, s_row, s_nlane, s_used, keep
 
 
 def box_cells(nx: int, ny: int, nz: int) -> np.ndarray:

@@ -129,4 +129,116 @@ void box_cells(int64_t nx, int64_t ny, int64_t nz, int64_t* out_cells) {
               (i + off[v][0]) * sx + (j + off[v][1]) * sy + (k + off[v][2]);
 }
 
+// ---------------------------------------------------------------------------
+// Gather/scatter chain assignment for one batch of the fused
+// unstructured-dofmap kernel (ops/general_tables.py pass 2 — the hot
+// host-setup loop; semantics documented there). Sequential per-node
+// first-fit with an undo log: a cell that exceeds the chain budget rolls
+// its claims back and is spilled (keep[b] = 0). Sequential assignment is
+// a refinement of the Python builder's vectorized one (same-lane
+// duplicate keys may share a chain instead of deferring); any assignment
+// satisfying the claim invariants reproduces gather/scatter exactly.
+//
+// dofs:  [ncand, nd] int64 dof ids (cells at slots 0..ncand-1)
+// est:   [E] int64 extent start rows (disjoint, increasing)
+// Tables are caller-initialized to their sentinels:
+//   g_lane [max_g, H, 128] int16 = 0,  g_set [max_g, H, 128] u8 = 0
+//   g_row  [max_g, R, 128] int16 = H-1
+//   s_row  [max_s, H, 128] int16 = 0,  s_set [max_s, H, 128] u8 = 0
+//   s_nlane[max_s, H, 128] int16 = 127, s_used[max_s, H, 128] u8 = 0
+// keep:  [ncand] u8 out. Returns the number of kept cells.
+// ---------------------------------------------------------------------------
+int64_t assign_chains(const int64_t* dofs, int64_t ncand, int64_t nd,
+                      const int64_t* est, int64_t E, int64_t He, int64_t H,
+                      int64_t R2, int64_t rpc, int64_t npl, int64_t cpr,
+                      int64_t max_g, int64_t max_s, int16_t* g_lane,
+                      uint8_t* g_set, int16_t* g_row, int16_t* s_row,
+                      uint8_t* s_set, int16_t* s_nlane, uint8_t* s_used,
+                      uint8_t* keep) {
+  const int64_t HL = H * 128, RL = rpc * R2 * 128;
+  struct U16 { int16_t* p; int16_t v; };
+  struct U8 { uint8_t* p; uint8_t v; };
+  std::vector<U16> log16;
+  std::vector<U8> log8;
+  log16.reserve(4 * nd);
+  log8.reserve(4 * nd);
+  auto w16 = [&](int16_t* p, int16_t v) {
+    log16.push_back({p, *p});
+    *p = v;
+  };
+  auto w8 = [&](uint8_t* p, uint8_t v) {
+    log8.push_back({p, *p});
+    *p = v;
+  };
+  int64_t kept = 0;
+  for (int64_t b = 0; b < ncand; ++b) {
+    log16.clear();
+    log8.clear();
+    bool ok = true;
+    const int64_t* cd = dofs + b * nd;
+    for (int64_t n = 0; n < nd && ok; ++n) {
+      const int64_t dof = cd[n];
+      const int64_t g = dof >> 7, l = dof & 127;
+      // packed (element row, lane) of node n in slot b
+      const int64_t r = b / cpr + (rpc == 1 ? 0 : (n / npl) * R2);
+      const int64_t lo = rpc == 1 ? (b % cpr) * nd + n : n % npl;
+      int64_t e = E - 1;
+      while (e > 0 && est[e] > g) --e;
+      const int64_t t = e * He + (g - est[e]);
+      const int64_t tl = t * 128 + lo;
+      bool hit = false;
+      for (int64_t k = 0; k < max_g; ++k) {
+        int16_t* lane = g_lane + k * HL + tl;
+        uint8_t* set = g_set + k * HL + tl;
+        if (!*set || *lane == (int16_t)l) {
+          if (!*set) {
+            w16(lane, (int16_t)l);
+            w8(set, 1);
+          }
+          w16(g_row + k * RL + r * 128 + lo, (int16_t)t);
+          hit = true;
+          break;
+        }
+      }
+      ok = hit;
+    }
+    for (int64_t n = 0; n < nd && ok; ++n) {
+      const int64_t dof = cd[n];
+      const int64_t g = dof >> 7, l = dof & 127;
+      const int64_t r = b / cpr + (rpc == 1 ? 0 : (n / npl) * R2);
+      const int64_t lo = rpc == 1 ? (b % cpr) * nd + n : n % npl;
+      int64_t e = E - 1;
+      while (e > 0 && est[e] > g) --e;
+      const int64_t t = e * He + (g - est[e]);
+      const int64_t tl = t * 128 + lo, tlane = t * 128 + l;
+      bool hit = false;
+      for (int64_t j = 0; j < max_s; ++j) {
+        if (s_used[j * HL + tlane]) continue;
+        int16_t* row = s_row + j * HL + tl;
+        uint8_t* set = s_set + j * HL + tl;
+        if (!*set || *row == (int16_t)r) {
+          if (!*set) {
+            w16(row, (int16_t)r);
+            w8(set, 1);
+          }
+          w16(s_nlane + j * HL + tlane, (int16_t)lo);
+          w8(s_used + j * HL + tlane, 1);
+          hit = true;
+          break;
+        }
+      }
+      ok = hit;
+    }
+    if (ok) {
+      keep[b] = 1;
+      ++kept;
+    } else {
+      keep[b] = 0;
+      for (auto it = log16.rbegin(); it != log16.rend(); ++it) *it->p = it->v;
+      for (auto it = log8.rbegin(); it != log8.rend(); ++it) *it->p = it->v;
+    }
+  }
+  return kept;
+}
+
 }  // extern "C"

@@ -265,6 +265,7 @@ def build_batch_tables(
     max_gather_chains: int = 8,
     max_scatter_chains: int = 12,
     max_spill_frac: float | None = None,
+    use_native: bool | None = None,
 ) -> GeneralBatchTables:
     """Build window/chain tables from an explicit dofmap [nc, nd].
 
@@ -288,6 +289,14 @@ def build_batch_tables(
     cost ~1s instead of a full degenerate build. Aborted builds are
     never disk-cached; the cache key is unchanged, so complete builds
     hit the same entries regardless of the limit.
+
+    ``use_native``: route pass-2 chain assignment through the C++
+    wavecore kernel (auto: whenever the native library is available).
+    The native sequential first-fit is a refinement of the Python
+    vectorized assignment (same-key same-lane claims may share a chain
+    instead of deferring); both satisfy the claim invariants that make
+    gather/scatter exact, but the table BITS can differ — the disk
+    cache stores whichever built first.
     """
     dofmap = np.asarray(dofmap, dtype=np.int64)
     nc, nd = dofmap.shape
@@ -383,11 +392,42 @@ def build_batch_tables(
     rshape = (R, _LANES)  # compact element-row tables
     nrange = np.arange(nd)
 
+    if use_native is None:
+        from .. import native
+
+        use_native = native.available() and hasattr(
+            native._load(), "assign_chains"
+        )
     kept_batches: list[np.ndarray] = []
     kept_starts: list[np.ndarray] = []
     all_g: list[tuple[list, list]] = []  # per batch: (g_lane_k, g_row_k)
     all_s: list[tuple[list, list]] = []
     for cells, est in zip(batches, starts):
+        if use_native:
+            from .. import native
+
+            ca = np.asarray(cells, np.int64)
+            gl, gs_, gr, sr, snl, su, keepb = native.assign_chains(
+                dofmap[ca], est, He=He, H=H, R2=R2, rpc=rpc, npl=npl,
+                cpr=cpr, max_g=max_gather_chains,
+                max_s=max_scatter_chains,
+            )
+            kb = keepb.astype(bool)
+            slots = np.full(B, -1, np.int32)
+            slots[: len(ca)][kb] = ca[kb].astype(np.int32)
+            spill.extend(int(c) for c in ca[~kb])
+            if kb.any():
+                gk = [k for k in range(max_gather_chains)
+                      if gs_[k].any()]
+                sk = [j for j in range(max_scatter_chains)
+                      if su[j].any()]
+                kept_batches.append(slots)
+                kept_starts.append(est)
+                all_g.append(([gl[k] for k in gk],
+                              [gr[k][:R] for k in gk]))
+                all_s.append(([sr[j] for j in sk],
+                              [snl[j] for j in sk]))
+            continue
         g_lane_c: list[np.ndarray] = []
         g_set_c: list[np.ndarray] = []
         g_row_c: list[np.ndarray] = []

@@ -106,3 +106,35 @@ def test_native_chain_assignment_exact(p, cells):
             np.add.at(y_ref, dm.dofmap[cell], v)
     y = reference_scatter(tb_n, ye, dm.ndofs)
     np.testing.assert_allclose(y, y_ref, atol=1e-12)
+
+
+@pytest.mark.parametrize("p,cells", [(2, (6, 5, 4)), (4, (4, 3, 3))])
+def test_native_scatter_merge_exact(p, cells):
+    """Native scatter-merge encoding must reassociate the exact same
+    additions as the plain chain scatter (fixed deterministic order)."""
+    import os
+
+    from wave_fenics_tpu.core.dofmap import build_dofmap
+    from wave_fenics_tpu.ops.general_tables import (
+        build_batch_tables, build_scatter_merge,
+        reference_merge_scatter, reference_scatter,
+    )
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    hm = box_mesh(cells, (1.0, 1.0, 1.0)).to_hex_mesh()
+    dm = build_dofmap(hm, p)
+    os.environ["WAVE_FENICS_TABLE_CACHE"] = "off"
+    try:
+        tb = build_batch_tables(dm.dofmap, dm.ndofs)
+        mg = build_scatter_merge(tb, use_native=True)
+    finally:
+        del os.environ["WAVE_FENICS_TABLE_CACHE"]
+    assert mg is not None and mg.ks < tb.ks
+    rng = np.random.default_rng(2)
+    ye = rng.standard_normal((tb.nbatch, tb.H, 128))
+    ye[:, :, 127] = 0.0  # sentinel lane is zero by kernel construction
+    ye[:, tb.R:, :] = 0.0
+    y_m = reference_merge_scatter(tb, mg, ye, dm.ndofs)
+    y_p = reference_scatter(tb, ye, dm.ndofs)
+    np.testing.assert_allclose(y_m, y_p, atol=1e-12)

@@ -49,6 +49,19 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    if hasattr(lib, "scatter_merge_batch"):
+        lib.scatter_merge_batch.restype = ctypes.c_int64
+        lib.scatter_merge_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
     if hasattr(lib, "assign_chains"):
         lib.assign_chains.restype = ctypes.c_int64
         lib.assign_chains.argtypes = (
@@ -141,6 +154,38 @@ def assign_chains(
         _ptr(s_used, ctypes.c_uint8), _ptr(keep, ctypes.c_uint8),
     )
     return g_lane, g_set, g_row, s_row, s_nlane, s_used, keep
+
+
+def scatter_merge_batch(
+    s_row: np.ndarray, s_nlane: np.ndarray, *, max_chains: int,
+    max_rounds: int, max_out: int = 8,
+):
+    """One batch of scatter-merge encoding (native path of
+    ops.general_tables.build_scatter_merge).
+
+    Returns (rounds_used, A, B, out_row, out_nlane, ks_used);
+    rounds_used < 0 signals failure (caller falls back to Python)."""
+    lib = _load()
+    assert lib and hasattr(lib, "scatter_merge_batch")
+    sr = np.ascontiguousarray(s_row, np.int8)
+    sn = np.ascontiguousarray(s_nlane, np.int8)
+    Ks, H = sr.shape[0], sr.shape[1]
+    A = np.zeros((max_rounds, 128, 128), np.int8)
+    B = np.full((max_rounds, 128, 128), 127, np.int8)
+    a_used = np.zeros((max_rounds, 128, 128), np.uint8)
+    out_row = np.zeros((max_out, H, 128), np.int16)
+    out_set = np.zeros((max_out, H, 128), np.uint8)
+    out_nlane = np.full((max_out, H, 128), 127, np.int16)
+    ks_used = np.zeros(1, np.int64)
+    rounds = lib.scatter_merge_batch(
+        _ptr(sr, ctypes.c_int8), _ptr(sn, ctypes.c_int8), Ks, H,
+        max_chains, max_rounds, max_out,
+        _ptr(A, ctypes.c_int8), _ptr(B, ctypes.c_int8),
+        _ptr(a_used, ctypes.c_uint8), _ptr(out_row, ctypes.c_int16),
+        _ptr(out_set, ctypes.c_uint8), _ptr(out_nlane, ctypes.c_int16),
+        _ptr(ks_used, ctypes.c_int64),
+    )
+    return int(rounds), A, B, out_row, out_nlane, int(ks_used[0])
 
 
 def box_cells(nx: int, ny: int, nz: int) -> np.ndarray:

@@ -10,6 +10,7 @@
 // Exposed as a plain C ABI (loaded via ctypes; no Python.h dependency).
 // Build: see build.py (g++ -O3 -shared -fPIC).
 
+#include <algorithm>
 #include <array>
 #include <cstdint>
 #include <cmath>
@@ -239,6 +240,119 @@ int64_t assign_chains(const int64_t* dofs, int64_t ncand, int64_t nd,
     }
   }
   return kept;
+}
+
+// ---------------------------------------------------------------------------
+// Scatter-merge encoding for one batch (ops/general_tables.py
+// build_scatter_merge — element-space claim pre-reduction): decode the
+// per-window-dof claim lists from the chain tables, binary-tree merge
+// each list down to <= max_chains claims (allocating A/B merge-round
+// entries under their key constraints), and rebuild the residual chains
+// first-fit. Returns rounds used (0 = nothing merged), -1 when a list
+// cannot reduce within max_rounds, -2 when residual chains exceed
+// max_out; on any negative return the caller falls back to Python.
+//
+// s_row/s_nlane: [Ks, H, 128] int8 chain tables of this batch
+// A [max_rounds,128,128] int8 0-init, Bm 127-init, a_used u8 0-init
+// out_row [max_out, H, 128] int16 0-init, out_set u8 0-init,
+// out_nlane [max_out, H, 128] int16 127-init; ks_used out.
+// ---------------------------------------------------------------------------
+int64_t scatter_merge_batch(const int8_t* s_row, const int8_t* s_nlane,
+                            int64_t Ks, int64_t H, int64_t max_chains,
+                            int64_t max_rounds, int64_t max_out, int8_t* A,
+                            int8_t* Bm, uint8_t* a_used, int16_t* out_row,
+                            uint8_t* out_set, int16_t* out_nlane,
+                            int64_t* ks_used) {
+  const int64_t HL = H * 128;
+  // claim lists per window dof (t, l), ordered by chain index
+  std::vector<std::pair<int32_t, std::array<int8_t, 2>>> flat;  // (tl,(r,c))
+  flat.reserve((size_t)(Ks * 128));
+  for (int64_t j = 0; j < Ks; ++j)
+    for (int64_t t = 0; t < H; ++t)
+      for (int64_t l = 0; l < 128; ++l) {
+        const int8_t c = s_nlane[j * HL + t * 128 + l];
+        if (c == 127) continue;
+        const int8_t r = s_row[j * HL + t * 128 + c];
+        flat.push_back({(int32_t)(t * 128 + l), {r, c}});
+      }
+  // group by (t, l) preserving chain order (stable sort on key)
+  std::stable_sort(flat.begin(), flat.end(),
+                   [](const auto& a, const auto& b) {
+                     return a.first < b.first;
+                   });
+  int64_t rounds_used = 0;
+  std::vector<std::array<int8_t, 2>> lst, nxt;
+  size_t i0 = 0;
+  // merged residual claims per key, emitted into the first-fit below
+  std::vector<std::pair<int32_t, std::array<int8_t, 2>>> residual;
+  residual.reserve(flat.size());
+  while (i0 < flat.size()) {
+    size_t i1 = i0;
+    while (i1 < flat.size() && flat[i1].first == flat[i0].first) ++i1;
+    lst.clear();
+    for (size_t k = i0; k < i1; ++k) lst.push_back(flat[k].second);
+    int64_t rnd = 0;
+    while ((int64_t)lst.size() > max_chains) {
+      if (rnd >= max_rounds) return -1;
+      nxt.clear();
+      int8_t* Ar = A + rnd * 128 * 128;
+      int8_t* Br = Bm + rnd * 128 * 128;
+      uint8_t* Au = a_used + rnd * 128 * 128;
+      for (size_t k = 0; k < lst.size(); k += 2) {
+        if (k + 1 >= lst.size()) {
+          nxt.push_back(lst[k]);
+          break;
+        }
+        bool placed = false;
+        for (int ord = 0; ord < 2 && !placed; ++ord) {
+          const auto& kk = ord ? lst[k + 1] : lst[k];
+          const auto& dd = ord ? lst[k] : lst[k + 1];
+          const int r1 = kk[0], c1 = kk[1], r2 = dd[0], c2 = dd[1];
+          if ((!Au[c2 * 128 + r1] || Ar[c2 * 128 + r1] == (int8_t)r2) &&
+              Br[r1 * 128 + c1] == 127) {
+            Ar[c2 * 128 + r1] = (int8_t)r2;
+            Au[c2 * 128 + r1] = 1;
+            Br[r1 * 128 + c1] = (int8_t)c2;
+            nxt.push_back(kk);
+            placed = true;
+          }
+        }
+        if (!placed) {
+          nxt.push_back(lst[k]);
+          nxt.push_back(lst[k + 1]);
+        }
+      }
+      lst.swap(nxt);
+      ++rnd;
+    }
+    if (rnd > rounds_used) rounds_used = rnd;
+    for (const auto& rc : lst) residual.push_back({flat[i0].first, rc});
+    i0 = i1;
+  }
+  // residual chains: first-fit on the (t, c) row-table key
+  int64_t nch = 0;
+  for (const auto& e : residual) {
+    const int64_t t = e.first >> 7, l = e.first & 127;
+    const int r = e.second[0], c = e.second[1];
+    int64_t j = 0;
+    for (;; ++j) {
+      if (j >= max_out) return -2;
+      if (j == nch) nch = j + 1;
+      int16_t* row = out_row + j * HL + t * 128 + c;
+      uint8_t* set = out_set + j * HL + t * 128 + c;
+      int16_t* lane = out_nlane + j * HL + t * 128 + l;
+      if (!*set || *row == (int16_t)r) {
+        if (*lane == 127) {
+          *row = (int16_t)r;
+          *set = 1;
+          *lane = (int16_t)c;
+          break;
+        }
+      }
+    }
+  }
+  *ks_used = nch;
+  return rounds_used;
 }
 
 }  // extern "C"

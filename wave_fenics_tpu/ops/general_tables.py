@@ -596,7 +596,8 @@ class ScatterMerge:
 
 
 def build_scatter_merge(
-    tb: GeneralBatchTables, max_chains: int = 1, max_rounds: int = 4
+    tb: GeneralBatchTables, max_chains: int = 1, max_rounds: int = 4,
+    use_native: bool | None = None,
 ) -> ScatterMerge | None:
     """Re-encode ``tb``'s scatter chains as merge rounds + few chains.
 
@@ -623,6 +624,12 @@ def build_scatter_merge(
         if hit is not None:
             return hit
     sent_lane = _LANES - 1
+    if use_native is None:
+        from .. import native
+
+        use_native = native.available() and hasattr(
+            native._load(), "scatter_merge_batch"
+        )
     A = np.zeros((max_rounds, nb, _LANES, _LANES), np.int8)
     B = np.full((max_rounds, nb, _LANES, _LANES), sent_lane, np.int8)
     a_used = np.zeros((max_rounds, nb, _LANES, _LANES), bool)
@@ -630,6 +637,22 @@ def build_scatter_merge(
     new_rows: list[list[np.ndarray]] = []
     new_lanes: list[list[np.ndarray]] = []
     for i in range(nb):
+        if use_native:
+            from .. import native
+
+            rounds, Ab, Bb, orow, onl, ksb = native.scatter_merge_batch(
+                tb.s_row[:, i], tb.s_nlane[:, i],
+                max_chains=max_chains, max_rounds=max_rounds,
+            )
+            if rounds >= 0:
+                A[:, i] = Ab
+                B[:, i] = Bb
+                rounds_used = max(rounds_used, rounds)
+                new_rows.append([orow[j] for j in range(ksb)])
+                new_lanes.append([onl[j] for j in range(ksb)])
+                continue
+            # constraint allocation failed natively (key-order
+            # sensitive); retry this batch with the Python builder
         claims: dict[tuple[int, int], list[tuple[int, int]]] = {}
         for j in range(tb.ks):
             tt, ll = np.nonzero(tb.s_nlane[j, i] != sent_lane)

@@ -163,19 +163,31 @@ def build_dofmap(
     X, Y, Z = np.meshgrid(nodes, nodes, nodes, indexing="ij")
     ref_pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)  # [(p+1)^3, 3]
     phi, _ = trilinear_tabulate(ref_pts)  # [nd, 8]
-    coords = np.einsum("nv,cvi->cni", phi, mesh.cell_coords())  # [nc, nd, 3]
+    # batched BLAS matmul (phi @ cc[c] per cell) — equivalent to
+    # einsum("nv,cvi->cni") but multithreaded
+    coords = np.matmul(phi, mesh.cell_coords())  # [nc, nd, 3]
 
     scale = max(np.abs(mesh.points).max(), 1.0)
-    key = np.round(coords.reshape(-1, 3) / (scale * tol)).astype(np.int64)
+    # quantize with preallocated out= buffers: fresh 1-GB ufunc temps
+    # page-fault this to ~10x the arithmetic cost at production sizes
+    flat = coords.reshape(-1, 3)
+    buf = np.empty_like(flat)
+    np.multiply(flat, 1.0 / (scale * tol), out=buf)
+    np.rint(buf, out=buf)
+    key = buf.astype(np.int64)
 
     from .. import native
 
+    appearance_numbered = False
     if mesh.ncells >= 1024 and native.available():
         inv, ndofs = native.dedup_dofs(key)
+        # the hash dedup numbers ids by first appearance in the
+        # flattened cell-major traversal — already the target order
+        appearance_numbered = True
     else:
         uniq, inv = np.unique(key, axis=0, return_inverse=True)
         ndofs = uniq.shape[0]
-    if reorder in ("morton", "appearance"):
+    if reorder in ("morton", "appearance") and not appearance_numbered:
         # Renumber dofs by FIRST APPEARANCE in the cell-major traversal —
         # the documented contract, and what the fused windowed operator
         # (ops.general_tables) relies on: a run of consecutive cells then

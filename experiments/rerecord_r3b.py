@@ -99,13 +99,22 @@ def main():
                           "--check")
         m32 = run_inproc("operators_bench", "--op", "mass", "--size", "32",
                          "--degree", "4", "--reps", REPS)
-        # p=5 split-row (rpc=2) fused records (new this session)
+        # p=5/6 split-row (rpc=2/3) fused records (new this session)
         sg5 = run_inproc("operators_bench", "--op", "stiffness-general",
                          "--size", "16", "--degree", "5", "--reps", REPS,
                          "--check")
         mg5 = run_inproc("operators_bench", "--op", "mass-general",
                          "--size", "16", "--degree", "5", "--reps", REPS,
                          "--check")
+        sg6 = run_inproc("operators_bench", "--op", "stiffness-general",
+                         "--size", "12", "--degree", "6", "--reps", REPS,
+                         "--check")
+        mg6 = run_inproc("operators_bench", "--op", "mass-general",
+                         "--size", "12", "--degree", "6", "--reps", REPS,
+                         "--check")
+        # unstructured RK4 solve rate (imported-mesh flagship analogue)
+        gsv = run_inproc("general_solve", "--size", "16", "--degree",
+                         "4", "--steps", "200")
         mg32 = run_inproc("operators_bench", "--op", "mass-general",
                           "--size", "32", "--degree", "4", "--reps", REPS)
         if "error" in mg32:
@@ -126,7 +135,7 @@ def main():
             results.append(sg16)
         if "error" not in m32:
             results.append(m32)
-        for r5 in (sg5, mg5):
+        for r5 in (sg5, mg5, sg6, mg6, gsv):
             if "error" not in r5:
                 results.append(r5)
         if "error" not in mg32:

@@ -267,6 +267,11 @@ def _window_contrib(
         tt = t.T  # [128, H]
         # rows are stored int8 UNSIGNED (mod-256 two's complement)
         rt = growt_ref[k, sub].astype(jnp.int32) & 0xFF  # [128, 128]
+        if H == _LANES:
+            # window rows fit one tile: the row-select is a single
+            # unmasked gather (no per-half clip/compare/select)
+            xe_t = xe_t + jnp.take_along_axis(tt, rt, axis=1)
+            continue
         for h in range(H // _LANES):
             th = tt[:, h * _LANES : (h + 1) * _LANES]
             idx = jnp.clip(rt - h * _LANES, 0, _LANES - 1)
@@ -286,18 +291,21 @@ def _window_contrib(
         for o in range(n_ov):
             tv = ovt_ref[o, sub].astype(jnp.int32)  # [4, 128]
             t_b = jnp.broadcast_to(tv[0][None, :], (_LANES, _LANES))
-            qt = jnp.zeros((_LANES, _LANES), dtype=dtype)
-            for h in range(H // _LANES):
-                idx = jnp.clip(t_b - h * _LANES, 0, _LANES - 1)
-                m = (t_b >= h * _LANES) & (t_b < (h + 1) * _LANES)
-                qt = qt + jnp.where(
-                    m,
-                    jnp.take_along_axis(
-                        xt[:, h * _LANES : (h + 1) * _LANES], idx,
-                        axis=1,
-                    ),
-                    jnp.zeros((), dtype=dtype),
-                )
+            if H == _LANES:
+                qt = jnp.take_along_axis(xt, t_b, axis=1)
+            else:
+                qt = jnp.zeros((_LANES, _LANES), dtype=dtype)
+                for h in range(H // _LANES):
+                    idx = jnp.clip(t_b - h * _LANES, 0, _LANES - 1)
+                    m = (t_b >= h * _LANES) & (t_b < (h + 1) * _LANES)
+                    qt = qt + jnp.where(
+                        m,
+                        jnp.take_along_axis(
+                            xt[:, h * _LANES : (h + 1) * _LANES], idx,
+                            axis=1,
+                        ),
+                        jnp.zeros((), dtype=dtype),
+                    )
             q = qt.T  # [e, l] = Xw[t_e, l]
             v = jnp.take_along_axis(
                 q,

@@ -847,19 +847,16 @@ def pack_cell_values(tables: GeneralBatchTables, vals: np.ndarray,
     [ngeo?, nbatch, R, 128] matching the packed XE/YE cell rows (zeros in
     empty slots). ``vals`` may carry leading axes (e.g. [6, nc, nd])."""
     lead = vals.shape[:-2]
-    nd = tables.nd
     out = np.zeros(lead + (tables.nbatch, tables.R, _LANES),
                    dtype=np.dtype(dtype))
+    # slot coordinates once per slot, then one fancy assignment per batch
+    rs = np.stack([tables.slot_coords(b)[0] for b in range(tables.B)])
+    ls = np.stack([tables.slot_coords(b)[1] for b in range(tables.B)])
     for i in range(tables.nbatch):
-        for b, cell in enumerate(tables.batch_cells[i]):
-            if cell < 0:
-                continue
-            if tables.rpc == 1:
-                r, lb = tables.cell_slot(b)
-                out[..., i, r, lb : lb + nd] = vals[..., cell, :]
-            else:
-                r_, lo_ = tables.slot_coords(b)
-                out[..., i, r_, lo_] = vals[..., cell, :]
+        bc = tables.batch_cells[i]
+        m = bc >= 0
+        if m.any():
+            out[..., i, rs[m], ls[m]] = vals[..., bc[m], :]
     return out
 
 

@@ -228,6 +228,17 @@ class ShardedGeneralWave:
                 n_ov = max(o.slots for o in ovs if o is not None)
             else:
                 ovs = None
+        # scatter-merge pre-reduction: per-device encodings; a device
+        # whose claims don't reduce keeps its plain chains and runs the
+        # shared program's merge rounds as sentinel no-ops (B=127 reads
+        # the element tile's zero lane)
+        from ..ops.general_tables import build_scatter_merge
+
+        mgs = [build_scatter_merge(tb) for tb in tbs]
+        NR = max((m.nrounds for m in mgs if m is not None), default=0)
+        if NR:
+            KS = max(m.ks if m is not None else tb.ks
+                     for m, tb in zip(mgs, tbs))
         R = tbs[0].R
         nrows = max(tb.padded_rows for tb in tbs)
         nrows = max(nrows, -(-s["NLP"] // 128), H)
@@ -247,6 +258,9 @@ class ShardedGeneralWave:
         ovt = np.zeros((self.ndev, max(n_ov, 1), NB, 4, 128), np.int16)
         ovt[:, :, :, 0, :] = H - 1
         ovt[:, :, :, 3, :] = 127
+        mA = np.zeros((self.ndev, max(NR, 1), NB, 128, 128), np.int8)
+        mB = np.full((self.ndev, max(NR, 1), NB, 128, 128), 127,
+                     np.int8)
         geo = np.zeros((self.ndev, 6, NB, R, 128), npdt)
         # spill subset (XLA indexed per device), padded
         sp_dof = np.full((self.ndev, max(nsp, 1), nd), s["NL"], np.int32)
@@ -261,8 +275,17 @@ class ShardedGeneralWave:
             g_rowt[i, :kg_i, : tb.nbatch] = grt[:kg_i]
             if ovs is not None and ovs[i] is not None:
                 ovt[i, : ovs[i].slots, : tb.nbatch] = ovs[i].tab
-            s_rowt[i, : tb.ks, : tb.nbatch] = srt
-            s_nlane[i, : tb.ks, : tb.nbatch] = tb.s_nlane
+            if NR and mgs[i] is not None:
+                mg = mgs[i]
+                s_rowt[i, : mg.ks, : tb.nbatch] = np.swapaxes(
+                    mg.s_row, 2, 3
+                )
+                s_nlane[i, : mg.ks, : tb.nbatch] = mg.s_nlane
+                mA[i, : mg.nrounds, : tb.nbatch] = mg.A
+                mB[i, : mg.nrounds, : tb.nbatch] = mg.B
+            else:
+                s_rowt[i, : tb.ks, : tb.nbatch] = srt
+                s_nlane[i, : tb.ks, : tb.nbatch] = tb.s_nlane
             # geometric factors of this part's cells, packed per batch
             nc_i = len(s["cells_of"][i])
             Gl = s["G"][i, :nc_i].reshape(nc_i, nd, 3, 3)
@@ -272,15 +295,13 @@ class ShardedGeneralWave:
                 sp_dof[i, j] = s["ldof"][i, cell]
                 sp_G[i, j] = s["G"][i, cell]
         return dict(
-            H=H, R=R, NB=NB, KG=KG, KS=KS, nrows=nrows, nsp=nsp,
+            H=H, R=R, NB=NB, KG=KG, KS=KS, nr=NR, nrows=nrows, nsp=nsp,
             cpr=tbs[0].cpr, rpc=tbs[0].rpc, ext=tbs[0].extents,
             n_ov=n_ov,
             start=start, g_lane=g_lane[:, :KG], g_rowt=g_rowt[:, :KG],
             s_rowt=s_rowt,
             s_nlane=s_nlane, ovt=ovt, geo=geo, sp_dof=sp_dof, sp_G=sp_G,
-            # scatter-merge placeholders (nr=0 in the shared program)
-            mA=np.zeros((self.ndev, 1, NB, 128, 128), np.int8),
-            mB=np.full((self.ndev, 1, NB, 128, 128), 127, np.int8),
+            mA=mA, mB=mB,
         )
 
     @property
@@ -304,6 +325,7 @@ class ShardedGeneralWave:
         return make_general_call(
             H=fs["H"], R=fs["R"], kg=fs["KG"], ks=fs["KS"], ngeo=6,
             ext=fs["ext"], n_ov=fs["n_ov"], rpc=fs["rpc"],
+            nr=fs["nr"],
             nrows=fs["nrows"], nbatch=fs["NB"], op="stiffness",
             coeff=-float(md.c0) ** 2, dtype=md.dtype,
         )

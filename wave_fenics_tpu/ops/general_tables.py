@@ -876,17 +876,21 @@ def pack_cell_qvalues(tables: GeneralBatchTables, vals: np.ndarray,
         raise ValueError("q-tile lanes exceed 128; raise T")
     out = np.zeros((T, tables.nbatch, tables.R, _LANES),
                    dtype=np.dtype(dtype))
+    # per-slot packed coordinates once, then fancy assignments per batch
+    bs = np.arange(tables.B)
+    rows = bs // tables.cpr
+    gs = (bs % tables.cpr)
     for i in range(tables.nbatch):
-        for b, cell in enumerate(tables.batch_cells[i]):
-            if cell < 0:
-                continue
-            r, lb = tables.cell_slot(b)
-            g = lb // tables.nd
-            for t in range(T):
-                cnt = min(nq_t, nq - t * nq_t)
-                out[t, i, r, g * nq_t : g * nq_t + cnt] = vals[
-                    cell, t * nq_t : t * nq_t + cnt
-                ]
+        bc = tables.batch_cells[i]
+        m = bc >= 0
+        if not m.any():
+            continue
+        for t in range(T):
+            cnt = min(nq_t, nq - t * nq_t)
+            lanes = gs[m, None] * nq_t + np.arange(cnt)
+            out[t, i, rows[m, None], lanes] = vals[
+                bc[m], t * nq_t : t * nq_t + cnt
+            ]
     return out
 
 

@@ -32,26 +32,6 @@ from ..solvers.rk4 import rk4_solve, rk4_solve_n
 __all__ = ["GeneralLinearWave", "facet_lumped_weights"]
 
 
-def _bilinear(facet_coords: np.ndarray, u: np.ndarray, v: np.ndarray):
-    """Bilinear map of a quad facet (vertices in basix quad order
-    v0=(0,0), v1=(1,0), v2=(0,1), v3=(1,1)) and its tangents.
-
-    Returns (x[nq, 3], xu[nq, 3], xv[nq, 3]).
-    """
-    v0, v1, v2, v3 = facet_coords
-    uu = u[:, None]
-    vv = v[:, None]
-    x = (
-        (1 - uu) * (1 - vv) * v0
-        + uu * (1 - vv) * v1
-        + (1 - uu) * vv * v2
-        + uu * vv * v3
-    )
-    xu = (1 - vv) * (v1 - v0) + vv * (v3 - v2)
-    xv = (1 - uu) * (v2 - v0) + uu * (v3 - v1)
-    return x, xu, xv
-
-
 def facet_lumped_weights(
     mesh: HexMesh,
     dofs: GeneralDofMap,
@@ -68,26 +48,41 @@ def facet_lumped_weights(
     u = U.ravel()
     v = V.ravel()
 
-    # dof lookup by the same quantized key as build_dofmap
+    # dof lookup by the same quantized key as build_dofmap —
+    # vectorized: sorted structured keys + searchsorted (a Python dict
+    # over ndofs entries costs gigabytes/minutes at 64^3+)
     scale = max(np.abs(mesh.points).max(), 1.0)
     q = scale * tol
     keys = np.round(dofs.dof_coords / q).astype(np.int64)
-    lookup = {tuple(k): i for i, k in enumerate(keys)}
+    kv = np.ascontiguousarray(keys).view(
+        [("", np.int64)] * 3
+    ).reshape(-1)
+    order = np.argsort(kv)
+    sk = kv[order]
 
+    fa = np.asarray(facets)
+    fc = mesh.points[fa]  # [nf, 4, 3]
+    uu, vv = u[None, :, None], v[None, :, None]
+    v0, v1, v2, v3 = (fc[:, i, None, :] for i in range(4))
+    x = ((1 - uu) * (1 - vv) * v0 + uu * (1 - vv) * v1
+         + (1 - uu) * vv * v2 + uu * vv * v3)  # [nf, nq2, 3]
+    xu = (1 - vv) * (v1 - v0) + vv * (v3 - v2)
+    xv = (1 - uu) * (v2 - v0) + uu * (v3 - v1)
+    Js = np.linalg.norm(np.cross(xu, xv), axis=-1)  # [nf, nq2]
+    fkeys = np.round(x.reshape(-1, 3) / q).astype(np.int64)
+    fv = np.ascontiguousarray(fkeys).view(
+        [("", np.int64)] * 3
+    ).reshape(-1)
+    pos = np.searchsorted(sk, fv)
+    ok = (pos < len(sk)) & (sk[np.minimum(pos, len(sk) - 1)] == fv)
+    if not ok.all():
+        raise ValueError(
+            "facet node does not coincide with a volume dof — "
+            "facet vertex ordering or mesh/tag mismatch"
+        )
+    ids = order[pos]
     W = np.zeros(dofs.ndofs)
-    for f in np.asarray(facets):
-        fc = mesh.points[f]
-        x, xu, xv = _bilinear(fc, u, v)
-        Js = np.linalg.norm(np.cross(xu, xv), axis=1)
-        fkeys = np.round(x / q).astype(np.int64)
-        for n in range(x.shape[0]):
-            key = tuple(fkeys[n])
-            if key not in lookup:
-                raise ValueError(
-                    "facet node does not coincide with a volume dof — "
-                    "facet vertex ordering or mesh/tag mismatch"
-                )
-            W[lookup[key]] += Wq[n] * Js[n]
+    np.add.at(W, ids, (Wq[None, :] * Js).ravel())
     return W
 
 

@@ -49,16 +49,11 @@ def facet_lumped_weights(
     v = V.ravel()
 
     # dof lookup by the same quantized key as build_dofmap —
-    # vectorized: sorted structured keys + searchsorted (a Python dict
-    # over ndofs entries costs gigabytes/minutes at 64^3+)
+    # vectorized (a Python dict over ndofs entries costs
+    # gigabytes/minutes at 64^3+)
     scale = max(np.abs(mesh.points).max(), 1.0)
     q = scale * tol
     keys = np.round(dofs.dof_coords / q).astype(np.int64)
-    kv = np.ascontiguousarray(keys).view(
-        [("", np.int64)] * 3
-    ).reshape(-1)
-    order = np.argsort(kv)
-    sk = kv[order]
 
     fa = np.asarray(facets)
     fc = mesh.points[fa]  # [nf, 4, 3]
@@ -70,17 +65,35 @@ def facet_lumped_weights(
     xv = (1 - uu) * (v2 - v0) + uu * (v3 - v1)
     Js = np.linalg.norm(np.cross(xu, xv), axis=-1)  # [nf, nq2]
     fkeys = np.round(x.reshape(-1, 3) / q).astype(np.int64)
-    fv = np.ascontiguousarray(fkeys).view(
-        [("", np.int64)] * 3
-    ).reshape(-1)
-    pos = np.searchsorted(sk, fv)
-    ok = (pos < len(sk)) & (sk[np.minimum(pos, len(sk) - 1)] == fv)
+    from .. import native
+
+    if native.available():
+        # one hash pass over [dof keys; facet keys]: dof keys are
+        # unique, so the first-appearance group ids of the dof section
+        # are the identity and facet entries resolve directly to dof
+        # ids (a fresh id >= ndofs means an unmatched facet node)
+        ids_all, _ = native.dedup_dofs(
+            np.concatenate([keys, fkeys], axis=0)
+        )
+        ids = ids_all[len(keys):].astype(np.int64)
+        ok = ids < dofs.ndofs
+    else:
+        kv = np.ascontiguousarray(keys).view(
+            [("", np.int64)] * 3
+        ).reshape(-1)
+        order = np.argsort(kv)
+        sk = kv[order]
+        fv = np.ascontiguousarray(fkeys).view(
+            [("", np.int64)] * 3
+        ).reshape(-1)
+        pos = np.searchsorted(sk, fv)
+        ok = (pos < len(sk)) & (sk[np.minimum(pos, len(sk) - 1)] == fv)
+        ids = order[np.minimum(pos, len(sk) - 1)]
     if not ok.all():
         raise ValueError(
             "facet node does not coincide with a volume dof — "
             "facet vertex ordering or mesh/tag mismatch"
         )
-    ids = order[pos]
     W = np.zeros(dofs.ndofs)
     np.add.at(W, ids, (Wq[None, :] * Js).ravel())
     return W

@@ -237,6 +237,30 @@ class GeneralOperators:
         object.__setattr__(
             self, "_detJw", detJw.reshape(nc, nq1, nq1, nq1).astype(npdt)
         )
+        # affine-cell (rank-1 geometric factor) detection, done HERE
+        # while the f64 factors are alive: G[c, q] = g6[c] * w_q and
+        # detJw[c, q] = |detJ[c]| * w_q exactly for parallelepiped
+        # cells. The f32 stored copies fail any meaningful rank-1 test
+        # by their own rounding (bit round 3), and recomputing f64
+        # geometry later costs a full second pass (~40 s at 64^3).
+        af = None
+        if tab.collocated:
+            w3 = geometry.quadrature_weights_3d(tab).astype(np.float64)
+            nd = nq1**3
+            dJ64 = np.asarray(detJw, np.float64).reshape(nc, nd)
+            G64 = np.asarray(G, np.float64).reshape(nc, nd, 3, 3)
+            sym = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+            Gs = np.stack([G64[:, :, a, b] for a, b in sym])
+            g6 = Gs[:, :, :1] / w3[0]
+            dJ = dJ64[:, :1] / w3[0]
+            gs_scale = max(float(np.abs(Gs).max()), 1e-300)
+            dj_scale = max(float(np.abs(dJ64).max()), 1e-300)
+            if (
+                np.abs(Gs - g6 * w3).max() <= 1e-12 * gs_scale
+                and np.abs(dJ64 - dJ * w3).max() <= 1e-12 * dj_scale
+            ):
+                af = {"g6": g6[..., 0], "dJ": dJ[..., 0]}
+        object.__setattr__(self, "_affine_small", af)
         object.__setattr__(
             self, "_G", G.reshape(nc, nq1, nq1, nq1, 3, 3).astype(npdt)
         )
@@ -426,35 +450,11 @@ class GeneralOperators:
         — this specialization is free accuracy-preserving bandwidth on
         the (very common) affine-cell meshes."""
         tb = self._fused_tables
-        if (tb is None or tb.cpr != 1 or tb.rpc != 1
+        af = self._affine_small
+        if (tb is None or tb.cpr != 1 or tb.rpc != 1 or af is None
                 or not self._tab.collocated):
             return None
-        w3 = geometry.quadrature_weights_3d(self._tab).astype(np.float64)
-        nc = self.mesh.ncells
-        nd = (self.dofs.p + 1) ** 3
-        # detect on FULL-precision factors: the stored f32 copies fail
-        # any meaningful rank-1 test by their own rounding (this bit
-        # round 3: affine silently never engaged on chip)
-        G, detJw = geometry.precompute_geometric_data(
-            self.mesh, self.dofs.p, self.q, self.rule
-        )
-        if self.coeff_cells is not None:
-            G = G * np.asarray(self.coeff_cells, np.float64)[
-                :, None, None, None
-            ]
-        detJw = np.asarray(detJw, np.float64).reshape(nc, nd)
-        G = np.asarray(G, np.float64).reshape(nc, nd, 3, 3)
-        sym = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
-        Gs = np.stack([G[:, :, a, b] for a, b in sym])  # [6, nc, nd]
-        g6 = Gs[:, :, :1] / w3[0]
-        dJ = detJw[:, :1] / w3[0]
-        gs_scale = max(float(np.abs(Gs).max()), 1e-300)
-        dj_scale = max(float(np.abs(detJw).max()), 1e-300)
-        if (
-            np.abs(Gs - g6 * w3).max() > 1e-12 * gs_scale
-            or np.abs(detJw - dJ * w3).max() > 1e-12 * dj_scale
-        ):
-            return None
+        g6, dJ = af["g6"], af["dJ"]  # [6, nc], [nc] — detected at init
         npdt = np.dtype(self.dtype)
         nb = tb.nbatch
         geo6 = np.zeros((nb, 128, 8), npdt)
@@ -463,8 +463,8 @@ class GeneralOperators:
         for i in range(nb):
             rows = np.nonzero(bc[i] >= 0)[0]
             cells = bc[i, rows]
-            geo6[i, rows, :6] = g6[:, cells, 0].T
-            m1[i, rows, 0] = dJ[cells, 0]
+            geo6[i, rows, :6] = g6[:, cells].T
+            m1[i, rows, 0] = dJ[cells]
         return {"g6": geo6, "m1": m1}
 
     @cached_property

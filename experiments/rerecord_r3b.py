@@ -59,11 +59,15 @@ def run_inproc(mod: str, *args: str) -> dict:
 
 
 def run_bench(solver: str) -> dict | None:
+    # default 1200-step windows: the measured rate converges with window
+    # length (1.58 at 50 steps vs ~2.94 at 1200 for the step solver) and
+    # device time is trivial next to client establishment, so short
+    # windows would just record a dishonest low number.
     cmd = [sys.executable, "bench.py", "--cells", "64", "32", "32",
-           "--steps", "50", "--solver", solver]
+           "--solver", solver]
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=2100, check=True)
+                             timeout=3000, check=True)
         res = json.loads(out.stdout.strip().splitlines()[-1])
     except Exception as e:
         print(f"# bench.py --solver {solver} failed: {e}", flush=True)

@@ -86,10 +86,18 @@ def test_scatter_general_halo_cli(capsys):
     r = _run_main(
         scatter_bench,
         ["--mode", "general-halo", "--size", "4", "--degree", "2",
-         "--ndev", "4", "--reps", "2"],
+         "--ndev", "4", "--reps", "2", "--exchange", "allgather"],
         capsys,
     )
     assert r["us_per_exchange"] > 0 and r["interface_slots"] > 0
+    r = _run_main(
+        scatter_bench,
+        ["--mode", "general-halo", "--size", "4", "--degree", "2",
+         "--ndev", "4", "--reps", "2", "--exchange", "ppermute"],
+        capsys,
+    )
+    assert r["us_per_exchange"] > 0 and r["rounds"] > 0
+    assert r["bucket_slots"] > 0
 
 
 def test_general_solve_cli(capsys):

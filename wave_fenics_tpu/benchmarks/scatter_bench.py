@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--mode", choices=["local", "halo", "general-halo"],
                     default="local")
     ap.add_argument("--ndev", type=int, default=8)
+    ap.add_argument("--exchange", default="auto",
+                    choices=["auto", "allgather", "ppermute"],
+                    help="general-halo assembly collective")
     args = ap.parse_args()
     apply_platform(args)
     dtype = resolve_dtype(args.dtype)
@@ -65,10 +68,10 @@ def main():
             gdofs_per_s=round(dg.ndofs / t / 1e9, 4),
         )
     elif args.mode == "general-halo":
-        # UNSTRUCTURED interface assembly: one all_gather of the
-        # fixed-size interface buffer + static gather-sum — the
-        # VectorUpdater update_rev+fwd analogue for arbitrary RCB
-        # cell partitions (demo/gpu_scatter_mpi/VectorUpdater.hpp:106-152)
+        # UNSTRUCTURED interface assembly — the VectorUpdater
+        # update_rev+fwd analogue for arbitrary RCB cell partitions
+        # (demo/gpu_scatter_mpi/VectorUpdater.hpp:106-152): all_gather
+        # fan-in or edge-colored neighbor ppermute rounds (--exchange)
         from jax import shard_map
 
         from ..models.general_wave import GeneralLinearWave
@@ -77,17 +80,18 @@ def main():
         gm = GeneralLinearWave(
             mesh=mesh.to_hex_mesh(), p=p, facet_tags={}, dtype=dtype
         )
-        sw = ShardedGeneralWave(gm, args.ndev)
+        sw = ShardedGeneralWave(gm, args.ndev, exchange=args.exchange)
         u, _ = sw.zero_state()
         tb = sw._tables
-        specs = (tb["bidx"].sharding.spec, tb["recv"].sharding.spec)
+        names = [n for n in ("bidx", "recv", "sidx", "ridx") if n in tb]
+        specs = tuple(tb[n].sharding.spec for n in names)
 
-        def local(xb, bidx, recv):
+        def local(xb, *ops):
+            tloc = {n: o.reshape(o.shape[1:])
+                    for n, o in zip(names, ops)}
             sq = xb.reshape(xb.shape[1:])
-            bi = bidx.reshape(bidx.shape[1:])
-            rv = recv.reshape(recv.shape[1:])
             out = lax.fori_loop(
-                0, reps, lambda i, a: sw._assemble(a, bi, rv), sq
+                0, reps, lambda i, a: sw._assemble(a, tloc), sq
             )
             return out.reshape(xb.shape)
 
@@ -96,13 +100,18 @@ def main():
             in_specs=(sw.state_spec,) + specs,
             out_specs=sw.state_spec, check_vma=False,
         ))
-        f = lambda x: run(x, tb["bidx"], tb["recv"])
+        f = lambda x: run(x, *[tb[n] for n in names])
         t = timeit(f, u, reps=3, warmup=1) / reps
+        ns = sw._nbr_setup
+        extra = (
+            dict(rounds=ns["NR"], bucket_slots=ns["Sb"])
+            if sw.exchange_mode == "ppermute" and ns is not None
+            else dict(interface_slots=int(tb["bidx"].shape[1]))
+        )
         report(
-            metric="unstructured interface assembly (all_gather + gather-sum)",
+            metric=f"unstructured interface assembly ({sw.exchange_mode})",
             ndev=args.ndev, ndofs=gm.ndofs, degree=p, dtype=args.dtype,
-            interface_slots=int(tb["bidx"].shape[1]),
-            us_per_exchange=round(t * 1e6, 2),
+            us_per_exchange=round(t * 1e6, 2), **extra,
         )
     else:
         from ..models.linear_wave import LinearWave

@@ -158,10 +158,13 @@ def main():
     # over ICI — fwd/rev split like gpu_scatter_mpi/main.cpp:105-160)
     _run(args.out, results, "scatter_bench", "--mode", "halo", "--size",
          "16" if args.quick else "32", "--ndev", "8", "--platform", "cpu")
-    # unstructured counterpart: RCB-partition interface assembly
-    _run(args.out, results, "scatter_bench", "--mode", "general-halo",
-         "--size", "8" if args.quick else "16", "--degree", "4",
-         "--ndev", "8", "--platform", "cpu")
+    # unstructured counterpart: RCB-partition interface assembly, both
+    # fixed-shape collectives (all_gather fan-in vs edge-colored
+    # neighbor ppermute rounds)
+    for exch in ("allgather", "ppermute"):
+        _run(args.out, results, "scatter_bench", "--mode", "general-halo",
+             "--size", "8" if args.quick else "16", "--degree", "4",
+             "--ndev", "8", "--exchange", exch, "--platform", "cpu")
     # explicit-dofmap (unstructured-mesh) operator path at p=4. 'mass' is
     # the non-collocated Gauss B^T diag B pipeline — fused windowed
     # kernel on TPU since round 3 (was the 0.03 GDoF/s XLA-indexed hole)

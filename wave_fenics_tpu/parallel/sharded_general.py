@@ -10,11 +10,20 @@ fixed-shape sharded tables + XLA collectives under ``shard_map``:
 - cells are split by recursive coordinate bisection (``rcb_partition``);
 - each device holds its cells' dofs (owned + interface copies) in a local
   vector padded to a common length (+1 dummy slot that absorbs padding);
-- after a local matrix-free apply, interface dofs hold PARTIAL sums; one
-  ``all_gather`` of each device's fixed-size interface buffer plus a
-  static per-device gather-sum table completes the assembly (the
+- after a local matrix-free apply, interface dofs hold PARTIAL sums;
+  two interchangeable fixed-shape assembly modes complete them (the
   forward+reverse scatter of VectorUpdater, deterministic by fixed
-  summation order);
+  summation order):
+  * ``allgather``: one ``all_gather`` of each device's interface buffer
+    plus a static per-device gather-sum table — one collective, O(ndev)
+    traffic; best for small fleets;
+  * ``ppermute``: the VectorUpdater-faithful NEIGHBOR exchange
+    (VectorUpdater.hpp:106-152's MPI_Dist_graph point-to-point,
+    re-expressed for ICI): pairwise dof buckets between parts that
+    actually share interface dofs, greedily edge-colored into rounds of
+    disjoint pairs, one ``lax.ppermute`` per round — O(max_degree *
+    max_bucket) traffic per device, independent of fleet size;
+  ``exchange='auto'`` picks the cheaper per-device traffic.
 - ownership weights (1/multiplicity) make global dots exact, as in the
   structured paths.
 
@@ -76,6 +85,10 @@ class ShardedGeneralWave:
     ndev: int
     devices: object = None
     use_fused: bool = True
+    #: interface-assembly collective: 'allgather' (one all_gather +
+    #: gather-sum), 'ppermute' (edge-colored pairwise neighbor rounds),
+    #: or 'auto' (cheaper per-device traffic)
+    exchange: str = "auto"
 
     @cached_property
     def mesh(self) -> Mesh:
@@ -174,6 +187,93 @@ class ShardedGeneralWave:
             ldof=ldof, G=Gl, bidx=bidx, recv=recv,
             inv_m=inv_m, m=m, W1=W1, W2=W2, own=own,
         )
+
+    @cached_property
+    def _nbr_setup(self):
+        """Bucketed neighbor-exchange tables (the ``ppermute`` assembly
+        mode): for every part pair (i, j) sharing interface dofs, a
+        fixed-size bucket of their common dofs (sorted by global id, so
+        both sides agree on slot order). Pairs are greedily edge-colored
+        into rounds of vertex-disjoint pairs; round r is one
+        ``lax.ppermute`` with the static permutation of that color class
+        (both directions of every pair ride the same collective).
+
+        A dof held by v > 2 parts appears in all v*(v-1)/2 holder pairs,
+        so summing every received bucket reproduces exactly the
+        all-gather mode's sum of other copies' partials.
+
+        Returns None when no interface dofs exist (ndev == 1)."""
+        s = self._setup
+        # interface dofs of part i = global ids behind bidx's local slots
+        holders: dict[int, list[int]] = {}
+        for i in range(self.ndev):
+            ids = s["loc_ids"][i]
+            sl = s["bidx"][i]
+            for li in sl[sl != s["NL"]]:
+                holders.setdefault(int(ids[li]), []).append(i)
+        pair_dofs: dict[tuple[int, int], list[int]] = {}
+        for g, hs in holders.items():
+            for a in range(len(hs)):
+                for b in range(a + 1, len(hs)):
+                    pair_dofs.setdefault((hs[a], hs[b]), []).append(g)
+        if not pair_dofs:
+            return None
+        Sb = max(len(v) for v in pair_dofs.values())
+        # greedy edge coloring, largest buckets first (classic Vizing-
+        # style bound: <= max_degree + 1 rounds on simple graphs)
+        order = sorted(pair_dofs, key=lambda k: -len(pair_dofs[k]))
+        colors: list[list[tuple[int, int]]] = []
+        used: list[set[int]] = []
+        for pair in order:
+            i, j = pair
+            for r, u in enumerate(used):
+                if i not in u and j not in u:
+                    colors[r].append(pair)
+                    u.update(pair)
+                    break
+            else:
+                colors.append([pair])
+                used.append({i, j})
+        NR = len(colors)
+        lv = self._lv
+        # send sentinel reads the appended zero (index lv); recv sentinel
+        # adds into the dummy absorb slot NL
+        sidx = np.full((self.ndev, NR, Sb), lv, np.int32)
+        ridx = np.full((self.ndev, NR, Sb), s["NL"], np.int32)
+        g2l = [{int(g): k for k, g in enumerate(ids)}
+               for ids in s["loc_ids"]]
+        perms: list[tuple[tuple[int, int], ...]] = []
+        for r, cls in enumerate(colors):
+            pr: list[tuple[int, int]] = []
+            for (i, j) in cls:
+                gs = sorted(pair_dofs[(i, j)])
+                li = np.asarray([g2l[i][g] for g in gs], np.int32)
+                lj = np.asarray([g2l[j][g] for g in gs], np.int32)
+                sidx[i, r, : len(gs)] = li
+                ridx[i, r, : len(gs)] = li
+                sidx[j, r, : len(gs)] = lj
+                ridx[j, r, : len(gs)] = lj
+                pr += [(i, j), (j, i)]
+            perms.append(tuple(pr))
+        return dict(NR=NR, Sb=Sb, perms=tuple(perms), sidx=sidx,
+                    ridx=ridx)
+
+    @cached_property
+    def exchange_mode(self) -> str:
+        """The resolved assembly collective ('allgather' | 'ppermute')."""
+        if self.exchange in ("allgather", "ppermute"):
+            return self.exchange
+        if self.exchange != "auto":
+            raise ValueError(f"unknown exchange mode {self.exchange!r}")
+        ns = self._nbr_setup
+        if ns is None:
+            return "allgather"
+        s = self._setup
+        # per-device traffic: NR rounds x Sb-slot buckets vs the
+        # all_gather's ndev x S interface-buffer fan-in
+        return ("ppermute"
+                if ns["NR"] * ns["Sb"] < self.ndev * s["S"]
+                else "allgather")
 
     @cached_property
     def _fused_setup(self):
@@ -358,10 +458,16 @@ class ShardedGeneralWave:
             out[:, : a.shape[1]] = a
             return sh(out, P("d", None))
 
-        out = dict(
-            bidx=sh(s["bidx"], P("d", None)),
-            recv=sh(s["recv"], P("d", None, None)),
-            inv_m=shv(s["inv_m"]),
+        out = dict(inv_m=shv(s["inv_m"]))
+        if self.exchange_mode == "ppermute":
+            ns = self._nbr_setup
+            if ns is not None:  # None: no interface dofs, assembly no-op
+                out["sidx"] = sh(ns["sidx"], P("d", None, None))
+                out["ridx"] = sh(ns["ridx"], P("d", None, None))
+        else:
+            out["bidx"] = sh(s["bidx"], P("d", None))
+            out["recv"] = sh(s["recv"], P("d", None, None))
+        out.update(
             m=shv(s["m"], pad=1.0),
             W1=shv(s["W1"]),
             W2=shv(s["W2"]),
@@ -390,10 +496,27 @@ class ShardedGeneralWave:
     # ------------------------------------------------------------------
     # local physics (runs inside shard_map; arrays are local views)
     # ------------------------------------------------------------------
-    def _assemble(self, b, bidx, recv):
-        """Sum interface partial contributions across parts: one
-        all_gather of the fixed-size interface buffer + static gather-sum
-        (VectorUpdater.hpp:106-152 semantics, deterministic)."""
+    def _assemble(self, b, tloc):
+        """Sum interface partial contributions across parts
+        (VectorUpdater.hpp:106-152 semantics, deterministic): either one
+        all_gather of the fixed-size interface buffer + static
+        gather-sum, or edge-colored pairwise neighbor ppermute rounds
+        packed/unpacked through static bucket tables."""
+        if self.exchange_mode == "ppermute":
+            ns = self._nbr_setup
+            if ns is None:
+                return b
+            # snapshot of the PARTIAL values: every round's bucket is
+            # packed from bz, adds land in b — so a dof's outgoing value
+            # never includes contributions received in earlier rounds
+            bz = jnp.concatenate([b, jnp.zeros((1,), dtype=b.dtype)])
+            sidx, ridx = tloc["sidx"], tloc["ridx"]
+            for r, perm in enumerate(ns["perms"]):
+                send = bz.at[sidx[r]].get(mode="promise_in_bounds")
+                got = lax.ppermute(send, "d", perm)
+                b = b.at[ridx[r]].add(got, mode="promise_in_bounds")
+            return b
+        bidx, recv = tloc["bidx"], tloc["recv"]
         buf = b[bidx]  # [S]
         g = lax.all_gather(buf, "d")  # [ndev, S]
         gf = jnp.concatenate(
@@ -444,7 +567,7 @@ class ShardedGeneralWave:
     def _f1_local(self, t, u, v, tb):
         md = self.model
         b = self._stiffness_local(u, tb)
-        b = self._assemble(b, tb["bidx"], tb["recv"])
+        b = self._assemble(b, tb)
         g = (md.c0**2 * md.g_amplitude(t)).astype(md.dtype)
         b = b + g * tb["W1"] - md.c0 * (tb["W2"] * v)
         return b * tb["inv_m"]
@@ -517,7 +640,7 @@ class ShardedGeneralWave:
             def matvec(x):
                 # _stiffness_local applies -c0^2-weighted stiffness
                 s = self._stiffness_local(x, tloc)
-                s = self._assemble(s, tloc["bidx"], tloc["recv"])
+                s = self._assemble(s, tloc)
                 return tloc["m"] * x - tau * s
 
             dot = lambda a, c: lax.psum(

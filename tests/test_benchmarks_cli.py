@@ -48,6 +48,20 @@ def test_cg_cli(capsys):
     assert r["iters"] >= 1
 
 
+def test_cg_general_cli(capsys):
+    """CG over the explicit-dofmap Gauss mass (the gpu_cg operator,
+    demo/gpu_cg/main.cpp:104-109) converges under Jacobi."""
+    from wave_fenics_tpu.benchmarks import cg_bench
+
+    r = _run_main(
+        cg_bench,
+        ["--op", "general", "--size", "4", "--degree", "2", "--precond"],
+        capsys,
+    )
+    assert r["iters"] >= 1
+    assert r["ndofs"] == 9**3
+
+
 def test_scatter_cli(capsys):
     from wave_fenics_tpu.benchmarks import scatter_bench
 

@@ -71,7 +71,13 @@ def main():
     ap.add_argument("--kmax", type=int, default=50)
     ap.add_argument("--rtol", type=float, default=1e-4)
     ap.add_argument("--ndev", type=int, default=1)
-    ap.add_argument("--op", choices=["bp1", "spectral"], default="bp1")
+    ap.add_argument("--op", choices=["bp1", "spectral", "general"],
+                    default="bp1",
+                    help="'general' = consistent Gauss-rule mass on the "
+                         "EXPLICIT-dofmap path (the operator gpu_cg "
+                         "actually benches: MassOperator gather->kernel->"
+                         "scatter, demo/gpu_cg/main.cpp:104-109) via the "
+                         "fused windowed kernel")
     ap.add_argument("--q", type=int, default=None,
                     help="BP1 1D Gauss point count (default p+2, the CEED "
                          "BP1 spec; a literal FFCx reading of bp1.ufl's "
@@ -108,6 +114,24 @@ def main():
             jnp.asarray(rng.standard_normal(ops.grid_shape), dtype=dtype)
         )
         dot = None
+    elif args.op == "general":
+        # the reference's gpu_cg operator is the explicit-dofmap
+        # MassOperator (gather -> element kernel -> scatter-add,
+        # common/cuda/mass.hpp:74-95) — run CG over our general path
+        # (fused windowed Pallas kernel on TPU, XLA indexed elsewhere)
+        from ..core.dofmap import build_dofmap
+        from ..ops.operators import GeneralOperators
+
+        hm = mesh.to_hex_mesh()
+        dofs = build_dofmap(hm, p)
+        gops = GeneralOperators(hm, dofs, dtype=dtype, rule="gauss",
+                                q=args.q)
+        ndofs = gops.ndofs
+        b = jnp.asarray(rng.standard_normal(ndofs), dtype=dtype)
+        matvec, dot = gops.mass, None
+        if args.precond:
+            inv_m = jnp.asarray(1.0 / gops.lumped_mass, dtype=dtype)
+            precond = lambda r: inv_m * r
     else:
         ops = StructuredOperators(mesh, p, dtype=dtype)
         b = jnp.asarray(rng.standard_normal(ops.grid_shape), dtype=dtype)

@@ -180,6 +180,12 @@ def main():
         "--degree", "4", "--reps", reps, "--check")
     run("operators_bench", "--op", "stiffness-general-xla", "--size", gsize,
         "--degree", "4", "--reps", "10")
+    # CG over the explicit-dofmap consistent mass — the operator the
+    # reference's gpu_cg actually benches (MassOperator gather->kernel->
+    # scatter, demo/gpu_cg/main.cpp:104-109) as opposed to the separable
+    # bp1 records above
+    run("cg_bench", "--op", "general", "--size", gsize, "--degree", "4",
+        "--precond")
     # p=5 split-row (rpc=2) fused records — beyond the reference, whose
     # unstructured mass caps at p=3 (common/cuda/mass.hpp:80-93)
     if not args.quick:

@@ -335,7 +335,8 @@ def test_resident_mode_and_coarsening_exact():
 
 
 @pytest.mark.parametrize("p,cells", [(1, (5, 3, 2)), (2, (4, 3, 3)),
-                                     (3, (3, 3, 2)), (4, (3, 2, 2))])
+                                     (3, (3, 3, 2)), (4, (3, 2, 2)),
+                                     (5, (2, 2, 2)), (6, (2, 2, 1))])
 def test_fused_gauss_mass_matches_indexed(p, cells):
     """Non-collocated (Gauss-rule) mass — the decomposed B^T diag(detJw)
     B pipeline of demo/gpu_operator/main.cpp:144-160 — fused into the
@@ -358,16 +359,19 @@ def test_fused_gauss_mass_matches_indexed(p, cells):
     np.testing.assert_allclose(y, o, rtol=1e-13,
                                atol=1e-13 * np.abs(o).max())
     # tile layout invariants: q-tiles and B-tiles agree in count
+    # (split-row cells carry rpc input-half tiles per q-tile)
     tb = ops._fused_tables
     Bq = np.kron(np.kron(ops._B, ops._B), ops._B)
-    tiles = interpolation_tiles(tb.cpr, tb.nd, Bq)
+    tiles = interpolation_tiles(tb.cpr, tb.nd, Bq, rpc=tb.rpc,
+                                npl=tb.npl)
     djq = np.asarray(ops._detJw, np.float64).reshape(hm.ncells, -1)
-    geo = pack_cell_qvalues(tb, djq, tiles.shape[0])
-    assert geo.shape[0] == tiles.shape[0]
+    geo = pack_cell_qvalues(tb, djq, tiles.shape[0] // tb.rpc)
+    assert tiles.shape[0] == geo.shape[0] * tb.rpc
 
 
 @pytest.mark.parametrize("p,cells", [(1, (5, 3, 2)), (2, (4, 3, 3)),
-                                     (3, (3, 3, 2)), (4, (3, 2, 2))])
+                                     (3, (3, 3, 2)), (4, (3, 2, 2)),
+                                     (5, (2, 2, 2)), (6, (2, 2, 1))])
 def test_fused_gauss_stiffness_matches_indexed(p, cells):
     """Non-collocated (Gauss-rule) full-G stiffness — the skernel sum of
     common/operators.hpp:112-133 at Gauss points — fused into the window

@@ -869,9 +869,28 @@ def pack_cell_qvalues(tables: GeneralBatchTables, vals: np.ndarray,
     [t*nq_t, t*nq_t + cnt_t), nq_t = ceil(nq / T). Layout matches
     ``pallas_general.interpolation_tiles``."""
     nc, nq = vals.shape
-    if tables.rpc != 1:
-        raise ValueError("q-tile packing requires single-row cells")
     nq_t = -(-nq // T)
+    if tables.rpc != 1:
+        # split-row cells: one cell per BASE row (cpr == 1), q-tile t of
+        # the cell at slot b lives at row b, lanes [0, cnt_t)
+        if tables.cpr != 1:
+            raise ValueError("split-row q-tile packing requires cpr=1")
+        if nq_t > _LANES:
+            raise ValueError("q-tile lanes exceed 128; raise T")
+        out = np.zeros((T, tables.nbatch, tables.R, _LANES),
+                       dtype=np.dtype(dtype))
+        for i in range(tables.nbatch):
+            bc = tables.batch_cells[i]
+            m = bc >= 0
+            if not m.any():
+                continue
+            rows = np.nonzero(m)[0]  # base row of slot b is b (cpr=1)
+            for t in range(T):
+                cnt = min(nq_t, nq - t * nq_t)
+                out[t, i, rows[:, None], np.arange(cnt)] = vals[
+                    bc[m], t * nq_t : t * nq_t + cnt
+                ]
+        return out
     if tables.cpr * nq_t > _LANES:
         raise ValueError("q-tile lanes exceed 128; raise T")
     out = np.zeros((T, tables.nbatch, tables.R, _LANES),

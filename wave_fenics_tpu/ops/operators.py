@@ -306,9 +306,7 @@ class GeneralOperators:
         ):
             if self._tab.collocated:
                 return self.spectral_mass_fused(x)
-            if (self._fused_tables.rpc == 1
-                    and self._tab.nq**3
-                    <= 2 * (128 // self._fused_tables.cpr)):
+            if self._gauss_fused_ok:
                 return self.mass_gauss_fused(x)
         return self.mass_indexed(x)
 
@@ -366,11 +364,22 @@ class GeneralOperators:
         ):
             if self._tab.collocated:
                 return self.stiffness_fused(x, c0)
-            if (self._fused_tables.rpc == 1
-                    and self._tab.nq**3
-                    <= 2 * (128 // self._fused_tables.cpr)):
+            if self._gauss_fused_ok:
                 return self.stiffness_gauss_fused(x, c0)
         return self.stiffness_indexed(x, c0)
+
+    @property
+    def _gauss_fused_ok(self) -> bool:
+        """Whether the non-collocated (Gauss-rule) forms can run fused:
+        single-row cells need the per-cell qpoints in <= 2 lane tiles
+        (all of p=1..4 at q=2p); split-row cells (p=5/6, rpc=2/3) allow
+        up to 4 full-lane q-tiles (p=5: 216 qpts -> T=2; p=6: 343 ->
+        T=3)."""
+        tb = self._fused_tables
+        nq3 = self._tab.nq ** 3
+        if tb.rpc == 1:
+            return nq3 <= 2 * (128 // tb.cpr)
+        return nq3 <= 4 * 128
 
     def stiffness_indexed(
         self, x: jax.Array, c0: float | jax.Array = 1.0

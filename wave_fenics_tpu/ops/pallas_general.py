@@ -107,32 +107,59 @@ def contraction_matrices(p: int, cpr: int, D1: np.ndarray,
 
 
 def interpolation_tiles(cpr: int, nd: int, B: np.ndarray,
-                        dtype=np.float32) -> np.ndarray:
+                        dtype=np.float32, rpc: int = 1,
+                        npl: int | None = None) -> np.ndarray:
     """Block-diagonal node->quadrature interpolation tiles for the packed
     element layout, non-collocated quadrature (nq != nd).
 
     ``B`` is the 3D interpolation matrix [nq, nd] (row-major kron of the
-    1D tabulation). Returns [T, 128, 128] with
+    1D tabulation). For single-row cells (``rpc == 1``), returns
+    [T, 128, 128] with
     ``tiles[t, g*nq_t + j, g*nd + n] = B[t*nq_t + j, n]`` so that
     ``(XE @ tiles[t].T)[r, g*nq_t + j]`` is qpoint ``t*nq_t + j`` of the
     cell packed at (r, g); T = ceil(nq / (128 // cpr)) tiles cover all
-    qpoints. Layout matches ``general_tables.pack_cell_qvalues``."""
+    qpoints. For SPLIT-ROW cells (``rpc > 1``, nd > 127: one cell per
+    base row, node n in half ``n // npl`` at lane ``n % npl``), returns
+    [T*rpc, 128, 128] ordered t-major then input-half:
+    ``tiles[t*rpc + h, j, l] = B[t*nq_t + j, h*npl + l]`` so the q-tile
+    is ``sum_h XE_h @ tiles[t*rpc + h].T``. Layout matches
+    ``general_tables.pack_cell_qvalues``."""
     nq = B.shape[0]
-    cap = _LANES // cpr
-    T = -(-nq // cap)
+    if rpc == 1:
+        cap = _LANES // cpr
+        T = -(-nq // cap)
+        nq_t = -(-nq // T)
+        tiles = np.zeros((T, _LANES, _LANES), dtype=np.dtype(dtype))
+        for t in range(T):
+            cnt = min(nq_t, nq - t * nq_t)
+            blk = B[t * nq_t : t * nq_t + cnt]
+            for g in range(cpr):
+                tiles[t, g * nq_t : g * nq_t + cnt,
+                      g * nd : g * nd + nd] = blk
+        return tiles
+    if cpr != 1:
+        raise ValueError("split-row interpolation tiles require cpr=1")
+    npl = -(-nd // rpc) if npl is None else npl
+    T = -(-nq // _LANES)
     nq_t = -(-nq // T)
-    tiles = np.zeros((T, _LANES, _LANES), dtype=np.dtype(dtype))
+    tiles = np.zeros((T * rpc, _LANES, _LANES), dtype=np.dtype(dtype))
     for t in range(T):
         cnt = min(nq_t, nq - t * nq_t)
-        blk = B[t * nq_t : t * nq_t + cnt]
-        for g in range(cpr):
-            tiles[t, g * nq_t : g * nq_t + cnt,
-                  g * nd : g * nd + nd] = blk
+        for h in range(rpc):
+            ncols = min(npl, nd - h * npl)
+            if ncols <= 0:
+                continue
+            tiles[t * rpc + h, :cnt, :ncols] = B[
+                t * nq_t : t * nq_t + cnt, h * npl : h * npl + ncols
+            ]
     return tiles
 
 
 def _kernel(
-    start_ref,  # scalar prefetch: [nbatch, E] int32 extent start rows
+    start_ref,  # scalar prefetch: [E, nbatch] int32 extent start rows
+    # (E-major: Mosaic pads the MINOR dim of SMEM-prefetched arrays
+    # to 128 lanes, so [nbatch, E] would cost nbatch*128 ints of the
+    # 1 MB SMEM budget - the 64^3 compile failure, nbatch=2048)
     yin_ref,  # [padded_rows, 128] ANY — aliased with out_ref
     xv_ref,  # [padded_rows, 128] ANY
     glane_ref, growt_ref, srowt_ref, snlane_ref,  # chain tables (VMEM)
@@ -156,7 +183,7 @@ def _kernel(
     # overlap the PREVIOUS sub-batch's extents, whose write completes
     # before the next read is issued.
     def in_dma(slot, idx, e):
-        s = pl.multiple_of(start_ref[idx, e], 8)
+        s = pl.multiple_of(start_ref[e, idx], 8)
         return pltpu.make_async_copy(
             xv_ref.at[pl.ds(s, He)],
             xw.at[slot, pl.ds(e * He, He)],
@@ -204,7 +231,7 @@ def _kernel_sub(
                 in_dma((g + 1) % 2, g + 1, e).start()
 
     for e in range(ext):
-        s = pl.multiple_of(start_ref[g, e], 8)
+        s = pl.multiple_of(start_ref[e, g], 8)
         pltpu.make_async_copy(
             out_ref.at[pl.ds(s, He)], yw.at[pl.ds(e * He, He)],
             sem.at[2, e],
@@ -221,7 +248,7 @@ def _kernel_sub(
     )
     for e in range(ext):
         pltpu.make_async_copy(
-            out_ref.at[pl.ds(pl.multiple_of(start_ref[g, e], 8), He)],
+            out_ref.at[pl.ds(pl.multiple_of(start_ref[e, g], 8), He)],
             yw.at[pl.ds(e * He, He)], sem.at[2, e],
         ).wait()
     for h in range(H // _LANES):
@@ -231,7 +258,7 @@ def _kernel_sub(
     cps = [
         pltpu.make_async_copy(
             yw.at[pl.ds(e * He, He)],
-            out_ref.at[pl.ds(pl.multiple_of(start_ref[g, e], 8), He)],
+            out_ref.at[pl.ds(pl.multiple_of(start_ref[e, g], 8), He)],
             sem.at[3, e],
         )
         for e in range(ext)
@@ -341,44 +368,65 @@ def _window_contrib(
         # decomposed B^T diag(detJw) B at NON-collocated qpoints — the
         # reference's gpu_operator pipeline (demo/gpu_operator/
         # main.cpp:144-160) fused into the same window pass. Per q-tile
-        # t: q = (XE @ B_t^T) .* detJw_t; YE += q @ B_t.
-        yer = jnp.zeros((R, _LANES), dtype=dtype)
-        for t in range(dmat_ref.shape[0]):
-            qt = jax.lax.dot_general(
-                xer, dmat_ref[t], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32, precision=hi,
-            ).astype(dtype) * geo_ref[t, sub]
-            yer = yer + jax.lax.dot_general(
-                qt, dmat_ref[t], (((1,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=hi,
-            ).astype(dtype)
+        # t: q = (XE @ B_t^T) .* detJw_t; YE += q @ B_t. Split-row cells
+        # (rpc > 1) sum the interpolation over rpc input halves and
+        # project back into rpc output halves (q-space tiles live on the
+        # base rows, one cell per row).
+        R2 = R // rpc
+        xh = [xer[h * R2 : (h + 1) * R2] for h in range(rpc)]
+        T = dmat_ref.shape[0] // rpc
+        yh = [jnp.zeros((R2, _LANES), dtype=dtype) for _ in range(rpc)]
+        for t in range(T):
+            acc = None
+            for h in range(rpc):
+                part = jax.lax.dot_general(
+                    xh[h], dmat_ref[t * rpc + h], (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32, precision=hi,
+                )
+                acc = part if acc is None else acc + part
+            qt = acc.astype(dtype) * geo_ref[t, sub][:R2]
+            for ho in range(rpc):
+                yh[ho] = yh[ho] + jax.lax.dot_general(
+                    qt, dmat_ref[t * rpc + ho], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=hi,
+                ).astype(dtype)
+        yer = yh[0] if rpc == 1 else jnp.concatenate(yh, axis=0)
     elif op == "stiffness_gauss":
         # full-G stiffness at NON-collocated qpoints: dmat tiles are the
-        # 3 axis-derivative interpolations (Dx|Dy|Dz, T q-tiles each);
-        # geo tiles the 6 symmetric G entries at qpoints (gi*T + t).
-        # Disjoint q-tiles partition the quadrature sum, so per-tile
-        # contributions add exactly.
-        T = dmat_ref.shape[0] // 3
+        # 3 axis-derivative interpolations (Dx|Dy|Dz, T q-tiles each,
+        # each tile split into rpc input-half blocks for split-row
+        # cells); geo tiles the 6 symmetric G entries at qpoints
+        # (gi*T + t). Disjoint q-tiles partition the quadrature sum, so
+        # per-tile contributions add exactly.
+        R2 = R // rpc
+        xh = [xer[h * R2 : (h + 1) * R2] for h in range(rpc)]
+        T = dmat_ref.shape[0] // (3 * rpc)
         symm = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
-        yer = jnp.zeros((R, _LANES), dtype=dtype)
+        yh = [jnp.zeros((R2, _LANES), dtype=dtype) for _ in range(rpc)]
         for t in range(T):
-            ud = [
-                jax.lax.dot_general(
-                    xer, dmat_ref[d * T + t], (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32, precision=hi,
-                ).astype(dtype)
-                for d in range(3)
-            ]
+            ud = []
             for d in range(3):
-                w = jnp.zeros((R, _LANES), dtype=dtype)
+                acc = None
+                for h in range(rpc):
+                    part = jax.lax.dot_general(
+                        xh[h], dmat_ref[(d * T + t) * rpc + h],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=f32, precision=hi,
+                    )
+                    acc = part if acc is None else acc + part
+                ud.append(acc.astype(dtype))
+            for d in range(3):
+                w = jnp.zeros((R2, _LANES), dtype=dtype)
                 for dp in range(3):
                     gi = symm.index(tuple(sorted((d, dp))))
-                    w = w + geo_ref[gi * T + t, sub] * ud[dp]
-                yer = yer + jax.lax.dot_general(
-                    w, dmat_ref[d * T + t], (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32, precision=hi,
-                ).astype(dtype)
-        yer = yer * coeff
+                    w = w + geo_ref[gi * T + t, sub][:R2] * ud[dp]
+                for ho in range(rpc):
+                    yh[ho] = yh[ho] + jax.lax.dot_general(
+                        w, dmat_ref[(d * T + t) * rpc + ho],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32, precision=hi,
+                    ).astype(dtype)
+        yer = (yh[0] if rpc == 1 else jnp.concatenate(yh, axis=0)) * coeff
     elif op == "stiffness" and rpc > 1:
         # split-row cells (nd > 127): per-cell nodes span rpc half-block
         # rows; the contraction runs per (output-half, input-half) pair
@@ -482,7 +530,10 @@ def _window_contrib(
 
 
 def _kernel_resident(
-    start_ref,  # scalar prefetch: [nbatch, E] int32 extent start rows
+    start_ref,  # scalar prefetch: [E, nbatch] int32 extent start rows
+    # (E-major: Mosaic pads the MINOR dim of SMEM-prefetched arrays
+    # to 128 lanes, so [nbatch, E] would cost nbatch*128 ints of the
+    # 1 MB SMEM budget - the 64^3 compile failure, nbatch=2048)
     yin_ref,  # [padded_rows, 128] ANY — aliased with out_ref
     xv_ref,  # [padded_rows, 128] ANY
     glane_ref, growt_ref, srowt_ref, snlane_ref,  # chain tables (VMEM)
@@ -522,7 +573,7 @@ def _kernel_resident(
     for sub in range(C):
         g = i * C + sub
         parts = [
-            xacc[pl.ds(pl.multiple_of(start_ref[g, e], 8), He)]
+            xacc[pl.ds(pl.multiple_of(start_ref[e, g], 8), He)]
             for e in range(ext)
         ]
         Xw = parts[0] if ext == 1 else jnp.concatenate(parts, axis=0)
@@ -537,7 +588,7 @@ def _kernel_resident(
         ywadd = (halves[0] if len(halves) == 1
                  else jnp.concatenate(halves, axis=0))
         for e in range(ext):
-            s = pl.multiple_of(start_ref[g, e], 8)
+            s = pl.multiple_of(start_ref[e, g], 8)
             yacc[pl.ds(s, He)] = (
                 yacc[pl.ds(s, He)] + ywadd[e * He : (e + 1) * He]
             )
@@ -586,10 +637,10 @@ def make_general_apply(
     tb = tables
     npdt = np.dtype(dtype)
     affine = affine_w is not None
-    if tb.rpc != 1 and (affine or op in ("mass_gauss", "stiffness_gauss")):
+    if tb.rpc != 1 and affine:
         raise ValueError(
-            "split-row cells (nd > 127) support only the collocated "
-            "mass/stiffness forms with full per-node factors"
+            "split-row cells (nd > 127) support only full per-node "
+            "factors (the rank-1 affine form assumes single-row cells)"
         )
     if op == "stiffness":
         dmats = contraction_matrices(p, tb.cpr, np.asarray(D1), npdt,
@@ -603,8 +654,9 @@ def make_general_apply(
         # Bq = [nq, nd] 3D interpolation matrix
         if affine:
             raise ValueError("mass_gauss: affine form not supported")
-        dmats = interpolation_tiles(tb.cpr, tb.nd, np.asarray(Bq), npdt)
-        if dmats.shape[0] != geo.shape[0]:
+        dmats = interpolation_tiles(tb.cpr, tb.nd, np.asarray(Bq), npdt,
+                                    rpc=tb.rpc, npl=tb.npl)
+        if dmats.shape[0] != geo.shape[0] * tb.rpc:
             raise ValueError("mass_gauss: geo tiles != B tiles")
     elif op == "stiffness_gauss":
         # Bq = (Dx, Dy, Dz) [nq, nd] axis-derivative interpolations;
@@ -612,10 +664,11 @@ def make_general_apply(
         if affine:
             raise ValueError("stiffness_gauss: affine form not supported")
         dmats = np.concatenate(
-            [interpolation_tiles(tb.cpr, tb.nd, np.asarray(Dq), npdt)
+            [interpolation_tiles(tb.cpr, tb.nd, np.asarray(Dq), npdt,
+                                 rpc=tb.rpc, npl=tb.npl)
              for Dq in Bq]
         )
-        if 2 * dmats.shape[0] != geo.shape[0]:
+        if 2 * dmats.shape[0] != geo.shape[0] * tb.rpc:
             raise ValueError("stiffness_gauss: geo tiles != 2 * D tiles")
     else:
         if affine:
@@ -674,7 +727,9 @@ def make_general_apply(
     # tables stay NumPy: they become per-trace compile-time constants and
     # can never leak tracers when the apply is first built inside a jit
     # trace (same failure class as round 2's padded-model table leak)
-    start_rows = np.ascontiguousarray(tb.start_rows)
+    # E-major layout: the scalar-prefetch SMEM buffer pads the minor dim
+    # to 128 lanes, so the big axis (nbatch) must be minor
+    start_rows = np.ascontiguousarray(tb.start_rows.T)
     g_rowt, s_rowt = transposed_row_tables(tb)
     g_lane, s_nlane = tb.g_lane, tb.s_nlane
     if merge is not None:
@@ -710,7 +765,7 @@ def make_general_apply(
         )
 
     if nb_pad != tb.nbatch:
-        start_rows = padb(start_rows, 0, 0)
+        start_rows = padb(start_rows, 1, 0)
         g_lane = padb(g_lane, 1, 0)
         g_rowt = padb(g_rowt, 1, tb.H - 1)
         s_rowt = padb(s_rowt, 1, 0)

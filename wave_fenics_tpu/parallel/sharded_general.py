@@ -346,7 +346,9 @@ class ShardedGeneralWave:
 
         from ..ops.pallas_general import transposed_row_tables
 
-        start = np.zeros((self.ndev, NB, tbs[0].extents), np.int32)
+        # E-major: the kernel's scalar-prefetch layout (minor dim is
+        # SMEM-lane-padded to 128, so nbatch must be minor)
+        start = np.zeros((self.ndev, tbs[0].extents, NB), np.int32)
         g_lane = np.zeros((self.ndev, KG, NB, H, 128), np.int8)
         g_rowt = np.full(
             (self.ndev, KG, NB, 128, 128),
@@ -368,7 +370,7 @@ class ShardedGeneralWave:
             (self.ndev, max(nsp, 1)) + s["G"].shape[2:], npdt
         )
         for i, tb in enumerate(tbs):
-            start[i, : tb.nbatch] = tb.start_rows
+            start[i, :, : tb.nbatch] = tb.start_rows.T
             kg_i = min(tb.kg, KG)
             g_lane[i, :kg_i, : tb.nbatch] = tb.g_lane[:kg_i]
             grt, srt = transposed_row_tables(tb)

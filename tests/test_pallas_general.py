@@ -280,12 +280,17 @@ def test_affine_rank1_geometry_exact():
     A = np.array([[1.0, 0.3, 0.1], [0.0, 0.9, 0.2], [0.0, 0.0, 1.1]])
     sheared = HexMesh(points=bm.points @ A.T, cells=bm.cells)
     rng = np.random.default_rng(0)
-    for hm, expect_affine in ((sheared, True),
-                              (_perturbed_mesh((5, 4, 4), (1, 1, 1),
-                                               seed=3), False)):
-        dofs = build_dofmap(hm, 4)
+    # p=4: cpr=1 (lane-0 broadcast); p=2: cpr=4 and p=1: cpr=15 (the
+    # packed-block form with the static selector expansion)
+    for hm, p, expect_affine in ((sheared, 4, True), (sheared, 2, True),
+                                 (sheared, 1, True),
+                                 (_perturbed_mesh((5, 4, 4), (1, 1, 1),
+                                                  seed=3), 4, False)):
+        dofs = build_dofmap(hm, p)
         ops = GeneralOperators(hm, dofs, dtype=jnp.float64)
         assert (ops._fused_affine is not None) == expect_affine
+        if expect_affine and p < 4:
+            assert ops._fused_tables.cpr > 1
         x = jnp.asarray(rng.standard_normal(dofs.ndofs))
         o = np.asarray(ops.stiffness_indexed(x, 1.0))
         y = np.asarray(ops._fused_apply("stiffness", -1.0)(x))

@@ -460,20 +460,24 @@ class GeneralOperators:
         the (very common) affine-cell meshes."""
         tb = self._fused_tables
         af = self._affine_small
-        if (tb is None or tb.cpr != 1 or tb.rpc != 1 or af is None
+        if (tb is None or tb.rpc != 1 or af is None
                 or not self._tab.collocated):
             return None
         g6, dJ = af["g6"], af["dJ"]  # [6, nc], [nc] — detected at init
         npdt = np.dtype(self.dtype)
-        nb = tb.nbatch
-        geo6 = np.zeros((nb, 128, 8), npdt)
-        m1 = np.zeros((nb, 128, 8), npdt)
+        nb, cpr = tb.nbatch, tb.cpr
+        # kernel layout [ngeo, nbatch, 128, ac8]: minor lane g holds the
+        # constant of the cell packed at lane block g of that row
+        # (pallas_general.make_general_apply affine form)
+        ac8 = max(8, -(-cpr // 8) * 8)
+        geo6 = np.zeros((6, nb, 128, ac8), npdt)
+        m1 = np.zeros((1, nb, 128, ac8), npdt)
         bc = tb.batch_cells
         for i in range(nb):
-            rows = np.nonzero(bc[i] >= 0)[0]
-            cells = bc[i, rows]
-            geo6[i, rows, :6] = g6[:, cells].T
-            m1[i, rows, 0] = dJ[cells]
+            slots = np.nonzero(bc[i] >= 0)[0]
+            cells = bc[i, slots]
+            geo6[:, i, slots // cpr, slots % cpr] = g6[:, cells]
+            m1[0, i, slots // cpr, slots % cpr] = dJ[cells]
         return {"g6": geo6, "m1": m1}
 
     @cached_property

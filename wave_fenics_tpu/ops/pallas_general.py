@@ -170,6 +170,7 @@ def _kernel(
     out_ref,  # [padded_rows, 128] ANY (aliased input)
     xw, yw, ye, sem,  # scratch
     *, H, R, kg, ks, nr, ext, n_ov, affine, C, op, coeff, dtype, rpc=1,
+    acpr=1, ac8=8,
 ):
     del yin_ref
     i = pl.program_id(0)
@@ -206,7 +207,7 @@ def _kernel(
             geo_ref, dmat_ref, out_ref, xw, yw, ye, sem, in_dma,
             H=H, R=R, kg=kg, ks=ks, nr=nr, ext=ext, n_ov=n_ov,
             affine=affine, C=C, op=op, coeff=coeff, dtype=dtype,
-            f32=f32, hi=hi, He=He, rpc=rpc,
+            f32=f32, hi=hi, He=He, rpc=rpc, acpr=acpr, ac8=ac8,
         )
 
 
@@ -215,7 +216,7 @@ def _kernel_sub(
     snlane_ref, ovt_ref, mA_ref, mB_ref, geo_ref, dmat_ref, out_ref,
     xw, yw, ye, sem, in_dma,
     *, H, R, kg, ks, nr, ext, n_ov, affine, C, op, coeff, dtype,
-    f32, hi, He, rpc=1,
+    f32, hi, He, rpc=1, acpr=1, ac8=8,
 ):
     """One sub-batch of a (possibly coarsened) grid step: window DMA in,
     gather chains + overflow, contraction, merge + scatter chains,
@@ -245,6 +246,7 @@ def _kernel_sub(
         ovt_ref, mA_ref, mB_ref, geo_ref, dmat_ref, ye,
         H=H, R=R, kg=kg, ks=ks, nr=nr, n_ov=n_ov, affine=affine,
         op=op, coeff=coeff, dtype=dtype, f32=f32, hi=hi, rpc=rpc,
+        acpr=acpr, ac8=ac8,
     )
     for e in range(ext):
         pltpu.make_async_copy(
@@ -273,7 +275,7 @@ def _window_contrib(
     xvals, sub, glane_ref, growt_ref, srowt_ref, snlane_ref,
     ovt_ref, mA_ref, mB_ref, geo_ref, dmat_ref, ye,
     *, H, R, kg, ks, nr, n_ov, affine, op, coeff, dtype, f32, hi,
-    rpc=1,
+    rpc=1, acpr=1, ac8=8,
 ):
     """The window-shaped operator contribution of one sub-batch: gather
     chains + overflow -> contraction -> merge + scatter chains. Returns
@@ -349,14 +351,24 @@ def _window_contrib(
     xer = xe[:R]
 
     # contraction on the compact cell rows only. In affine mode geo_ref
-    # is the rank-1 per-cell table [128, 8] (G = g6 * w with w folded
-    # into the static matrices) — a ~100x geo-DMA cut for
-    # parallelepiped-cell meshes.
+    # is the rank-1 per-cell table [ngeo, 128, ac8]: lane g of entry gi
+    # holds the constant of the cell packed at block g of that row
+    # (G = g6 * w with w folded into the static matrices) — a ~100x
+    # geo-DMA cut for parallelepiped-cell meshes. cpr == 1 broadcasts
+    # lane 0; cpr > 1 expands block constants to their nd-lane spans
+    # with one static 0/1 selector MXU matmul (dmat_ref[-1][:ac8]).
     def geo_entry(gi):
         if affine:
-            return jnp.broadcast_to(
-                geo_ref[sub, :, gi : gi + 1], (_LANES, _LANES)
-            )[:R]
+            blk = geo_ref[gi, sub]  # [128, ac8]
+            if acpr == 1:
+                return jnp.broadcast_to(blk[:, :1], (_LANES, _LANES))[:R]
+            # selector lives at the (static) last dmats entry; Mosaic
+            # rejects negative ref indices (-1 lowers to a bad constant)
+            sel = dmat_ref[dmat_ref.shape[0] - 1]
+            return jax.lax.dot_general(
+                blk, sel[:ac8], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=hi,
+            ).astype(dtype)[:R]
         return geo_ref[gi, sub]
 
     if op == "mass":
@@ -544,7 +556,7 @@ def _kernel_resident(
     out_ref,  # [padded_rows, 128] ANY (aliased input)
     xacc, yacc, ye, sem,  # scratch
     *, H, R, kg, ks, nr, ext, n_ov, affine, C, nrows, op, coeff, dtype,
-    rpc=1,
+    rpc=1, acpr=1, ac8=8,
 ):
     """VMEM-RESIDENT variant: the whole dof vector (x AND the output
     accumulator) lives in VMEM for the entire grid — one inbound DMA at
@@ -584,6 +596,7 @@ def _kernel_resident(
             ovt_ref, mA_ref, mB_ref, geo_ref, dmat_ref, ye,
             H=H, R=R, kg=kg, ks=ks, nr=nr, n_ov=n_ov, affine=affine,
             op=op, coeff=coeff, dtype=dtype, f32=f32, hi=hi, rpc=rpc,
+            acpr=acpr, ac8=ac8,
         )
         ywadd = (halves[0] if len(halves) == 1
                  else jnp.concatenate(halves, axis=0))
@@ -630,9 +643,13 @@ def make_general_apply(
 
     ``affine_w``: nodal quadrature weights [nd] — switches to the
     rank-1 affine-cell geometry form: ``geo`` is then the per-CELL
-    [nbatch, 128, 8] table (lanes 0-5 = g6 for stiffness, lane 0 =
-    |detJ| for mass) and the kernel reconstructs G = g6 * w by folding
-    w into the static contraction matrices.
+    [ngeo, nbatch, 128, ac8] table (ngeo = 6 g6 entries for stiffness,
+    1 |detJ| for mass; minor lane g holds the constant of the cell
+    packed at lane block g of that element-tile row, ac8 = cpr rounded
+    up to 8) and the kernel reconstructs G = g6 * w by folding w into
+    the static contraction matrices (cpr > 1 additionally expands the
+    per-block constants to their nd-lane spans with one static 0/1
+    selector matmul appended at dmats[-1]).
     """
     tb = tables
     npdt = np.dtype(dtype)
@@ -642,13 +659,36 @@ def make_general_apply(
             "split-row cells (nd > 127) support only full per-node "
             "factors (the rank-1 affine form assumes single-row cells)"
         )
+    acpr = tb.cpr if affine else 1
+    ac8 = max(8, -(-acpr // 8) * 8)
+
+    def tiled_w():
+        # quadrature weights replicated over the cpr lane blocks (the
+        # contraction matrices are block-diagonal with span nd)
+        wv = np.zeros(_LANES, npdt)
+        w1 = np.asarray(affine_w, npdt)
+        for g in range(tb.cpr):
+            wv[g * tb.nd : g * tb.nd + tb.nd] = w1
+        return wv
+
+    def block_selector():
+        # [128, 128] 0/1 selector: row g covers lane block g, so
+        # blk[128, ac8] @ sel[:ac8] broadcasts each per-block constant
+        # across its cell's nd lanes (pad lanes stay zero — preserves
+        # the lane-127 scatter sentinel)
+        sel = np.zeros((1, _LANES, _LANES), npdt)
+        for g in range(tb.cpr):
+            sel[0, g, g * tb.nd : (g + 1) * tb.nd] = 1
+        return sel
+
     if op == "stiffness":
         dmats = contraction_matrices(p, tb.cpr, np.asarray(D1), npdt,
                                      rpc=tb.rpc)
         if affine:
-            wv = np.zeros(_LANES, npdt)
-            wv[: tb.nd] = np.asarray(affine_w, npdt)
+            wv = tiled_w()
             dmats = np.concatenate([dmats, wv[:, None] * dmats])
+            if acpr > 1:
+                dmats = np.concatenate([dmats, block_selector()])
     elif op == "mass_gauss":
         # geo = pack_cell_qvalues(tb, detJw[nc, nq], T) q-tiles;
         # Bq = [nq, nd] 3D interpolation matrix
@@ -672,14 +712,19 @@ def make_general_apply(
             raise ValueError("stiffness_gauss: geo tiles != 2 * D tiles")
     else:
         if affine:
-            wv = np.zeros(_LANES, npdt)
-            wv[: tb.nd] = np.asarray(affine_w, npdt)
-            dmats = np.broadcast_to(
-                wv, (_LANES, _LANES)
-            )[None].astype(npdt)
+            dmats = np.ascontiguousarray(
+                np.broadcast_to(tiled_w(), (_LANES, _LANES))[None]
+            )
+            if acpr > 1:
+                dmats = np.concatenate([dmats, block_selector()])
         else:
             dmats = np.zeros((3, _LANES, _LANES), npdt)
     geo = np.ascontiguousarray(geo, dtype=npdt)
+    if affine and geo.shape[1:] != (tb.nbatch, _LANES, ac8):
+        raise ValueError(
+            f"affine geo must be [ngeo, nbatch, 128, {ac8}], got "
+            f"{geo.shape}"
+        )
 
     # sparse gather tail -> per-entry overflow slots (only on the
     # default path: explicit kg pins the dense-chain form for ablations)
@@ -718,10 +763,10 @@ def make_general_apply(
     nb_pad = -(-tb.nbatch // C) * C
     call = make_general_call(
         H=tb.H, R=tb.R, kg=kg, ks=ks, nr=nr, ext=tb.extents,
-        n_ov=n_ov, ngeo=(0 if affine else geo.shape[0]), affine=affine,
+        n_ov=n_ov, ngeo=geo.shape[0], affine=affine,
         nrows=tb.padded_rows, nbatch=nb_pad, op=op, coeff=coeff,
         dtype=dtype, interpret=interpret, coarsen=C, resident=resident,
-        rpc=tb.rpc,
+        rpc=tb.rpc, acpr=acpr, ac8=ac8,
     )
     nrows = tb.padded_rows
     # tables stay NumPy: they become per-trace compile-time constants and
@@ -777,7 +822,7 @@ def make_general_apply(
         ovp[:, :, 0, :] = tb.H - 1
         ovp[:, :, 3, :] = _LANES - 1
         ovt = np.concatenate([ovt, ovp], axis=1)
-        geo = padb(geo, 0 if affine else 1, 0)
+        geo = padb(geo, 1, 0)
     if idx_dtype is not None:
         # wider index tables trade DMA for the in-kernel upcasts
         g_lane, g_rowt, s_rowt, s_nlane = (
@@ -817,7 +862,7 @@ def transposed_row_tables(tb) -> tuple[np.ndarray, np.ndarray]:
 def make_general_call(
     *, H, R, kg, ks, ngeo, nrows, nbatch, op, coeff, dtype,
     interpret=None, nr=0, ext=1, n_ov=0, affine=False, coarsen=1,
-    resident=False, rpc=1,
+    resident=False, rpc=1, acpr=1, ac8=8,
 ):
     """The compiled program alone (no table capture):
     ``call(start_rows, y0, xv, g_lane, g_row, s_row, s_nlane, ovt, mA,
@@ -838,13 +883,14 @@ def make_general_call(
         kern = functools.partial(
             _kernel_resident, H=H, R=R, kg=kg, ks=ks, nr=nr, ext=ext,
             n_ov=n_ov, affine=affine, C=C, nrows=nrows, op=op,
-            coeff=npdt.type(coeff), dtype=dtype, rpc=rpc,
+            coeff=npdt.type(coeff), dtype=dtype, rpc=rpc, acpr=acpr,
+            ac8=ac8,
         )
     else:
         kern = functools.partial(
             _kernel, H=H, R=R, kg=kg, ks=ks, nr=nr, ext=ext, n_ov=n_ov,
             affine=affine, C=C, op=op, coeff=npdt.type(coeff),
-            dtype=dtype, rpc=rpc,
+            dtype=dtype, rpc=rpc, acpr=acpr, ac8=ac8,
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -869,8 +915,9 @@ def make_general_call(
             chain_spec(max(nr, 1), _LANES, _LANES),  # merge A
             chain_spec(max(nr, 1), _LANES, _LANES),  # merge B
             # geo: full per-node factors, or the rank-1 per-cell table
-            # (lane dim 8 == its array dim)
-            (pl.BlockSpec((C, _LANES, 8), lambda i, *_: (i, 0, 0),
+            # (minor dim ac8 == its array dim)
+            (pl.BlockSpec((ngeo, C, _LANES, ac8),
+                          lambda i, *_: (0, i, 0, 0),
                           memory_space=pltpu.VMEM)
              if affine else chain_spec(ngeo, R)),  # geo
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dmats (whole)

@@ -458,10 +458,13 @@ class GeneralOperators:
         streams full per-qpoint factors (common/precompute.hpp:148-176)
         — this specialization is free accuracy-preserving bandwidth on
         the (very common) affine-cell meshes."""
+        import os
+
         tb = self._fused_tables
         af = self._affine_small
         if (tb is None or tb.rpc != 1 or af is None
-                or not self._tab.collocated):
+                or not self._tab.collocated
+                or os.environ.get("WAVE_FENICS_TPU_NO_AFFINE")):
             return None
         g6, dJ = af["g6"], af["dJ"]  # [6, nc], [nc] — detected at init
         npdt = np.dtype(self.dtype)

@@ -112,11 +112,28 @@ def main():
     # compiler rejects >~100 MB bodies at production mesh sizes)
     from ..utils.closure import hoisted_jit
 
+    # dynamic trip count: ONE executable serves both measurement
+    # points (bench.py's solver trick), and the two-point difference
+    # cancels the per-measurement fixed cost — tunnel RTT + dispatch +
+    # the sync transfer — which at reps=50 inflated ms_per_apply by
+    # RTT/reps (0.1-0.6 ms/apply depending on the session's RTT;
+    # docs/BENCH_NOTES.md round 3g: a 26 ms-RTT session mis-read p=2
+    # mass as 0.78 ms when the kernel runs 0.31 ms).
     run = hoisted_jit(
-        lambda x: lax.fori_loop(0, reps, lambda i, a: f(a), x), x
+        lambda x, n: lax.fori_loop(0, n, lambda i, a: f(a), x),
+        x, jnp.asarray(reps, jnp.int32),
     )
-    compile_with_retry(run, x)
-    t = timeit(run, x, reps=3, warmup=1) / reps
+    compile_with_retry(run, x, jnp.asarray(reps, jnp.int32))
+    if reps >= 8:
+        r_lo = reps // 4
+        t_hi = timeit(run, x, jnp.asarray(reps, jnp.int32),
+                      reps=3, warmup=1)
+        t_lo = timeit(run, x, jnp.asarray(r_lo, jnp.int32),
+                      reps=3, warmup=1)
+        t = max(t_hi - t_lo, 1e-9) / (reps - r_lo)
+    else:
+        t = timeit(run, x, jnp.asarray(reps, jnp.int32),
+                   reps=3, warmup=1) / reps
 
     out = {"metric": f"{args.op} matvec", "degree": p, "ndofs": ndofs,
            "dtype": args.dtype, "ms_per_apply": round(t * 1e3, 4),

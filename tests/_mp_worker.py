@@ -12,8 +12,11 @@ Usage: python _mp_worker.py PORT PROC_ID NUM_PROCS OUTDIR PARTS MODE
 
 PARTS: comma list like "4,1,1" (2-axis splits exercise corner/edge
 exchanges across the process boundary); MODE: "stage" (per-stage
-halo-add solve_n) or "step" (value-halo fused-step solve_step_n across
-processes).
+halo-add solve_n), "step" (value-halo fused-step solve_step_n across
+processes), or "general-{allgather,ppermute}" (the UNSTRUCTURED
+ShardedGeneralWave path — RCB cell partition + interface assembly
+collective — across the process boundary, the VectorUpdater analogue of
+demo/gpu_scatter_mpi/main.cpp:105-160).
 """
 
 import json
@@ -25,6 +28,25 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 2)
 jax.config.update("jax_enable_x64", True)
+
+
+def general_facet_tags(mesh):
+    """Source/ABC x-face quads (tensor vertex order) for the general
+    model on the test box; shared with the parent's reference solve."""
+    import numpy as np
+
+    hm = mesh.to_hex_mesh()
+    L = float(hm.points[:, 0].max())
+
+    def xquads(x0, vids):
+        ids = set(np.where(np.abs(hm.points[:, 0] - x0) < 1e-12)[0]
+                  .tolist())
+        return np.asarray(
+            [[c[v] for v in vids] for c in hm.cells
+             if all(c[v] in ids for v in vids)]
+        )
+
+    return {1: xquads(0.0, (0, 2, 4, 6)), 2: xquads(L, (1, 3, 5, 7))}
 
 
 def main():
@@ -58,10 +80,39 @@ def main():
     tags = FacetTags({1: (0,), 2: (1,)})
     mesh = box_mesh((4, 4, 2), (1.0e-2, 1.0e-2, 0.5e-2), facet_tags=tags)
     model = LinearWave(mesh, p=3, c0=1500.0, freq0=0.5e6, dtype=jnp.float64)
-    sw = ShardedPaddedWave(model, parts=parts)
 
     dt = 1.0e-8
     nsteps = 5
+    if mode.startswith("general"):
+        # the UNSTRUCTURED distributed path across a real process
+        # boundary: Gloo-backed all_gather / edge-colored ppermute rounds
+        from wave_fenics_tpu.models.general_wave import GeneralLinearWave
+        from wave_fenics_tpu.parallel.sharded_general import (
+            ShardedGeneralWave,
+        )
+
+        gm = GeneralLinearWave(
+            mesh=mesh.to_hex_mesh(), p=3,
+            facet_tags=general_facet_tags(mesh),
+            c0=1500.0, freq0=0.5e6, dtype=jnp.float64,
+        )
+        sg = ShardedGeneralWave(gm, 4, exchange=mode.split("-")[1])
+        assert sg.exchange_mode == mode.split("-")[1]
+        u, v, _ = sg.solve_n(0.0, dt, nsteps)
+        u_all = multihost_utils.process_allgather(u, tiled=True)
+        v_all = multihost_utils.process_allgather(v, tiled=True)
+        if pid == 0:
+            ug = sg.to_global(np.asarray(u_all))
+            vg = sg.to_global(np.asarray(v_all))
+            np.save(os.path.join(outdir, "u.npy"), ug)
+            np.save(os.path.join(outdir, "v.npy"), vg)
+            print(json.dumps({"u_l2": float(np.linalg.norm(ug)),
+                              "v_l2": float(np.linalg.norm(vg))}),
+                  flush=True)
+        print(f"proc {pid} done", flush=True)
+        return
+    sw = ShardedPaddedWave(model, parts=parts)
+
     if mode == "step":
         assert sw._step_tables is not None, "step path must apply here"
         u, v, _ = sw.solve_step_n(0.0, dt, nsteps)

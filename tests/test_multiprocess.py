@@ -32,7 +32,12 @@ def _free_port() -> int:
     "parts,mode",
     [("4,1,1", "stage"),   # 1-axis split, per-stage halo-add
      ("2,2,1", "stage"),   # 2-axis split: corner/edge exchange across procs
-     ("2,2,1", "step")],   # value-halo fused-step mode across procs
+     ("2,2,1", "step"),    # value-halo fused-step mode across procs
+     # UNSTRUCTURED ShardedGeneralWave (RCB partition) across the process
+     # boundary, both interface-assembly collectives — the VectorUpdater
+     # redesign's real multi-rank proof (gpu_scatter_mpi/main.cpp:105-160)
+     ("4,1,1", "general-allgather"),
+     ("4,1,1", "general-ppermute")],
 )
 def test_two_process_solve_matches_single(tmp_path, parts, mode):
     here = os.path.dirname(os.path.abspath(__file__))
@@ -79,9 +84,34 @@ def test_two_process_solve_matches_single(tmp_path, parts, mode):
 
     tags = FacetTags({1: (0,), 2: (1,)})
     mesh = box_mesh((4, 4, 2), (1.0e-2, 1.0e-2, 0.5e-2), facet_tags=tags)
-    model = LinearWave(mesh, p=3, c0=1500.0, freq0=0.5e6, dtype=jnp.float64)
-    u0, v0 = model.zero_state()
-    u_ref, v_ref, _ = model.solve(0.0, 5 * 1.0e-8, 1.0e-8, u0, v0)
+    if mode.startswith("general"):
+        from wave_fenics_tpu.models.general_wave import GeneralLinearWave
+
+        # same tag construction as _mp_worker.general_facet_tags (not
+        # imported: the worker module reconfigures jax at import time)
+        hm = mesh.to_hex_mesh()
+        L = float(hm.points[:, 0].max())
+
+        def xquads(x0, vids):
+            ids = set(np.where(np.abs(hm.points[:, 0] - x0) < 1e-12)[0]
+                      .tolist())
+            return np.asarray(
+                [[c[v] for v in vids] for c in hm.cells
+                 if all(c[v] in ids for v in vids)]
+            )
+
+        gm = GeneralLinearWave(
+            mesh=hm, p=3,
+            facet_tags={1: xquads(0.0, (0, 2, 4, 6)),
+                        2: xquads(L, (1, 3, 5, 7))},
+            c0=1500.0, freq0=0.5e6, dtype=jnp.float64,
+        )
+        u_ref, v_ref = gm.solve_n(0.0, 1.0e-8, 5)
+    else:
+        model = LinearWave(mesh, p=3, c0=1500.0, freq0=0.5e6,
+                           dtype=jnp.float64)
+        u0, v0 = model.zero_state()
+        u_ref, v_ref, _ = model.solve(0.0, 5 * 1.0e-8, 1.0e-8, u0, v0)
 
     u_mp = np.load(tmp_path / "u.npy")
     v_mp = np.load(tmp_path / "v.npy")

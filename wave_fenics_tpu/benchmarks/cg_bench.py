@@ -67,7 +67,7 @@ def _bp1_setup(mesh, p, dtype, precond, q=None):
 
 
 def main():
-    ap = make_parser(size=32, degree=2, reps=1)
+    ap = make_parser(size=32, degree=2, reps=8)
     ap.add_argument("--kmax", type=int, default=50)
     ap.add_argument("--rtol", type=float, default=1e-4)
     ap.add_argument("--ndev", type=int, default=1)
@@ -150,15 +150,67 @@ def main():
 
     x, k, rnorm = solve(b)
     iters = int(k)
-    t = timeit(solve, b, reps=3, warmup=1)
-    report(
-        metric=f"CG {args.op} mass (Dofs*iteration/s, utils.hpp:58-64)",
+
+    # RTT-free two-point timing: ONE dynamic-trip executable runs n
+    # chained CG solves (the reported dofs*iter/s previously carried the
+    # tunnel RTT of every timed dispatch — at bp1 p=1 the recorded
+    # 87.9 ms "solve" was mostly dispatch, its matvecs total ~4.9 ms).
+    # The carry chains as b + eps*x_prev with runtime eps = 0 — bitwise
+    # the same solve every trip, but XLA cannot hoist the loop body.
+    from jax import lax
+
+    from ..utils.closure import hoisted_jit
+
+    def loop(b, n, eps):
+        def body(i, a):
+            xs, _, _ = cg(matvec, b + eps * a, kmax=args.kmax,
+                          rtol=args.rtol, dot=dot, precond=precond)
+            return xs
+        return lax.fori_loop(0, n, body, jnp.zeros_like(b))
+
+    reps = max(args.reps, 1)
+    eps0 = jnp.zeros((), dtype=b.dtype)
+    run = hoisted_jit(loop, b, jnp.asarray(reps, jnp.int32), eps0)
+    run(b, jnp.asarray(reps, jnp.int32), eps0)  # compile
+    if reps >= 8:
+        r_lo = reps // 4
+        t_hi = timeit(run, b, jnp.asarray(reps, jnp.int32), eps0,
+                      reps=3, warmup=1)
+        t_lo = timeit(run, b, jnp.asarray(r_lo, jnp.int32), eps0,
+                      reps=3, warmup=1)
+        t = max(t_hi - t_lo, 1e-9) / (reps - r_lo)
+    else:
+        t = timeit(run, b, jnp.asarray(reps, jnp.int32), eps0,
+                   reps=3, warmup=1) / reps
+    op_label = args.op if args.ndev == 1 else "spectral sharded"
+    out = dict(
+        metric=f"CG {op_label} mass (Dofs*iteration/s, utils.hpp:58-64)",
         s=args.s, degree=p, ndofs=ndofs, iters=iters, ndev=args.ndev,
         dtype=args.dtype, precond=bool(args.precond),
-        ms_total=round(t * 1e3, 3),
+        ms_total=round(t * 1e3, 3), timing="two-point",
         dofs_iter_per_s=round(ndofs * iters / t, 1),
         gdofs_iter_per_s=round(ndofs * iters / t / 1e9, 4),
     )
+    if args.ndev > 1:
+        # distributed-CG iteration parity: the sharded solve must take
+        # EXACTLY the single-device iteration count (the ownership-
+        # weighted psum dot reproduces the global dot bitwise-tightly;
+        # reference: demo/gpu_cg/CUDA/cg.hpp:37-121's MPI_Allreduce).
+        # Perf on the virtual CPU mesh is a correctness record only —
+        # real multi-chip rates wait on pod hardware.
+        ops1 = StructuredOperators(mesh, p, dtype=dtype)
+        b1 = jnp.asarray(  # same seed/draw as the sharded b above
+            np.random.default_rng(0).standard_normal(ops1.grid_shape),
+            dtype=dtype,
+        )
+        _, k1, _ = jax.jit(
+            lambda bb: cg(ops1.spectral_mass, bb, kmax=args.kmax,
+                          rtol=args.rtol)
+        )(b1)
+        out["iters_single_device"] = int(k1)
+        out["iteration_parity"] = bool(int(k1) == iters)
+        assert out["iteration_parity"], (iters, int(k1))
+    report(**out)
 
 
 if __name__ == "__main__":

@@ -99,6 +99,43 @@ def compile_with_retry(fn, *args, tries: int = 3):
                   file=sys.stderr, flush=True)
 
 
+def two_point_time(body, x0, reps: int, *, timeit_reps: int = 3,
+                   warmup: int = 1) -> float:
+    """RTT-free seconds per application of ``body`` (a carry -> carry
+    map): builds ONE dynamic-trip-count executable
+    ``fori_loop(0, n, body, x0)``, times it at ``reps`` and ``reps//4``
+    trips, and divides the difference by the trip-count difference —
+    the per-measurement fixed cost (tunnel RTT + dispatch + the sync
+    transfer) cancels exactly, and one executable means the canary and
+    the timed window share a compilation (docs/BENCH_NOTES.md round 3g:
+    at reps=50 the old single-point loops inflated every ms_per_apply
+    by RTT/reps, up to 2.7x at low degree).
+
+    ``body`` takes (i, carry) like a fori_loop body and must CHAIN the
+    carry (a loop-invariant body would be hoisted by XLA)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..utils.closure import hoisted_jit
+    from ..utils.timing import timeit
+
+    run = hoisted_jit(
+        lambda x, n: lax.fori_loop(0, n, body, x),
+        x0, jnp.asarray(reps, jnp.int32),
+    )
+    compile_with_retry(run, x0, jnp.asarray(reps, jnp.int32))
+    if reps >= 8:
+        r_lo = reps // 4
+        t_hi = timeit(run, x0, jnp.asarray(reps, jnp.int32),
+                      reps=timeit_reps, warmup=warmup)
+        t_lo = timeit(run, x0, jnp.asarray(r_lo, jnp.int32),
+                      reps=timeit_reps, warmup=warmup)
+        return max(t_hi - t_lo, 1e-9) / (reps - r_lo)
+    return timeit(run, x0, jnp.asarray(reps, jnp.int32),
+                  reps=timeit_reps, warmup=warmup) / reps
+
+
 def report(**kv) -> None:
     """One JSON line, reference-table fields included
     (utils.hpp:48-87 analogue)."""

@@ -16,17 +16,15 @@ Metric: DOF/s (size_local/t of the reference).
 
 from __future__ import annotations
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from ..core.dofmap import build_dofmap
 from ..core.mesh import box_mesh
 from ..ops.operators import GeneralOperators, StructuredOperators
-from ..utils.timing import timeit
-from .common import (apply_platform, cells_from_args, compile_with_retry,
-                     make_parser, report, resolve_dtype)
+from .common import (apply_platform, cells_from_args, make_parser, report,
+                     resolve_dtype, two_point_time)
 
 
 def main():
@@ -107,37 +105,15 @@ def main():
 
     reps = args.reps
 
-    # hoisted_jit: operator tables/geometric factors become runtime
-    # arguments, not HLO literals (utils/closure.py — the remote
-    # compiler rejects >~100 MB bodies at production mesh sizes)
-    from ..utils.closure import hoisted_jit
-
-    # dynamic trip count: ONE executable serves both measurement
-    # points (bench.py's solver trick), and the two-point difference
-    # cancels the per-measurement fixed cost — tunnel RTT + dispatch +
-    # the sync transfer — which at reps=50 inflated ms_per_apply by
-    # RTT/reps (0.1-0.6 ms/apply depending on the session's RTT;
-    # docs/BENCH_NOTES.md round 3g: a 26 ms-RTT session mis-read p=2
-    # mass as 0.78 ms when the kernel runs 0.31 ms).
-    run = hoisted_jit(
-        lambda x, n: lax.fori_loop(0, n, lambda i, a: f(a), x),
-        x, jnp.asarray(reps, jnp.int32),
-    )
-    compile_with_retry(run, x, jnp.asarray(reps, jnp.int32))
-    if reps >= 8:
-        r_lo = reps // 4
-        t_hi = timeit(run, x, jnp.asarray(reps, jnp.int32),
-                      reps=3, warmup=1)
-        t_lo = timeit(run, x, jnp.asarray(r_lo, jnp.int32),
-                      reps=3, warmup=1)
-        t = max(t_hi - t_lo, 1e-9) / (reps - r_lo)
-    else:
-        t = timeit(run, x, jnp.asarray(reps, jnp.int32),
-                   reps=3, warmup=1) / reps
+    # RTT-free two-point timing of ONE dynamic-trip executable; operator
+    # tables are hoisted to runtime args inside (the remote compiler
+    # rejects >~100 MB literal bodies at production mesh sizes)
+    t = two_point_time(lambda i, a: f(a), x, reps)
 
     out = {"metric": f"{args.op} matvec", "degree": p, "ndofs": ndofs,
            "dtype": args.dtype, "ms_per_apply": round(t * 1e3, 4),
-           "gdofs_per_s": round(ndofs / t / 1e9, 4)}
+           "gdofs_per_s": round(ndofs / t / 1e9, 4),
+           "timing": "two-point"}
     if getattr(args, "resident", False):
         out["variant"] = "resident"
 

@@ -23,7 +23,23 @@ from ..core.dofmap import StructuredDofGrid
 from ..core.mesh import box_mesh
 from ..ops import gather_scatter as gs
 from ..utils.timing import timeit
-from .common import apply_platform, make_parser, report, resolve_dtype
+from .common import (apply_platform, make_parser, report, resolve_dtype,
+                     two_point_time)
+
+
+def _two_point_sharded(run, x, reps):
+    """RTT-free per-exchange seconds for a jitted sharded ``run(x, n)``
+    with a dynamic trip count (same two-point method as
+    common.two_point_time, adapted to shard_map programs where the
+    fori_loop lives inside the per-device body)."""
+    n_hi = jnp.asarray(reps, jnp.int32)
+    run(x, n_hi)  # compile once; both points share this executable
+    if reps < 8:
+        return timeit(run, x, n_hi, reps=3, warmup=1) / reps
+    r_lo = reps // 4
+    t_hi = timeit(run, x, n_hi, reps=3, warmup=1)
+    t_lo = timeit(run, x, jnp.asarray(r_lo, jnp.int32), reps=3, warmup=1)
+    return max(t_hi - t_lo, 1e-9) / (reps - r_lo)
 
 
 def main():
@@ -54,17 +70,16 @@ def main():
             np.random.default_rng(0).standard_normal(dg.grid_shape), dtype=dtype
         )
 
-        @jax.jit
-        def run(x):
-            def body(i, a):
-                return gs.scatter_grid(gs.gather_grid(a, p), p, mesh.shape)
-            return lax.fori_loop(0, reps, body, x)
-
-        t = timeit(run, x, reps=3, warmup=1) / reps
+        t = two_point_time(
+            lambda i, a: gs.scatter_grid(
+                gs.gather_grid(a, p), p, mesh.shape
+            ),
+            x, reps,
+        )
         report(
             metric="structured gather+scatter roundtrip",
             ndofs=dg.ndofs, degree=p, dtype=args.dtype,
-            ms=round(t * 1e3, 4),
+            ms=round(t * 1e3, 4), timing="two-point",
             gdofs_per_s=round(dg.ndofs / t / 1e9, 4),
         )
     elif args.mode == "general-halo":
@@ -86,22 +101,24 @@ def main():
         names = [n for n in ("bidx", "recv", "sidx", "ridx") if n in tb]
         specs = tuple(tb[n].sharding.spec for n in names)
 
-        def local(xb, *ops):
-            tloc = {n: o.reshape(o.shape[1:])
-                    for n, o in zip(names, ops)}
+        from jax.sharding import PartitionSpec as P
+
+        def local(xb, n, *ops):
+            tloc = {nm: o.reshape(o.shape[1:])
+                    for nm, o in zip(names, ops)}
             sq = xb.reshape(xb.shape[1:])
             out = lax.fori_loop(
-                0, reps, lambda i, a: sw._assemble(a, tloc), sq
+                0, n[0], lambda i, a: sw._assemble(a, tloc), sq
             )
             return out.reshape(xb.shape)
 
         run = jax.jit(shard_map(
             local, mesh=sw.mesh,
-            in_specs=(sw.state_spec,) + specs,
+            in_specs=(sw.state_spec, P(None)) + specs,
             out_specs=sw.state_spec, check_vma=False,
         ))
-        f = lambda x: run(x, *[tb[n] for n in names])
-        t = timeit(f, u, reps=3, warmup=1) / reps
+        f = lambda x, n: run(x, n.reshape(1), *[tb[nm] for nm in names])
+        t = _two_point_sharded(f, u, reps)
         ns = sw._nbr_setup
         extra = (
             dict(rounds=ns["NR"], bucket_slots=ns["Sb"])
@@ -111,7 +128,8 @@ def main():
         report(
             metric=f"unstructured interface assembly ({sw.exchange_mode})",
             ndev=args.ndev, ndofs=gm.ndofs, degree=p, dtype=args.dtype,
-            us_per_exchange=round(t * 1e6, 2), **extra,
+            us_per_exchange=round(t * 1e6, 2), timing="two-point",
+            **extra,
         )
     else:
         from ..models.linear_wave import LinearWave
@@ -125,23 +143,26 @@ def main():
         u, _ = sw.zero_state()
         parts = sw.parts
 
+        from jax.sharding import PartitionSpec as P
+
         def make(fn):
-            def local(xb):
+            def local(xb, n):
                 sq = xb.reshape(xb.shape[3:])
                 return lax.fori_loop(
-                    0, reps, lambda i, a: fn(a, parts), sq
+                    0, n[0], lambda i, a: fn(a, parts), sq
                 ).reshape(xb.shape)
-            return jax.jit(shard_map(
-                local, mesh=sw.mesh, in_specs=(_BLOCK_SPEC,),
+            run = jax.jit(shard_map(
+                local, mesh=sw.mesh, in_specs=(_BLOCK_SPEC, P(None)),
                 out_specs=_BLOCK_SPEC,
             ))
+            return lambda x, n: run(x, n.reshape(1))
 
         # halo_add = reverse (sum partials) + forward (sync copies); the
         # reference times update_rev/update_fwd separately
         # (demo/gpu_scatter_mpi/main.cpp:105-160) — halo_sync is its fwd
         run_add, run_fwd = make(halo_add), make(halo_sync)
-        t = timeit(run_add, u, reps=3, warmup=1) / reps
-        t_fwd = timeit(run_fwd, u, reps=3, warmup=1) / reps
+        t = _two_point_sharded(run_add, u, reps)
+        t_fwd = _two_point_sharded(run_fwd, u, reps)
         face = (
             sw.block_shape[1] * sw.block_shape[2] * np.dtype(dtype).itemsize
         )
@@ -150,6 +171,7 @@ def main():
             ndev=args.ndev, parts=list(parts), degree=p, dtype=args.dtype,
             us_per_exchange=round(t * 1e6, 2),
             us_per_fwd_sync=round(t_fwd * 1e6, 2),
+            timing="two-point",
             face_bytes=face,
         )
 

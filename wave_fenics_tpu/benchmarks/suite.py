@@ -152,6 +152,14 @@ def main():
         run("operators_bench", "--op", "bp1-mass", "--size", "128",
             "--degree", "1", "--reps", reps)
         run("cg_bench", "--size", "128", "--degree", "1")
+    # distributed CG record (8-device virtual mesh): iteration count must
+    # match single-device exactly (cg_bench asserts and records parity —
+    # demo/gpu_cg/CUDA/cg.hpp:37-121 + submit-multinode.sh analogue);
+    # the RATE on a virtual CPU mesh is a correctness record, real
+    # multi-chip perf waits on pod hardware
+    _run(args.out, results, "cg_bench", "--size",
+         "16" if args.quick else "32", "--degree", "4", "--ndev", "8",
+         "--platform", "cpu")
     run("scatter_bench", "--mode", "local", "--size", size, "--check")
     # multi-device halo exchange record (ndev=8 virtual CPU mesh here;
     # measures the fixed-shape exchange program the real slice would run

@@ -15,15 +15,13 @@ Run: python -m wave_fenics_tpu.benchmarks.tsmm [--ncells N] [--degree P]
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from ..core.basis import tabulate_1d
 from ..ops.element_kernels import interp3, interp3_t
-from ..utils.timing import timeit
-from .common import apply_platform, make_parser, report, resolve_dtype
+from .common import (apply_platform, make_parser, report, resolve_dtype,
+                     two_point_time)
 
 
 def main():
@@ -44,13 +42,12 @@ def main():
 
     reps = args.reps
 
-    @jax.jit
-    def run(u):
-        def body(i, a):
-            return interp3_t(interp3(a, B), B)[:, : nd1, : nd1, : nd1]
-        return lax.fori_loop(0, reps, body, u)
-
-    t = timeit(run, u, reps=3, warmup=1) / reps
+    # RTT-free two-point timing (one dynamic-trip executable; the body
+    # chains the carry so XLA cannot hoist it)
+    t = two_point_time(
+        lambda i, a: interp3_t(interp3(a, B), B)[:, :nd1, :nd1, :nd1],
+        u, reps,
+    )
     nd3, nq3 = nd1**3, nq1**3
     flops_ref = 4.0 * nc * nd3 * nd3  # reference dense model (tsmm main.cpp:58)
     # sum-factorized: interp = nq*nd^3 + nq^2*nd^2 + nq^3*nd MACs; x2 for
@@ -62,6 +59,7 @@ def main():
         metric="tsmm interp+project",
         ncells=nc, ndofs=nd3, nq=nq3, degree=p, dtype=args.dtype,
         ms_per_apply=round(t * 1e3, 4),
+        timing="two-point",
         gflops_ref=round(flops_ref / t / 1e9, 2),
         gflops=round(flops_sf / t / 1e9, 2),
         gdofs_per_s=round(nc * nd3 / t / 1e9, 3),

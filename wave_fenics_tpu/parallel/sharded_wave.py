@@ -143,12 +143,14 @@ class ShardedLinearWave:
         return self._blocked(1.0 / m)
 
     @cached_property
-    def own_w(self) -> jax.Array:
+    def own_w(self) -> np.ndarray:
+        """Ownership weights as a NumPy constant: kept OFF-device so the
+        cached value can never be a leaked tracer when ``dot`` is first
+        called inside a jit trace and later retraced (jnp ops treat the
+        NumPy array as a compile-time constant; GSPMD shards it to match
+        the blocked operand)."""
         w = ownership_weights(self.parts, self.block_shape)
-        return jax.device_put(
-            jnp.asarray(w, dtype=self.model.dtype),
-            NamedSharding(self.mesh, _BLOCK_SPEC),
-        )
+        return np.asarray(w, dtype=np.dtype(self.model.dtype))
 
     # -- state ----------------------------------------------------------
     def zero_state(self):

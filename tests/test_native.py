@@ -133,7 +133,7 @@ def test_native_scatter_merge_exact(p, cells):
     assert mg is not None and mg.ks < tb.ks
     rng = np.random.default_rng(2)
     ye = rng.standard_normal((tb.nbatch, tb.H, 128))
-    ye[:, :, 127] = 0.0  # sentinel lane is zero by kernel construction
+    # lane 127 is REAL data under full-lane packing; rows >= R are zero
     ye[:, tb.R:, :] = 0.0
     y_m = reference_merge_scatter(tb, mg, ye, dm.ndofs)
     y_p = reference_scatter(tb, ye, dm.ndofs)

@@ -180,7 +180,8 @@ def test_scatter_merge_exact(p, cells):
     assert mg is not None and mg.ks < tb.ks
     rng = np.random.default_rng(1)
     ye = rng.standard_normal((tb.nbatch, tb.H, 128))
-    ye[:, :, 127] = 0.0  # kernel-guaranteed zero sentinel lane
+    # lane 127 is REAL data under full-lane packing (the scatter
+    # sentinel is masked, not a reserved lane); only rows >= R are zero
     ye[:, tb.R :, :] = 0.0
     y_chain = reference_scatter(tb, ye, dofs.ndofs)
     y_merge = reference_merge_scatter(tb, mg, ye, dofs.ndofs)
@@ -280,7 +281,7 @@ def test_affine_rank1_geometry_exact():
     A = np.array([[1.0, 0.3, 0.1], [0.0, 0.9, 0.2], [0.0, 0.0, 1.1]])
     sheared = HexMesh(points=bm.points @ A.T, cells=bm.cells)
     rng = np.random.default_rng(0)
-    # p=4: cpr=1 (lane-0 broadcast); p=2: cpr=4 and p=1: cpr=15 (the
+    # p=4: cpr=1 (lane-0 broadcast); p=2: cpr=4 and p=1: cpr=16 (the
     # packed-block form with the static selector expansion)
     for hm, p, expect_affine in ((sheared, 4, True), (sheared, 2, True),
                                  (sheared, 1, True),

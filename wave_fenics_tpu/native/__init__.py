@@ -142,7 +142,8 @@ def assign_chains(
     g_row = np.full((max_g, R, 128), H - 1, np.int16)
     s_row = np.zeros((max_s, H, 128), np.int16)
     s_set = np.zeros((max_s, H, 128), np.uint8)
-    s_nlane = np.full((max_s, H, 128), 127, np.int16)
+    # scatter sentinel: logical 128 (int8 storage later wraps to -128)
+    s_nlane = np.full((max_s, H, 128), 128, np.int16)
     s_used = np.zeros((max_s, H, 128), np.uint8)
     keep = np.zeros(ncand, np.uint8)
     lib.assign_chains(
@@ -171,11 +172,11 @@ def scatter_merge_batch(
     sn = np.ascontiguousarray(s_nlane, np.int8)
     Ks, H = sr.shape[0], sr.shape[1]
     A = np.zeros((max_rounds, 128, 128), np.int8)
-    B = np.full((max_rounds, 128, 128), 127, np.int8)
+    B = np.full((max_rounds, 128, 128), -128, np.int8)  # masked sentinel
     a_used = np.zeros((max_rounds, 128, 128), np.uint8)
     out_row = np.zeros((max_out, H, 128), np.int16)
     out_set = np.zeros((max_out, H, 128), np.uint8)
-    out_nlane = np.full((max_out, H, 128), 127, np.int16)
+    out_nlane = np.full((max_out, H, 128), 128, np.int16)  # sentinel
     ks_used = np.zeros(1, np.int64)
     rounds = lib.scatter_merge_batch(
         _ptr(sr, ctypes.c_int8), _ptr(sn, ctypes.c_int8), Ks, H,

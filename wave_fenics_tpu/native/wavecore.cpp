@@ -146,7 +146,8 @@ void box_cells(int64_t nx, int64_t ny, int64_t nz, int64_t* out_cells) {
 //   g_lane [max_g, H, 128] int16 = 0,  g_set [max_g, H, 128] u8 = 0
 //   g_row  [max_g, R, 128] int16 = H-1
 //   s_row  [max_s, H, 128] int16 = 0,  s_set [max_s, H, 128] u8 = 0
-//   s_nlane[max_s, H, 128] int16 = 127, s_used[max_s, H, 128] u8 = 0
+//   s_nlane[max_s, H, 128] int16 = 128 (the masked out-of-range lane
+//   sentinel; int8 storage wraps to -128), s_used [max_s, H, 128] u8 = 0
 // keep:  [ncand] u8 out. Returns the number of kept cells.
 // ---------------------------------------------------------------------------
 int64_t assign_chains(const int64_t* dofs, int64_t ncand, int64_t nd,
@@ -253,9 +254,10 @@ int64_t assign_chains(const int64_t* dofs, int64_t ncand, int64_t nd,
 // max_out; on any negative return the caller falls back to Python.
 //
 // s_row/s_nlane: [Ks, H, 128] int8 chain tables of this batch
-// A [max_rounds,128,128] int8 0-init, Bm 127-init, a_used u8 0-init
+// (scatter sentinel: -128 stored = logical lane 128, masked in-kernel)
+// A [max_rounds,128,128] int8 0-init, Bm (-128)-init, a_used u8 0-init
 // out_row [max_out, H, 128] int16 0-init, out_set u8 0-init,
-// out_nlane [max_out, H, 128] int16 127-init; ks_used out.
+// out_nlane [max_out, H, 128] int16 128-init; ks_used out.
 // ---------------------------------------------------------------------------
 int64_t scatter_merge_batch(const int8_t* s_row, const int8_t* s_nlane,
                             int64_t Ks, int64_t H, int64_t max_chains,
@@ -263,6 +265,7 @@ int64_t scatter_merge_batch(const int8_t* s_row, const int8_t* s_nlane,
                             int8_t* Bm, uint8_t* a_used, int16_t* out_row,
                             uint8_t* out_set, int16_t* out_nlane,
                             int64_t* ks_used) {
+  constexpr int8_t kSent8 = (int8_t)-128;  // logical lane 128, masked
   const int64_t HL = H * 128;
   // claim lists per window dof (t, l), ordered by chain index
   std::vector<std::pair<int32_t, std::array<int8_t, 2>>> flat;  // (tl,(r,c))
@@ -271,7 +274,7 @@ int64_t scatter_merge_batch(const int8_t* s_row, const int8_t* s_nlane,
     for (int64_t t = 0; t < H; ++t)
       for (int64_t l = 0; l < 128; ++l) {
         const int8_t c = s_nlane[j * HL + t * 128 + l];
-        if (c == 127) continue;
+        if (c == kSent8) continue;
         const int8_t r = s_row[j * HL + t * 128 + c];
         flat.push_back({(int32_t)(t * 128 + l), {r, c}});
       }
@@ -309,7 +312,7 @@ int64_t scatter_merge_batch(const int8_t* s_row, const int8_t* s_nlane,
           const auto& dd = ord ? lst[k] : lst[k + 1];
           const int r1 = kk[0], c1 = kk[1], r2 = dd[0], c2 = dd[1];
           if ((!Au[c2 * 128 + r1] || Ar[c2 * 128 + r1] == (int8_t)r2) &&
-              Br[r1 * 128 + c1] == 127) {
+              Br[r1 * 128 + c1] == kSent8) {
             Ar[c2 * 128 + r1] = (int8_t)r2;
             Au[c2 * 128 + r1] = 1;
             Br[r1 * 128 + c1] = (int8_t)c2;
@@ -342,7 +345,7 @@ int64_t scatter_merge_batch(const int8_t* s_row, const int8_t* s_nlane,
       uint8_t* set = out_set + j * HL + t * 128 + c;
       int16_t* lane = out_nlane + j * HL + t * 128 + l;
       if (!*set || *row == (int16_t)r) {
-        if (*lane == 127) {
+        if (*lane == 128) {
           *row = (int16_t)r;
           *set = 1;
           *lane = (int16_t)c;

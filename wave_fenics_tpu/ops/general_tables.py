@@ -19,8 +19,10 @@ Scheme (docs/DESIGN.md §7, realized):
    row)*128 + lane). Window row H-1 is zeroed in-kernel (sentinel).
 3. Element vectors live in a packed ``[H, 128]`` tile: cell slot ``b``
    occupies row ``b // cpr`` at lanes ``[(b % cpr)*nd, (b % cpr + 1)*nd)``
-   with ``cpr = 127 // nd`` cells per row — low degrees don't waste lanes
-   and don't explode the chain count below.
+   with ``cpr = 128 // nd`` cells per row (FULL-lane packing: the scatter
+   sentinel is a masked out-of-range lane value, not a reserved zero
+   lane) — low degrees don't waste lanes and don't explode the chain
+   count below. nd = 64 (p=3) packs 2 cells/row instead of 1.
 4. The element gather ``xe[b, n] = x[dofmap[b, n]]`` becomes Kg "chains",
    each chain two shape-preserving dynamic gathers:
        T_k[t, c]  = Xw[t, lane_k[t, c]]      (gather along lanes)
@@ -36,11 +38,12 @@ Scheme (docs/DESIGN.md §7, realized):
        Q_j[t, l] = P_j[t, nlane_j[t, l]]     (gather along lanes)
    Each dof copy (one per sharing cell) is claimed by one chain j; a dof
    shared by v cells in the batch needs v chains. Unclaimed (t, l) slots
-   point at lane 127, which is zero by construction (cpr*nd <= 127).
-   ``Yw += sum_j Q_j`` and the window is accumulated into the output with
-   a read-modify-write DMA (grid iterations are sequential on a
-   TensorCore, so overlapping windows of consecutive batches are
-   race-free by construction).
+   carry the OUT-OF-RANGE lane sentinel 128 (stored int8 as -128,
+   decoded in-kernel as ``v & 0xFF`` and masked) — no element lane is
+   reserved, so cells pack all 128 lanes. ``Yw += sum_j Q_j`` and the
+   window is accumulated into the output with a read-modify-write DMA
+   (grid iterations are sequential on a TensorCore, so overlapping
+   windows of consecutive batches are race-free by construction).
 6. Cells that overflow the window or the chain budget spill to the XLA
    indexed path; callers apply the fused kernel to the dense remainder
    and add the spill contribution.
@@ -60,6 +63,12 @@ __all__ = ["GeneralBatchTables", "build_batch_tables", "ScatterMerge",
            "build_gather_overflow"]
 
 _LANES = 128
+#: scatter/merge "unclaimed" sentinel: the out-of-range lane value 128.
+#: Stored in int8 tables as -128 (two's complement); decoded in-kernel /
+#: in-emulation as ``v & 0xFF`` == 128 and MASKED, so all 128 element
+#: lanes stay usable (full-lane packing, cpr = 128 // nd).
+_SENT_LANE = _LANES
+_SENT8 = np.int8(-128)
 
 
 @dataclass(frozen=True)
@@ -75,7 +84,7 @@ class GeneralBatchTables:
     R: int
     #: max cells per batch
     B: int
-    #: cells packed per element-tile row (cpr * nd <= 127)
+    #: cells packed per element-tile row (cpr * nd <= 128)
     cpr: int
     #: element-tensor entries per cell
     nd: int
@@ -102,8 +111,8 @@ class GeneralBatchTables:
     spill_cells: np.ndarray
     #: number of [*, 128] rows the padded dof vector must have
     padded_rows: int
-    #: element-tile ROWS PER CELL (1 for nd <= 127; 2 for p=5 hexes,
-    #: nd <= 254: the cell's first npl nodes live in row ``b`` of the
+    #: element-tile ROWS PER CELL (1 for nd <= 128; 2 for p=5 hexes,
+    #: nd <= 256: the cell's first npl nodes live in row ``b`` of the
     #: first half-block [0, R/2), the rest in row ``b`` of the second
     #: half-block [R/2, R) — halves are cheap major-dim slices for the
     #: split-block MXU contraction)
@@ -185,7 +194,7 @@ def _cover_extents(rows: np.ndarray, E: int, He: int) -> np.ndarray | None:
     return starts
 
 
-_CACHE_VERSION = 3  # v3: rpc field (two-row p=5 cells)
+_CACHE_VERSION = 4  # v4: full-lane packing (masked -128 scatter sentinel)
 #: table builds below this cell count skip the disk cache (IO not worth it)
 _CACHE_MIN_CELLS = 4096
 
@@ -310,13 +319,13 @@ def build_batch_tables(
         hit = _cache_load(GeneralBatchTables, cache)
         if hit is not None:
             return hit
-    if nd > 3 * (_LANES - 1):
-        # split-row cells cover nd <= 381 (p <= 6 hexes) at rpc <= 3;
+    if nd > 3 * _LANES:
+        # split-row cells cover nd <= 384 (p <= 6 hexes) at rpc <= 3;
         # higher degrees stay on the XLA indexed path
-        raise ValueError(f"nd={nd} exceeds {3 * (_LANES - 1)} usable lanes")
-    # rows per cell: lane 127 must stay zero (scatter sentinel), so a
-    # row holds at most 127 of one cell's nodes
-    rpc = 1 if nd <= _LANES - 1 else -(-nd // (_LANES - 1))
+        raise ValueError(f"nd={nd} exceeds {3 * _LANES} usable lanes")
+    # rows per cell: all 128 lanes usable (the scatter sentinel is the
+    # masked out-of-range value 128, not a reserved zero lane)
+    rpc = 1 if nd <= _LANES else -(-nd // _LANES)
     npl = -(-nd // rpc)  # nodes per row of one cell
     H = tile_h
     if H % 8 or H > 256:
@@ -325,7 +334,7 @@ def build_batch_tables(
     if H % E or (H // E) % 8:
         raise ValueError("tile_h/extents must be a multiple of 8")
     He = H // E
-    cpr = max((_LANES - 1) // nd, 1)
+    cpr = max(_LANES // nd, 1)
     # default: fill the element tile (128 cell rows — the int8 s_row
     # cap); pass 1 splits batches earlier when the extent budget runs
     # out, and FEWER grid steps matter: the platform charges a fixed
@@ -387,7 +396,7 @@ def build_batch_tables(
 
     # --- pass 2: per-batch chain assignment -----------------------------
     sent_row = H - 1  # zeroed window/element row (gather sentinel)
-    sent_lane = _LANES - 1  # zero element lane (scatter sentinel)
+    sent_lane = _SENT_LANE  # masked out-of-range lane (scatter sentinel)
     shape = (H, _LANES)
     rshape = (R, _LANES)  # compact element-row tables
     nrange = np.arange(nd)
@@ -579,7 +588,7 @@ class ScatterMerge:
     c2; two merges sharing a key must land in different rounds."""
 
     #: [nrounds, nbatch, 128, 128] int8: A[c2, r1] = r2 (sentinel: any —
-    #: masked by B), B[r1, c1] = c2 (sentinel 127 -> zero lane)
+    #: masked by B), B[r1, c1] = c2 (sentinel -128, decoded 128, masked)
     A: np.ndarray
     B: np.ndarray
     #: merged scatter chains, same encoding as GeneralBatchTables
@@ -623,7 +632,7 @@ def build_scatter_merge(
         hit = _cache_load(ScatterMerge, cache)
         if hit is not None:
             return hit
-    sent_lane = _LANES - 1
+    sent_lane = _SENT_LANE  # logical 128; int8 storage wraps to -128
     if use_native is None:
         from .. import native
 
@@ -631,7 +640,7 @@ def build_scatter_merge(
             native._load(), "scatter_merge_batch"
         )
     A = np.zeros((max_rounds, nb, _LANES, _LANES), np.int8)
-    B = np.full((max_rounds, nb, _LANES, _LANES), sent_lane, np.int8)
+    B = np.full((max_rounds, nb, _LANES, _LANES), _SENT8, np.int8)
     a_used = np.zeros((max_rounds, nb, _LANES, _LANES), bool)
     rounds_used = 0
     new_rows: list[list[np.ndarray]] = []
@@ -655,8 +664,9 @@ def build_scatter_merge(
             # sensitive); retry this batch with the Python builder
         claims: dict[tuple[int, int], list[tuple[int, int]]] = {}
         for j in range(tb.ks):
-            tt, ll = np.nonzero(tb.s_nlane[j, i] != sent_lane)
-            cc = tb.s_nlane[j, i, tt, ll].astype(np.int64)
+            nl = tb.s_nlane[j, i].astype(np.int64) & 0xFF
+            tt, ll = np.nonzero(nl != sent_lane)
+            cc = nl[tt, ll]
             rr = tb.s_row[j, i, tt, cc].astype(np.int64)
             for t, l, c, r in zip(tt, ll, cc, rr):
                 claims.setdefault((int(t), int(l)), []).append(
@@ -687,7 +697,7 @@ def build_scatter_merge(
                         if (
                             not a_used[rnd, i, c2, r1]
                             or A[rnd, i, c2, r1] == r2
-                        ) and B[rnd, i, r1, c1] == sent_lane:
+                        ) and B[rnd, i, r1, c1] == _SENT8:
                             A[rnd, i, c2, r1] = r2
                             a_used[rnd, i, c2, r1] = True
                             B[rnd, i, r1, c1] = c2
@@ -736,7 +746,7 @@ def build_scatter_merge(
         return None  # nothing to merge; keep the original chains
     Ks = max((len(r) for r in new_rows), default=1) or 1
     s_row = np.zeros((Ks, max(nb, 1), H, _LANES), np.int8)
-    s_nlane = np.full((Ks, max(nb, 1), H, _LANES), sent_lane, np.int8)
+    s_nlane = np.full((Ks, max(nb, 1), H, _LANES), _SENT8, np.int8)
     for i in range(nb):
         for j in range(len(new_rows[i])):
             s_row[j, i] = new_rows[i][j].astype(np.int8)
@@ -766,7 +776,7 @@ class GatherOverflow:
 
     #: [slots, nbatch, 4, 128] int16, rows (t, l, r, c); padding
     #: entries are (H-1, 0, 0, 127): they read the zeroed sentinel
-    #: window row and add 0 into the element tile's zero lane
+    #: window row, so v = 0 and any target (r, c) slot is safe
     tab: np.ndarray
     #: number of dense chains kept ahead of this encoding
     keep: int
@@ -825,16 +835,21 @@ def reference_merge_scatter(
         yet = ye[i, :_LANES].T.copy()  # [c, r]
         for rnd in range(mg.nrounds):
             Ar = mg.A[rnd, i].astype(np.int64)
-            Br = mg.B[rnd, i].astype(np.int64)
+            Br = mg.B[rnd, i].astype(np.int64) & 0xFF
             s1 = np.take_along_axis(yet, Ar, axis=1)  # [c2, r1]
-            s2 = np.take_along_axis(s1.T, Br, axis=1)  # [r1, c1]
-            yet = yet + s2.T
+            s2 = np.take_along_axis(
+                s1.T, np.minimum(Br, _LANES - 1), axis=1
+            )  # [r1, c1]
+            yet = yet + np.where(Br < _SENT_LANE, s2, 0.0).T
         acc = np.zeros((H, _LANES), dtype=ye.dtype)
         for j in range(mg.ks):
             row = mg.s_row[j, i].astype(np.int64)
-            nlane = mg.s_nlane[j, i].astype(np.int64)
+            nlane = mg.s_nlane[j, i].astype(np.int64) & 0xFF
             P = np.take_along_axis(yet.T, row, axis=0)
-            acc += np.take_along_axis(P, nlane, axis=1)
+            Q = np.take_along_axis(
+                P, np.minimum(nlane, _LANES - 1), axis=1
+            )
+            acc += np.where(nlane < _SENT_LANE, Q, 0.0)
         He = tb.He
         for e, s in enumerate(tb.start_rows[i]):
             yv[s : s + He] += acc[e * He : (e + 1) * He]
@@ -955,9 +970,12 @@ def reference_scatter(tables: GeneralBatchTables, ye: np.ndarray,
         acc = np.zeros((H, _LANES), dtype=ye.dtype)
         for j in range(tables.ks):
             row = tables.s_row[j, i].astype(np.int64)
-            nlane = tables.s_nlane[j, i].astype(np.int64)
+            nlane = tables.s_nlane[j, i].astype(np.int64) & 0xFF
             P = np.take_along_axis(YE, row, axis=0)
-            acc += np.take_along_axis(P, nlane, axis=1)
+            Q = np.take_along_axis(
+                P, np.minimum(nlane, _LANES - 1), axis=1
+            )
+            acc += np.where(nlane < _SENT_LANE, Q, 0.0)
         He = tables.He
         for e, s in enumerate(tables.start_rows[i]):
             yv[s : s + He] += acc[e * He : (e + 1) * He]

@@ -402,7 +402,12 @@ class GeneralOperators:
         lanes) pack as rpc = 2/3 split-block rows (general_tables).
         The tables depend only on the dofmap — quadrature-specific
         gating lives at each dispatch."""
-        if (self.dofs.p + 1) ** 3 > 381:
+        if (self.dofs.p + 1) ** 3 > 3 * 128:
+            self._warn_indexed_fallback(
+                f"degree p={self.dofs.p} exceeds the fused kernel's "
+                f"split-row lane budget (nd={(self.dofs.p + 1) ** 3} > "
+                "384)"
+            )
             return None
         from .general_tables import build_batch_tables
 
@@ -421,8 +426,30 @@ class GeneralOperators:
             if len(tb.spill_cells) <= 0.02 * nc:
                 break
         if len(best.spill_cells) > 0.5 * nc:
+            self._warn_indexed_fallback(
+                f"{len(best.spill_cells)}/{nc} cells spill the window/"
+                "chain tables (dof numbering too non-local)"
+            )
             return None  # numbering defeats the windows; stay on XLA
         return best
+
+    @staticmethod
+    def _warn_indexed_fallback(reason: str) -> None:
+        """Loud cliff warning: the XLA indexed path is ~50x slower than
+        the fused windowed kernel on TPU (measured ~0.02 vs ~1 GDoF/s at
+        p=4, docs/BENCH_NOTES.md). The reference simply throws beyond its
+        kernel's coverage (common/cuda/mass.hpp:80-93); we keep running,
+        but the user must know the cliff is under them."""
+        import warnings
+
+        if jax.default_backend() == "tpu":
+            warnings.warn(
+                f"GeneralOperators: {reason}; falling back to the XLA "
+                "indexed gather/scatter path (~50x slower than the fused "
+                "windowed kernel on TPU)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
 
     @cached_property
     def _fused_geo(self):

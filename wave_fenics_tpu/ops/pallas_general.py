@@ -68,7 +68,7 @@ def contraction_matrices(p: int, cpr: int, D1: np.ndarray,
     ``(XE @ M[d].T)[r, lb+n'] = (axis-d D-contraction of the cell packed
     at (r, lb))[n']``.
 
-    ``rpc > 1`` (split-row cells, nd > 127): returns the
+    ``rpc > 1`` (split-row cells, nd > 128): returns the
     [3*rpc*rpc, 128, 128] half-block decomposition
     ``out[(d*rpc + ho)*rpc + hi][n', n] = M[d][ho*npl + n', hi*npl + n]``
     so the kernel contracts per (output-half, input-half) pair of the
@@ -118,7 +118,7 @@ def interpolation_tiles(cpr: int, nd: int, B: np.ndarray,
     ``tiles[t, g*nq_t + j, g*nd + n] = B[t*nq_t + j, n]`` so that
     ``(XE @ tiles[t].T)[r, g*nq_t + j]`` is qpoint ``t*nq_t + j`` of the
     cell packed at (r, g); T = ceil(nq / (128 // cpr)) tiles cover all
-    qpoints. For SPLIT-ROW cells (``rpc > 1``, nd > 127: one cell per
+    qpoints. For SPLIT-ROW cells (``rpc > 1``, nd > 128: one cell per
     base row, node n in half ``n // npl`` at lane ``n % npl``), returns
     [T*rpc, 128, 128] ordered t-major then input-half:
     ``tiles[t*rpc + h, j, l] = B[t*nq_t + j, h*npl + l]`` so the q-tile
@@ -440,7 +440,7 @@ def _window_contrib(
                     ).astype(dtype)
         yer = (yh[0] if rpc == 1 else jnp.concatenate(yh, axis=0)) * coeff
     elif op == "stiffness" and rpc > 1:
-        # split-row cells (nd > 127): per-cell nodes span rpc half-block
+        # split-row cells (nd > 128): per-cell nodes span rpc half-block
         # rows; the contraction runs per (output-half, input-half) pair
         # on the half-block matrices of contraction_matrices(rpc=rpc).
         # Halves are cheap major-dim slices (R2 is 8-aligned).
@@ -509,8 +509,8 @@ def _window_contrib(
 
     # scatter chains: Yw += sum_j take(take(YE, row_j, 0), nlane_j, 1),
     # the row select again through the transpose (rowT[c, t] = row[t, c]
-    # with values < R <= 128; YE lane 127 is zero, the unclaimed-slot
-    # sentinel), in per-half [128, 128] gathers.
+    # with values < R <= 128; unclaimed slots masked via the decoded
+    # out-of-range sentinel), in per-half [128, 128] gathers.
     accs = [
         jnp.zeros((_LANES, _LANES), dtype=dtype)
         for _ in range(H // _LANES)
@@ -518,25 +518,36 @@ def _window_contrib(
     ye_t = ye[: _LANES].T  # [128(c), 128(r)] — rows r < R <= 128
     # element-space claim pre-reduction: binary-tree merge of duplicate
     # window-dof claims inside the tile (two lane-wise gathers per
-    # round; B's sentinel lane 127 reads the tile's zero lane), leaving
-    # the residual scatter with 1-2 chains instead of ~max-multiplicity
+    # round). B's unclaimed slots carry the out-of-range lane sentinel
+    # (stored -128, decoded & 0xFF == 128) and are MASKED — no element
+    # lane is reserved, so cells pack all 128 lanes (cpr = 128 // nd).
     for rnd in range(nr):
         Ar = mA_ref[rnd, sub].astype(jnp.int32)  # [c2, r1] -> r2
-        Br = mB_ref[rnd, sub].astype(jnp.int32)  # [r1, c1] -> c2
+        Br = mB_ref[rnd, sub].astype(jnp.int32) & 0xFF  # [r1, c1] -> c2
         s1 = jnp.take_along_axis(ye_t, Ar, axis=1)
-        s2 = jnp.take_along_axis(s1.T, Br, axis=1)
-        ye_t = ye_t + s2.T
+        s2 = jnp.take_along_axis(
+            s1.T, jnp.minimum(Br, _LANES - 1), axis=1
+        )
+        ye_t = ye_t + jnp.where(
+            Br < _LANES, s2, jnp.zeros((), dtype=dtype)
+        ).T
     for sc in range(ks):
         rt = srowt_ref[sc, sub].astype(jnp.int32)  # [128, H]
-        nlane = snlane_ref[sc, sub].astype(jnp.int32)
+        # unclaimed (t, l) slots hold the out-of-range sentinel (stored
+        # int8 -128 -> decoded 128): clip for the gather, mask the add
+        nlane = snlane_ref[sc, sub].astype(jnp.int32) & 0xFF
         # per-half: element-row select through the transpose, then the
         # lane realignment — all [128, 128] gathers, no concat
         for h in range(H // _LANES):
             ph = jnp.take_along_axis(
                 ye_t, rt[:, h * _LANES : (h + 1) * _LANES], axis=1
             ).T  # [128(t_h), 128(c)]
-            accs[h] = accs[h] + jnp.take_along_axis(
-                ph, nlane[h * _LANES : (h + 1) * _LANES], axis=1
+            nlh = nlane[h * _LANES : (h + 1) * _LANES]
+            q = jnp.take_along_axis(
+                ph, jnp.minimum(nlh, _LANES - 1), axis=1
+            )
+            accs[h] = accs[h] + jnp.where(
+                nlh < _LANES, q, jnp.zeros((), dtype=dtype)
             )
     return accs
 
@@ -656,7 +667,7 @@ def make_general_apply(
     affine = affine_w is not None
     if tb.rpc != 1 and affine:
         raise ValueError(
-            "split-row cells (nd > 127) support only full per-node "
+            "split-row cells (nd > 128) support only full per-node "
             "factors (the rank-1 affine form assumes single-row cells)"
         )
     acpr = tb.cpr if affine else 1
@@ -674,8 +685,7 @@ def make_general_apply(
     def block_selector():
         # [128, 128] 0/1 selector: row g covers lane block g, so
         # blk[128, ac8] @ sel[:ac8] broadcasts each per-block constant
-        # across its cell's nd lanes (pad lanes stay zero — preserves
-        # the lane-127 scatter sentinel)
+        # across its cell's nd lanes (pad lanes stay zero)
         sel = np.zeros((1, _LANES, _LANES), npdt)
         for g in range(tb.cpr):
             sel[0, g, g * tb.nd : (g + 1) * tb.nd] = 1
@@ -783,8 +793,8 @@ def make_general_apply(
         mA, mB = merge.A, merge.B
     else:
         mA = np.zeros((1, tb.nbatch, _LANES, _LANES), np.int8)
-        mB = np.full((1, tb.nbatch, _LANES, _LANES), _LANES - 1,
-                     np.int8)
+        mB = np.full((1, tb.nbatch, _LANES, _LANES), -128,
+                     np.int8)  # masked merge sentinel (unused: nr=0)
     # chain truncation (overflow re-encoding or timing ablations);
     # specs keep >=1 chain table
     kt, st = max(kg, 1), max(ks, 1)
@@ -814,9 +824,9 @@ def make_general_apply(
         g_lane = padb(g_lane, 1, 0)
         g_rowt = padb(g_rowt, 1, tb.H - 1)
         s_rowt = padb(s_rowt, 1, 0)
-        s_nlane = padb(s_nlane, 1, _LANES - 1)
+        s_nlane = padb(s_nlane, 1, -128)
         mA = padb(mA, 1, 0)
-        mB = padb(mB, 1, _LANES - 1)
+        mB = padb(mB, 1, -128)
         ovp = np.zeros((ovt.shape[0], nb_pad - tb.nbatch, 4, _LANES),
                        np.int16)
         ovp[:, :, 0, :] = tb.H - 1

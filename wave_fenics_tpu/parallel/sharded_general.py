@@ -285,7 +285,7 @@ class ShardedGeneralWave:
             return None
         md = self.model
         nd = (md.p + 1) ** 3
-        if nd > 381:
+        if nd > 3 * 128:
             return None
         from ..ops.general_tables import (
             build_batch_tables, pack_cell_values,
@@ -330,8 +330,8 @@ class ShardedGeneralWave:
                 ovs = None
         # scatter-merge pre-reduction: per-device encodings; a device
         # whose claims don't reduce keeps its plain chains and runs the
-        # shared program's merge rounds as sentinel no-ops (B=127 reads
-        # the element tile's zero lane)
+        # shared program's merge rounds as sentinel no-ops (the masked
+        # out-of-range B sentinel adds nothing)
         from ..ops.general_tables import build_scatter_merge
 
         mgs = [build_scatter_merge(tb) for tb in tbs]
@@ -356,12 +356,13 @@ class ShardedGeneralWave:
             tbs[0].g_row.dtype,
         )
         s_rowt = np.zeros((self.ndev, KS, NB, 128, H), np.int8)
-        s_nlane = np.full((self.ndev, KS, NB, H, 128), 127, np.int8)
+        # scatter/merge sentinels: -128 stored (= masked logical 128)
+        s_nlane = np.full((self.ndev, KS, NB, H, 128), -128, np.int8)
         ovt = np.zeros((self.ndev, max(n_ov, 1), NB, 4, 128), np.int16)
         ovt[:, :, :, 0, :] = H - 1
-        ovt[:, :, :, 3, :] = 127
+        ovt[:, :, :, 3, :] = 127  # any lane: padding entries add v = 0
         mA = np.zeros((self.ndev, max(NR, 1), NB, 128, 128), np.int8)
-        mB = np.full((self.ndev, max(NR, 1), NB, 128, 128), 127,
+        mB = np.full((self.ndev, max(NR, 1), NB, 128, 128), -128,
                      np.int8)
         geo = np.zeros((self.ndev, 6, NB, R, 128), npdt)
         # spill subset (XLA indexed per device), padded

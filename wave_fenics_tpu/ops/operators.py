@@ -413,12 +413,30 @@ class GeneralOperators:
 
         nc = self.mesh.ncells
         best = None
-        # contiguous windows first (cheapest DMA), then 4-extent
-        # windows — those cover Morton batches at ANY mesh size
-        # (docs/BENCH_NOTES.md round 3: contiguous spans grow ~N^(2/3))
-        for H, E in ((128, 1), (256, 1), (256, 4)):
+        import os
+
+        # experiment knobs: pin the window config / batch size
+        # (WAVE_FENICS_GENERAL_HE="H,E", _BATCH_CELLS=N) — used by the
+        # on-chip config A/Bs (experiments/exp_round4_numbering.py)
+        he = os.environ.get("WAVE_FENICS_GENERAL_HE")
+        bc = os.environ.get("WAVE_FENICS_GENERAL_BATCH_CELLS")
+        bc = int(bc) if bc else None
+        if he:
+            H, E = (int(v) for v in he.split(","))
+            configs = ((H, E),)
+        else:
+            # contiguous windows first (cheapest DMA), then 4-extent
+            # windows — those cover batches at ANY mesh size (contiguous
+            # spans grow ~N^(2/3), docs/BENCH_NOTES.md round 3). The
+            # H=128 multi-extent fast path is A/B'd on chip via the env
+            # knob (experiments/exp_round4_batch.py) before any default
+            # change: its op count is lower but its batch count is
+            # higher, and per-batch MXU work is fixed.
+            configs = ((128, 1), (256, 1), (256, 4))
+        for H, E in configs:
             tb = build_batch_tables(self._dofmap, self.ndofs, tile_h=H,
-                                    extents=E, max_spill_frac=0.5)
+                                    extents=E, max_spill_frac=0.5,
+                                    batch_cells=bc)
             if best is None or len(tb.spill_cells) < len(
                 best.spill_cells
             ):

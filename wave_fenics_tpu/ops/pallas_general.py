@@ -42,6 +42,21 @@ __all__ = ["make_general_apply", "make_general_call",
 _LANES = 128
 
 
+def _mxu_precision():
+    """Contraction matmul precision. HIGHEST (6 bf16 passes) is the
+    validated default (CLAUDE.md: DEFAULT f32 = bf16 passes, 8e-3 rel
+    err). The general kernel is chain-VPU/MXU-bound (not HBM-bound), so
+    HIGHEST's passes are NOT free here — WAVE_FENICS_TPU_MXU=high selects
+    the 3-pass bf16_3x form for the measured-accuracy A/B
+    (experiments/exp_round4_batch.py); production stays HIGHEST unless
+    the A/B records both a real win and f64-checked accuracy."""
+    import os
+
+    if os.environ.get("WAVE_FENICS_TPU_MXU", "").lower() == "high":
+        return jax.lax.Precision.HIGH
+    return jax.lax.Precision.HIGHEST
+
+
 def _take_lanes(x, idx):
     """Lane-wise dynamic gather restricted to [<=128, 128] blocks — the
     one shape the platform's Mosaic compiler handles reliably (larger
@@ -176,7 +191,7 @@ def _kernel(
     i = pl.program_id(0)
     n = pl.num_programs(0)
     f32 = jnp.float32 if dtype != jnp.float64 else jnp.float64
-    hi = jax.lax.Precision.HIGHEST
+    hi = _mxu_precision()
     He = H // ext  # rows per (disjoint) DMA extent of the window
 
     # double-buffered input-window DMA: sub-batch g+1's extents stream
@@ -582,7 +597,7 @@ def _kernel_resident(
     i = pl.program_id(0)
     n = pl.num_programs(0)
     f32 = jnp.float32 if dtype != jnp.float64 else jnp.float64
-    hi = jax.lax.Precision.HIGHEST
+    hi = _mxu_precision()
     He = H // ext
 
     @pl.when(i == 0)

@@ -53,7 +53,19 @@ def _mxu_precision():
     import os
 
     if os.environ.get("WAVE_FENICS_TPU_MXU", "").lower() == "high":
-        return jax.lax.Precision.HIGH
+        # Measured (round 4, on chip): Mosaic's dot lowering rejects
+        # Precision.HIGH inside pallas kernels (NotImplementedError:
+        # Unsupported dot precision: HIGH) — the 3-pass form is not
+        # expressible in-kernel on this platform. Keep the knob (it
+        # documents the attempted A/B) but fall back loudly.
+        import warnings
+
+        warnings.warn(
+            "WAVE_FENICS_TPU_MXU=high: Mosaic does not lower "
+            "Precision.HIGH inside pallas kernels; using HIGHEST "
+            "(docs/BENCH_NOTES.md round 4).",
+            stacklevel=2,
+        )
     return jax.lax.Precision.HIGHEST
 
 

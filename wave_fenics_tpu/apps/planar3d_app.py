@@ -37,6 +37,13 @@ def run(cfg: SimulationConfig) -> dict:
     m = case.model
     dt = case.dt
     nstep = case.nsteps
+    integrator = getattr(cfg.time, "integrator", "rk4")
+    if integrator == "leapfrog":
+        # leapfrog's imaginary-axis stability interval is 2 vs RK4's
+        # 2.83; the case's CFL dt targets RK4
+        dt *= 0.71
+        nstep = int(np.ceil(nstep / 0.71))
+        log.info("integrator: leapfrog (1 stiffness apply/step, dt*0.71)")
     tm = Timer()
 
     log.info("devices:\n%s", device_info())
@@ -84,32 +91,51 @@ def run(cfg: SimulationConfig) -> dict:
     chunk = min(chunk, max(nstep - step0, 1))
 
     if sharded:
+        if integrator != "rk4":
+            raise ValueError(
+                "integrator='leapfrog' is single-device for now; "
+                "sharded runs use RK4"
+            )
         solve_chunk = lambda u, v, t0_, n: sw.solve_n(t0_, dt, n, u, v)
-    elif is_general:
-        # fused-operator tables must be runtime args, not HLO literals
-        # (utils/closure.py); one compiled solver per chunk length
-        from ..utils.closure import hoisted_jit
-
-        _solvers: dict = {}
-
-        def solve_chunk(u, v, t0_, n):
-            if n not in _solvers:
-                _solvers[n] = hoisted_jit(
-                    lambda uu, vv, tt: rk4_solve_n(
-                        m.f0, m.f1, uu, vv, tt, dt, n
-                    ),
-                    u, v, jnp.asarray(t0_),
-                )
-            uo, vo = _solvers[n](u, v, jnp.asarray(t0_))
-            return uo, vo, None
     else:
-        from functools import partial
+        if integrator == "leapfrog":
+            from ..solvers.leapfrog import leapfrog_solve_n
 
-        @partial(jax.jit, static_argnames=("n",))
-        def _solve(u, v, t0_, n):
-            return rk4_solve_n(m.f0, m.f1, u, v, t0_, dt, n)
+            damp = jnp.asarray(m.damping)
+            # F is a pure function of (t, u), so per-chunk re-derivation
+            # of the carried force is exact — chunking/resume-safe
+            step_n = lambda uu, vv, tt, n: leapfrog_solve_n(
+                m.force, damp, uu, vv, tt, dt, n
+            )
+        else:
+            step_n = lambda uu, vv, tt, n: rk4_solve_n(
+                m.f0, m.f1, uu, vv, tt, dt, n
+            )
+        if is_general:
+            # fused-operator tables must be runtime args, not HLO
+            # literals (utils/closure.py); one compiled solver per
+            # chunk length
+            from ..utils.closure import hoisted_jit
 
-        solve_chunk = lambda u, v, t0_, n: (*_solve(u, v, t0_, n), None)
+            _solvers: dict = {}
+
+            def solve_chunk(u, v, t0_, n):
+                if n not in _solvers:
+                    _solvers[n] = hoisted_jit(
+                        lambda uu, vv, tt: step_n(uu, vv, tt, n),
+                        u, v, jnp.asarray(t0_),
+                    )
+                uo, vo = _solvers[n](u, v, jnp.asarray(t0_))
+                return uo, vo, None
+        else:
+            from functools import partial
+
+            @partial(jax.jit, static_argnames=("n",))
+            def _solve(u, v, t0_, n):
+                return step_n(u, v, t0_, n)
+
+            solve_chunk = lambda u, v, t0_, n: (
+                *_solve(u, v, t0_, n), None)
 
     step = step0
     with tm("solve", u):
@@ -177,6 +203,10 @@ def main():
                     default="default",
                     help="cpu: run on the host (virtual devices when "
                          "--ndev > 1), like the benchmark CLIs")
+    ap.add_argument("--integrator", choices=["rk4", "leapfrog"],
+                    default=None,
+                    help="leapfrog: 1 stiffness apply/step (2nd order, "
+                         "dt auto-scaled; single-device)")
     args = ap.parse_args()
     if args.platform == "cpu":
         from ..benchmarks.common import apply_platform
@@ -206,6 +236,8 @@ def main():
         cfg.run.checkpoint_dir = args.checkpoint_dir
     if args.output:
         cfg.run.output_path = args.output
+    if args.integrator:
+        cfg.time.integrator = args.integrator
 
     out = run(cfg)
     print(json.dumps(out))

@@ -95,6 +95,56 @@ def main():
     rng = np.random.default_rng(0)
 
     precond = None
+    if args.ndev > 1 and args.op == "general":
+        # distributed CG on the EXPLICIT-dofmap partition — the actual
+        # gpu_cg configuration (arbitrary dofmap + VectorUpdater halo per
+        # iteration + MPI_Allreduce dots, demo/gpu_cg/CUDA/cg.hpp:37-121):
+        # ShardedGeneralWave.cg_solve of (diag(m) + tau*K) x = b, Jacobi.
+        from ..models.general_wave import GeneralLinearWave
+        from ..parallel.sharded_general import ShardedGeneralWave
+
+        hm = mesh.to_hex_mesh()
+        md = GeneralLinearWave(mesh=hm, p=p, facet_tags={}, dtype=dtype)
+        h = 1.0 / cells[0]
+        tau = (0.25 * h / (md.c0 * p * p)) ** 2
+        bg = rng.standard_normal(md.ndofs)
+        sw = ShardedGeneralWave(md, args.ndev)
+        bl = sw.from_global(bg)
+        t0 = timeit(
+            lambda: sw.cg_solve(bl, tau, kmax=args.kmax, rtol=args.rtol),
+            reps=3, warmup=1,
+        )
+        x, iters, _ = sw.cg_solve(bl, tau, kmax=args.kmax, rtol=args.rtol)
+        m1 = jnp.asarray(md.m, dtype=dtype)
+        mv = lambda z: m1 * z - tau * md.ops.stiffness(z, md.c0)
+        xg, k1, _ = jax.jit(
+            lambda bb: cg(mv, bb, kmax=args.kmax, rtol=args.rtol,
+                          precond=lambda r: r / m1)
+        )(jnp.asarray(bg, dtype=dtype))
+        xgn = np.asarray(xg)
+        sol_rel = float(
+            np.abs(sw.to_global(x) - xgn).max() / np.abs(xgn).max()
+        )
+        report(
+            metric="CG general distributed (diag(m)+tau*K, cg.hpp:37-121"
+                   " + VectorUpdater halo per iteration)",
+            s=args.s, degree=p, ndofs=md.ndofs, iters=iters,
+            ndev=args.ndev, exchange=sw.exchange_mode, dtype=args.dtype,
+            ms_total=round(t0 * 1e3, 3),
+            dofs_iter_per_s=round(md.ndofs * iters / t0, 1),
+            iters_single_device=int(k1),
+            iteration_parity=bool(int(k1) == iters),
+            max_rel_solution_diff=sol_rel,
+            note="virtual-device correctness record; multi-chip perf "
+                 "waits on pod hardware",
+        )
+        # exact parity required in the regime where it is well-posed
+        # (docs/BENCH_NOTES.md round 4: CG amplifies summation-order
+        # roundoff exponentially past the residual plateau, so counts at
+        # tight rtol can differ by 1 — like the reference's MPI CG)
+        assert abs(int(k1) - iters) <= 1, (iters, int(k1))
+        assert sol_rel < (1e-6 if args.dtype == "f64" else 1e-2), sol_rel
+        return
     if args.ndev > 1:
         from ..parallel.partition import decompose3d
         from ..parallel.sharded_wave import ShardedLinearWave
@@ -192,10 +242,15 @@ def main():
         gdofs_iter_per_s=round(ndofs * iters / t / 1e9, 4),
     )
     if args.ndev > 1:
-        # distributed-CG iteration parity: the sharded solve must take
-        # EXACTLY the single-device iteration count (the ownership-
-        # weighted psum dot reproduces the global dot bitwise-tightly;
-        # reference: demo/gpu_cg/CUDA/cg.hpp:37-121's MPI_Allreduce).
+        # distributed-CG iteration parity (reference: cg.hpp:37-121's
+        # MPI_Allreduce): the sharded psum dot differs from the single-
+        # device reduction only by summation ORDER (~5e-14 rel at f64,
+        # matvec bitwise equal), but CG amplifies that exponentially past
+        # the residual plateau, so counts at tight rtol legitimately
+        # differ by 1 — measured trajectory table in docs/BENCH_NOTES.md
+        # round 4. Exact parity holds whenever the threshold crossing is
+        # in the stable regime (e.g. rtol=1e-3 here); we record both
+        # counts, require |delta| <= 1, and verify the SOLUTIONS agree.
         # Perf on the virtual CPU mesh is a correctness record only —
         # real multi-chip rates wait on pod hardware.
         ops1 = StructuredOperators(mesh, p, dtype=dtype)
@@ -203,13 +258,21 @@ def main():
             np.random.default_rng(0).standard_normal(ops1.grid_shape),
             dtype=dtype,
         )
-        _, k1, _ = jax.jit(
+        x1, k1, _ = jax.jit(
             lambda bb: cg(ops1.spectral_mass, bb, kmax=args.kmax,
                           rtol=args.rtol)
         )(b1)
+        x1n = np.asarray(x1)
+        sol_rel = float(
+            np.abs(np.asarray(sw.to_global(x)) - x1n).max()
+            / np.abs(x1n).max()
+        )
         out["iters_single_device"] = int(k1)
         out["iteration_parity"] = bool(int(k1) == iters)
-        assert out["iteration_parity"], (iters, int(k1))
+        out["max_rel_solution_diff"] = sol_rel
+        assert abs(int(k1) - iters) <= 1, (iters, int(k1))
+        # solutions at the solver tolerance must agree to ~rtol
+        assert sol_rel < 10 * args.rtol, sol_rel
     report(**out)
 
 

@@ -189,6 +189,23 @@ class GeneralLinearWave:
         b = b + g * self.W1 - self.c0 * (self.W2 * v)
         return b * self.inv_m
 
+    # -- leapfrog decomposition: f1 = force(t, u) - damping * v ---------
+    def force(self, t, u):
+        """Mass-normalized v-independent acceleration (stiffness +
+        source); the damping splits off diagonally for the semi-implicit
+        leapfrog half-kicks (solvers/leapfrog.py)."""
+        b = self.ops.stiffness(u, self.c0)
+        g = (self.c0**2 * self.g_amplitude(t)).astype(self.dtype)
+        return (b + g * self.W1) * self.inv_m
+
+    @cached_property
+    def damping(self) -> np.ndarray:
+        """Diagonal ABC damping vector D = c0 W2 / m (zero off the
+        absorbing boundary)."""
+        return (self.c0 * self.W2 * np.asarray(self.inv_m)).astype(
+            np.dtype(self.dtype)
+        )
+
     # -- driver ------------------------------------------------------------
     def zero_state(self):
         z = jnp.zeros((self.ndofs,), dtype=self.dtype)
@@ -209,16 +226,32 @@ class GeneralLinearWave:
         )
         return fn(u0, v0)
 
-    def solve_n(self, t0, dt, nsteps, u0=None, v0=None):
+    def solve_n(self, t0, dt, nsteps, u0=None, v0=None,
+                integrator: str = "rk4"):
+        """``integrator``: 'rk4' (reference parity, 4 stiffness applies
+        per step) or 'leapfrog' (2nd-order, ONE apply per step; needs
+        dt <= ~0.71x the RK4 CFL step — solvers/leapfrog.py)."""
         from ..utils.closure import hoisted_jit
 
         if u0 is None:
             u0, v0 = self.zero_state()
-        fn = hoisted_jit(
-            lambda u, v: rk4_solve_n(self.f0, self.f1, u, v, t0, dt,
-                                     nsteps),
-            u0, v0,
-        )
+        if integrator == "leapfrog":
+            from ..solvers.leapfrog import leapfrog_solve_n
+
+            damp = jnp.asarray(self.damping)
+            fn = hoisted_jit(
+                lambda u, v: leapfrog_solve_n(
+                    self.force, damp, u, v, t0, dt, nsteps),
+                u0, v0,
+            )
+        elif integrator == "rk4":
+            fn = hoisted_jit(
+                lambda u, v: rk4_solve_n(self.f0, self.f1, u, v, t0, dt,
+                                         nsteps),
+                u0, v0,
+            )
+        else:
+            raise ValueError(f"unknown integrator: {integrator!r}")
         return fn(u0, v0)
 
 

@@ -155,6 +155,21 @@ class LinearWave:
         b = b + g * self.W1 - self.c0 * (self.W2 * v)
         return b * self.inv_m
 
+    # -- leapfrog decomposition: f1 = force(t, u) - damping * v ---------
+    def force(self, t, u):
+        """Mass-normalized v-independent acceleration (stiffness +
+        source) for the leapfrog integrator (solvers/leapfrog.py)."""
+        b = self.ops.stiffness(u, self.c0)
+        g = (self.c0**2 * self.g_amplitude(t)).astype(self.dtype)
+        return (b + g * self.W1) * self.inv_m
+
+    @cached_property
+    def damping(self) -> "np.ndarray":
+        """Diagonal ABC damping grid D = c0 W2 / m."""
+        return (self.c0 * self.W2 * np.asarray(self.inv_m)).astype(
+            np.dtype(self.dtype)
+        )
+
     # -- driver -----------------------------------------------------------
     def zero_state(self) -> tuple[jax.Array, jax.Array]:
         """u_0 = v_0 = 0 (LinearGLL.hpp:131-134)."""

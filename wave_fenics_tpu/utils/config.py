@@ -43,6 +43,10 @@ class TimeConfig:
     cfl: float = 0.5
     n_tail_periods: float = 8.0
     t0: float = 0.0
+    #: 'rk4' (reference parity, LinearGLL.hpp:198-287) or 'leapfrog'
+    #: (2nd order, ONE stiffness apply/step; dt auto-scaled by 0.71 —
+    #: solvers/leapfrog.py)
+    integrator: str = "rk4"
 
 
 @dataclass

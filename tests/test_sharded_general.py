@@ -80,6 +80,28 @@ def test_sharded_general_matches_single_device(ndev, p, exchange):
     )
 
 
+@pytest.mark.parametrize("ndev,exchange", [(8, "ppermute"),
+                                           (4, "allgather")])
+def test_sharded_general_leapfrog_matches_single_device(ndev, exchange):
+    """The leapfrog path (one assembled stiffness apply + exchange per
+    step) must match the single-device leapfrog dof-for-dof."""
+    md = _perturbed_model(p=3, seed=5)
+    dt = 1e-9
+    u1, v1 = md.solve_n(0.0, dt, 6, integrator="leapfrog")
+    sw = ShardedGeneralWave(md, ndev, exchange=exchange)
+    u8, v8, _ = sw.solve_n(0.0, dt, 6, integrator="leapfrog")
+    v1n = np.asarray(v1)
+    np.testing.assert_allclose(
+        sw.to_global(v8), v1n, rtol=1e-13,
+        atol=1e-14 * np.abs(v1n).max(),
+    )
+    u1n = np.asarray(u1)
+    np.testing.assert_allclose(
+        sw.to_global(u8), u1n, rtol=1e-13,
+        atol=1e-14 * max(np.abs(u1n).max(), 1e-300),
+    )
+
+
 def test_sharded_general_weighted_dot():
     md = _perturbed_model(p=3, seed=2)
     rng = np.random.default_rng(1)

@@ -91,12 +91,18 @@ def run(cfg: SimulationConfig) -> dict:
     chunk = min(chunk, max(nstep - step0, 1))
 
     if sharded:
-        if integrator != "rk4":
+        if integrator != "rk4" and not is_general:
             raise ValueError(
-                "integrator='leapfrog' is single-device for now; "
-                "sharded runs use RK4"
+                "integrator='leapfrog' on sharded runs is wired for "
+                "imported meshes (ShardedGeneralWave) only; structured "
+                "sharded runs use RK4 (the fused step kernel)"
             )
-        solve_chunk = lambda u, v, t0_, n: sw.solve_n(t0_, dt, n, u, v)
+        if is_general:
+            solve_chunk = lambda u, v, t0_, n: sw.solve_n(
+                t0_, dt, n, u, v, integrator=integrator)
+        else:
+            solve_chunk = lambda u, v, t0_, n: sw.solve_n(t0_, dt, n,
+                                                          u, v)
     else:
         if integrator == "leapfrog":
             from ..solvers.leapfrog import leapfrog_solve_n

@@ -157,8 +157,18 @@ def main():
     # demo/gpu_cg/CUDA/cg.hpp:37-121 + submit-multinode.sh analogue);
     # the RATE on a virtual CPU mesh is a correctness record, real
     # multi-chip perf waits on pod hardware
+    # f64 + rtol=1e-3 puts the threshold crossing in the stable regime
+    # where exact parity is well-posed (docs/BENCH_NOTES.md round 4: CG
+    # amplifies summation-order roundoff past the residual plateau; at
+    # f32/tight rtol the count legitimately flips by +-1)
     _run(args.out, results, "cg_bench", "--size",
          "16" if args.quick else "32", "--degree", "4", "--ndev", "8",
+         "--dtype", "f64", "--rtol", "1e-3", "--platform", "cpu")
+    # distributed CG on the EXPLICIT-dofmap partition (the true gpu_cg
+    # configuration: neighbor exchange per iteration, cg.hpp:37-121)
+    _run(args.out, results, "cg_bench", "--op", "general", "--size",
+         "8" if args.quick else "16", "--degree", "4", "--ndev", "8",
+         "--dtype", "f64", "--rtol", "1e-8", "--kmax", "80",
          "--platform", "cpu")
     run("scatter_bench", "--mode", "local", "--size", size, "--check")
     # multi-device halo exchange record (ndev=8 virtual CPU mesh here;
@@ -206,6 +216,10 @@ def main():
         # (demo/cpu_planar3d/main.cpp:85-93)
         run("general_solve", "--size", "16", "--degree", "4",
             "--steps", "200")
+        # leapfrog: the 1-apply/step production integrator
+        # (solvers/leapfrog.py; RK4 stays the parity metric)
+        run("general_solve", "--size", "16", "--degree", "4",
+            "--steps", "200", "--integrator", "leapfrog")
     if not args.quick:
         # at-scale fused general records (multi-extent windows + int8
         # rows + gather-overflow slots). No --check here: the f64

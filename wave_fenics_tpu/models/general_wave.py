@@ -275,12 +275,13 @@ def solve_recording(
     points,
     u0=None,
     v0=None,
+    integrator: str = "rk4",
 ):
-    """RK4 solve recording the pressure time series at probe points on a
+    """Solve recording the pressure time series at probe points on a
     general mesh. Returns (u, v, series[nsteps, npoints]); the series is
     the only per-step output, so recording is ~free (mirrors
-    ``linear_wave.solve_recording``)."""
-    from ..solvers.rk4 import rk4_solve_n_recording
+    ``linear_wave.solve_recording``). ``integrator`` as in
+    :meth:`GeneralLinearWave.solve_n`."""
     from ..utils.closure import hoisted_jit
 
     if u0 is None:
@@ -290,12 +291,27 @@ def solve_recording(
     def sample(t, u, v):
         return u[ids]
 
-    fn = hoisted_jit(
-        lambda uu, vv: rk4_solve_n_recording(
-            model.f0, model.f1, uu, vv, t0, dt, nsteps, sample
-        ),
-        u0, v0,
-    )
+    if integrator == "leapfrog":
+        from ..solvers.leapfrog import leapfrog_solve_n_recording
+
+        damp = jnp.asarray(model.damping)
+        fn = hoisted_jit(
+            lambda uu, vv: leapfrog_solve_n_recording(
+                model.force, damp, uu, vv, t0, dt, nsteps, sample
+            ),
+            u0, v0,
+        )
+    elif integrator == "rk4":
+        from ..solvers.rk4 import rk4_solve_n_recording
+
+        fn = hoisted_jit(
+            lambda uu, vv: rk4_solve_n_recording(
+                model.f0, model.f1, uu, vv, t0, dt, nsteps, sample
+            ),
+            u0, v0,
+        )
+    else:
+        raise ValueError(f"unknown integrator: {integrator!r}")
     return fn(u0, v0)
 
 

@@ -575,6 +575,16 @@ class ShardedGeneralWave:
         b = b + g * tb["W1"] - md.c0 * (tb["W2"] * v)
         return b * tb["inv_m"]
 
+    def _force_local(self, t, u, tb):
+        """v-independent part of _f1_local — the leapfrog force
+        (solvers/leapfrog.py); damping splits off as the diagonal
+        c0 * W2 * inv_m."""
+        md = self.model
+        b = self._stiffness_local(u, tb)
+        b = self._assemble(b, tb)
+        g = (md.c0**2 * md.g_amplitude(t)).astype(md.dtype)
+        return (b + g * tb["W1"]) * tb["inv_m"]
+
     # ------------------------------------------------------------------
     # drivers
     # ------------------------------------------------------------------
@@ -585,7 +595,13 @@ class ShardedGeneralWave:
         )
         return z, z
 
-    def solve_n(self, t0, dt, nsteps, u0=None, v0=None):
+    def solve_n(self, t0, dt, nsteps, u0=None, v0=None,
+                integrator: str = "rk4"):
+        """``integrator``: 'rk4' (parity default) or 'leapfrog' (ONE
+        assembled stiffness apply + exchange per step; 2nd order, dt <=
+        ~0.71x the RK4 CFL step — solvers/leapfrog.py)."""
+        if integrator not in ("rk4", "leapfrog"):
+            raise ValueError(f"unknown integrator: {integrator!r}")
         if u0 is None:
             u0, v0 = self.zero_state()
         tb = self._tables
@@ -599,9 +615,18 @@ class ShardedGeneralWave:
                     zip(names, ops)}
             usq = u.reshape(u.shape[1:])
             vsq = v.reshape(v.shape[1:])
-            f0 = lambda t, uu, vv: vv
-            f1 = lambda t, uu, vv: self._f1_local(t, uu, vv, tloc)
-            uo, vo = rk4_solve_n(f0, f1, usq, vsq, t0, dt, nsteps)
+            if integrator == "leapfrog":
+                from ..solvers.leapfrog import leapfrog_solve_n
+
+                md = self.model
+                damp = md.c0 * tloc["W2"] * tloc["inv_m"]
+                force = lambda t, uu: self._force_local(t, uu, tloc)
+                uo, vo = leapfrog_solve_n(force, damp, usq, vsq, t0,
+                                          dt, nsteps)
+            else:
+                f0 = lambda t, uu, vv: vv
+                f1 = lambda t, uu, vv: self._f1_local(t, uu, vv, tloc)
+                uo, vo = rk4_solve_n(f0, f1, usq, vsq, t0, dt, nsteps)
             return uo.reshape(u.shape), vo.reshape(v.shape)
 
         sm = shard_map(

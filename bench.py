@@ -35,8 +35,14 @@ def _parser():
     ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--solver",
-                    choices=["auto", "step", "fused", "padded", "base"],
-                    default="auto")
+                    choices=["auto", "step", "fused", "padded", "base",
+                             "lf"],
+                    default="auto",
+                    help="'lf' (opt-in, never in auto): fused LEAPFROG "
+                         "step kernel (ops.pallas_lfstep) at dt*0.71 — "
+                         "1 stencil window pass/step; 2nd order vs "
+                         "RK4's 4th, so it is a separate metric, not "
+                         "the headline")
     ap.add_argument("--tile-x", type=int, default=32,
                     help="padded-layout x tile (multiple of 8 and p; larger "
                          "tiles cut the step kernel's halo read "
@@ -147,7 +153,7 @@ def _build(args, solver):
             return u, v
         return run
 
-    if solver in ("step", "fused", "padded"):
+    if solver in ("step", "fused", "padded", "lf"):
         from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
 
         pm = PaddedLinearWave(m, tile_x=args.tile_x)
@@ -155,6 +161,8 @@ def _build(args, solver):
             raise RuntimeError("fused stage kernel unavailable for this case")
         if solver == "step" and pm._step_fn is None:
             raise RuntimeError("fused step kernel unavailable for this case")
+        if solver == "lf" and pm._lf_step_fn is None:
+            raise RuntimeError("leapfrog step kernel unavailable for this case")
         u0, v0 = pm.zero_state()
         if solver == "step":
             run = jax.jit(
@@ -163,6 +171,13 @@ def _build(args, solver):
         elif solver == "fused":
             run = jax.jit(
                 lambda u, v, n: pm.solve_fused_dyn(0.0, dt, n, u, v)
+            )
+        elif solver == "lf":
+            # leapfrog's imaginary-axis stability interval is 2 vs RK4's
+            # 2.83; the case's CFL dt targets RK4
+            dt_lf = dt * 0.71
+            run = jax.jit(
+                lambda u, v, n: pm.solve_lf_dyn(0.0, dt_lf, n, u, v)
             )
         else:
             run = jax.jit(dyn_loop(pm.f0, pm.f1))
@@ -207,7 +222,7 @@ def _worker(args):
     if solver == "auto":  # workers get a concrete solver from the parent,
         solver = "base"   # but keep direct --worker invocations runnable
     backend = jax.default_backend()
-    if solver in ("step", "fused", "padded") and backend == "cpu":
+    if solver in ("step", "fused", "padded", "lf") and backend == "cpu":
         # interpret-mode Pallas on the full grid takes hours, not seconds
         print(f"CANARY_SKIP backend={backend}", flush=True)
         return
@@ -232,18 +247,21 @@ def _worker(args):
     elapsed = timeit(run, u0, v0, _np.int32(args.steps), reps=3,
                      warmup=args.warmup)
     gdof_steps = ndofs * args.steps / elapsed / 1e9
-    print(
-        json.dumps(
-            {
-                "metric": f"planar3d RK4 GDoF*steps/s (p={args.degree}, "
-                f"{ndofs} dofs, 1 chip, {solver})",
-                "value": round(gdof_steps, 4),
-                "unit": "GDoF*steps/s",
-                "vs_baseline": round(gdof_steps / 1.0, 4),
-            }
-        ),
-        flush=True,
-    )
+    name = "leapfrog" if solver == "lf" else "RK4"
+    out = {
+        "metric": f"planar3d {name} GDoF*steps/s (p={args.degree}, "
+        f"{ndofs} dofs, 1 chip, {solver})",
+        "value": round(gdof_steps, 4),
+        "unit": "GDoF*steps/s",
+        "vs_baseline": round(gdof_steps / 1.0, 4),
+    }
+    if solver == "lf":
+        # cross-integrator comparison: leapfrog steps advance 0.71x the
+        # RK4 dt, so simulated-time speedup over an RK4 record =
+        # 0.71 * (rk4 ms_per_step / this ms_per_step)
+        out["ms_per_step"] = round(elapsed / args.steps * 1e3, 4)
+        out["dt_vs_rk4"] = 0.71
+    print(json.dumps(out), flush=True)
 
 
 # ---------------------------------------------------------------------------

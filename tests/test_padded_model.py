@@ -327,3 +327,63 @@ def test_dynamic_step_count_solvers_match_scan():
     )(u0, v0, jnp.int32(4))
     np.testing.assert_allclose(np.asarray(vfd), np.asarray(vf), rtol=1e-13,
                                atol=1e-13 * np.abs(np.asarray(vf)).max())
+
+
+def _padded_damping(pm):
+    """Diagonal ABC damping D = c0 * W2/m scattered into a padded array
+    (the leapfrog split of pm.f1; solvers/leapfrog.py)."""
+    damp = jnp.zeros(pm.layout.padded_shape, dtype=pm.base.dtype)
+    for axis, pidx, attr, plane in pm._boundary_planes:
+        if attr == "w2":
+            damp = damp.at[pidx].add(pm.base.c0 * plane)
+    return damp
+
+
+@pytest.mark.parametrize("p", [2, 3, 4, 5])
+def test_lf_step_matches_xla_leapfrog(p):
+    """Fused leapfrog STEP kernel (one pallas call per step,
+    ops.pallas_lfstep) == the XLA leapfrog integrator on the padded
+    model (f64): same kick-drift-kick scheme, same physics split."""
+    from wave_fenics_tpu.solvers.leapfrog import leapfrog_solve_n
+
+    base = _model(shape=(4, 2, 2), p=p)
+    pm = PaddedLinearWave(base, tile_x=16)
+    assert pm._lf_step_fn is not None
+    dt = 1e-9
+    nsteps = 25
+    u0, v0 = pm.zero_state()
+    force = lambda t, u: pm.f1(t, u, jnp.zeros_like(u))
+    u1, v1 = leapfrog_solve_n(force, _padded_damping(pm), u0, v0, 0.0,
+                              dt, nsteps)
+    u2, v2, _ = pm.solve_lf_n(0.0, dt, nsteps)
+    vmax = float(jnp.max(jnp.abs(v1)))
+    assert vmax > 0.0
+    assert float(jnp.max(jnp.abs(u2 - u1))) < 1e-12 * max(vmax, 1)
+    assert float(jnp.max(jnp.abs(v2 - v1))) < 1e-12 * vmax
+
+
+def test_lf_step_second_order_vs_rk4():
+    """The fused leapfrog step converges to the RK4 solution at O(dt^2)
+    (the integrator itself, through the kernel path)."""
+    base = _model(shape=(4, 2, 2), p=4)
+    pm = PaddedLinearWave(base, tile_x=16)
+    dt = 4e-9
+    T = 64 * dt
+    u_ref, v_ref, _ = pm.solve_step_n(0.0, dt / 4, 256)
+    scale = float(jnp.max(jnp.abs(u_ref)))
+    e1 = float(jnp.max(jnp.abs(
+        pm.solve_lf_n(0.0, dt / 2, 128)[0] - u_ref))) / scale
+    e2 = float(jnp.max(jnp.abs(
+        pm.solve_lf_n(0.0, dt / 4, 256)[0] - u_ref))) / scale
+    assert e2 < 0.02, e2
+    assert 2.8 < e1 / e2 < 5.5, (e1, e2, e1 / e2)
+
+
+def test_lf_step_unavailable_raises():
+    """No silent fallback: configs outside the fused leapfrog window
+    (here p=9 -> 3d kernel) must raise, not quietly run 4x slower."""
+    base = _model(shape=(4, 2, 2), p=9)
+    pm = PaddedLinearWave(base, tile_x=16)
+    assert pm._lf_step_fn is None
+    with pytest.raises(ValueError, match="leapfrog step kernel"):
+        pm.solve_lf_n(0.0, 1e-9, 2)

@@ -374,6 +374,90 @@ class _StepMixin:
         return u, v
 
 
+class _LFStepMixin:
+    @cached_property
+    def _lf_step_fn(self):
+        """Fused leapfrog STEP kernel (ops.pallas_lfstep): one Pallas
+        call and one HBM pass per leapfrog timestep (2p slab halo, two
+        stencil windows). Same applicability conditions as the RK4 step
+        kernel minus the deeper-halo tile bound."""
+        with jax.ensure_compile_time_eval():
+            return self._build_lf_step_fn()
+
+    def _build_lf_step_fn(self):
+        from ..ops.pallas_lfstep import (_off0 as _lf_off0,
+                                         build_lf_tables, make_lf_step)
+
+        if self._kernel_resolved != "flat":
+            return None
+        if self.layout.tile_x < _lf_off0(self.base.p):
+            return None
+        planes = _x_face_planes(self)
+        if planes is None:
+            return None
+        w1, w2, src_x, abc_x = planes
+        b = self.base
+        A, _ = separable_stiffness_tables(b.p, b.mesh.h, b.dtype)
+        lines = grid_lines(b.mesh.shape, b.p, b.dtype)
+        tables = build_lf_tables(
+            self.layout, A, lines, -float(b.c0) ** 2, self._m_lines,
+            w1, w2, src_x, abc_x, dtype=b.dtype,
+        )
+        return make_lf_step(self.layout, tables, b.c0, dtype=b.dtype)
+
+    def solve_lf_n(self, t0, dt, nsteps, u0=None, v0=None):
+        """Leapfrog with ONE fused kernel per step (solvers/leapfrog.py
+        semantics: kick-drift-kick, semi-implicit/adjoint ABC damping).
+        dt must satisfy the leapfrog CFL (~0.71x the RK4 step). Raises
+        when the fused path does not apply — there is no cheap XLA
+        fallback with identical cost, so silence would mislead."""
+        step = self._lf_step_fn
+        if step is None:
+            raise ValueError(
+                "fused leapfrog step kernel unavailable for this "
+                "config (needs flat layout + x-face source/ABC + "
+                "tile_x >= the 2p slab halo)"
+            )
+        if u0 is None:
+            u0, v0 = self.zero_state()
+        b = self.base
+        dtf = float(dt)
+
+        def body(carry, _):
+            u, v, t = carry
+            g0 = b.g_amplitude(t)
+            g1 = b.g_amplitude(t + dtf)
+            u, v = step(u, v, dtf, g0, g1)
+            return (u, v, t + dtf), None
+
+        (u, v, _), _ = jax.lax.scan(
+            body,
+            (u0, v0, jnp.asarray(t0, dtype=u0.dtype)),
+            jnp.arange(nsteps),
+        )
+        return u, v, nsteps
+
+    def solve_lf_dyn(self, t0, dt, nsteps, u0, v0):
+        """:meth:`solve_lf_n` with a TRACED step count (fori_loop) —
+        canary and timed window share one executable."""
+        step = self._lf_step_fn
+        assert step is not None, "leapfrog step kernel unavailable"
+        b = self.base
+        dtf = float(dt)
+
+        def body(i, carry):
+            u, v, t = carry
+            g0 = b.g_amplitude(t)
+            g1 = b.g_amplitude(t + dtf)
+            u, v = step(u, v, dtf, g0, g1)
+            return (u, v, t + dtf)
+
+        u, v, _ = jax.lax.fori_loop(
+            0, nsteps, body, (u0, v0, jnp.asarray(t0, dtype=u0.dtype))
+        )
+        return u, v
+
+
 # Graft the fused-stage methods onto the (frozen) dataclass. The
 # cached_property descriptor keeps the __set_name__ binding it received in
 # _FusedMixin ('_stage_fn'), which matches the attribute name here.
@@ -385,3 +469,7 @@ PaddedLinearWave._step_fn = _StepMixin._step_fn
 PaddedLinearWave._build_step_fn = _StepMixin._build_step_fn
 PaddedLinearWave.solve_step_n = _StepMixin.solve_step_n
 PaddedLinearWave.solve_step_dyn = _StepMixin.solve_step_dyn
+PaddedLinearWave._lf_step_fn = _LFStepMixin._lf_step_fn
+PaddedLinearWave._build_lf_step_fn = _LFStepMixin._build_lf_step_fn
+PaddedLinearWave.solve_lf_n = _LFStepMixin.solve_lf_n
+PaddedLinearWave.solve_lf_dyn = _LFStepMixin.solve_lf_dyn

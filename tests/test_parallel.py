@@ -169,6 +169,47 @@ def test_sharded_step_kernel_matches_single_device(parts):
                                atol=1e-13 * np.abs(gv).max())
 
 
+@pytest.mark.parametrize("parts", [(2, 2, 2), (4, 1, 2)])
+def test_sharded_lf_kernel_matches_single_device(parts):
+    """Distributed value-halo fused LEAPFROG path (one kernel + one
+    2p-deep value exchange per step) == the single-device fused leapfrog
+    step kernel, at machine precision."""
+    from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
+    from wave_fenics_tpu.parallel.sharded_padded import ShardedPaddedWave
+
+    tags = FacetTags({1: (0,), 2: (1,)})
+    mesh = box_mesh((8, 4, 4), (0.02, 0.01, 0.01), facet_tags=tags)
+    base = LinearWave(mesh, p=4, dtype=jnp.float64)
+    dt = 1e-9
+    pm = PaddedLinearWave(base, tile_x=16)
+    u_ref, v_ref, _ = pm.solve_lf_n(0.0, dt, 12)
+    gu = np.asarray(pm.to_grid(u_ref))
+    gv = np.asarray(pm.to_grid(v_ref))
+
+    sw = ShardedPaddedWave(base, parts, tile_x=16)
+    assert sw._lf_tables is not None
+    u, v, _ = sw.solve_lf_n(0.0, dt, 12)
+    np.testing.assert_allclose(sw.to_global_lf(u), gu, rtol=1e-13,
+                               atol=1e-15 * max(np.abs(gu).max(), 1e-300))
+    np.testing.assert_allclose(sw.to_global_lf(v), gv, rtol=1e-13,
+                               atol=1e-13 * np.abs(gv).max())
+
+
+def test_sharded_lf_unavailable_raises():
+    """1 cell per block on an axis split >= 3 ways cannot supply the 2p
+    one-hop value halo either — solve_lf_n must raise (no silent
+    fallback with a 4x different cost profile)."""
+    from wave_fenics_tpu.parallel.sharded_padded import ShardedPaddedWave
+
+    tags = FacetTags({1: (0,), 2: (1,)})
+    mesh = box_mesh((4, 2, 2), (0.02, 0.01, 0.01), facet_tags=tags)
+    base = LinearWave(mesh, p=4, dtype=jnp.float64)
+    sw = ShardedPaddedWave(base, (4, 1, 1), tile_x=16)
+    assert sw._lf_layout is None
+    with pytest.raises(ValueError, match="leapfrog"):
+        sw.solve_lf_n(0.0, 1e-9, 2)
+
+
 def test_sharded_step_min_extent_guard_falls_back():
     """1 cell per block on an axis split >= 3 ways cannot supply a valid
     3p one-hop value halo (the sent slab would include the sender's own

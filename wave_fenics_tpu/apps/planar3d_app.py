@@ -57,6 +57,7 @@ def run(cfg: SimulationConfig) -> dict:
     is_general = isinstance(m, GeneralLinearWave)
     ndev = cfg.run.ndev
     sharded = ndev > 1
+    pm = None
     if sharded and is_general:
         # imported mesh: RCB partition + fused local applies
         from ..parallel.sharded_general import ShardedGeneralWave
@@ -68,7 +69,32 @@ def run(cfg: SimulationConfig) -> dict:
         from ..parallel.sharded_padded import ShardedPaddedWave
 
         sw = ShardedPaddedWave(m, decompose3d(ndev))
-        u, v = sw.zero_state()
+        # pick the state layout for the fastest applicable mode: the
+        # value-halo fused STEP kernels (one exchange + one kernel per
+        # step) over the per-stage halo-add path
+        if integrator == "leapfrog":
+            if sw._lf_tables is None:
+                raise ValueError(
+                    "distributed leapfrog needs the value-halo step "
+                    "path (flat layout, x-face tags, >= 2 cells/block "
+                    "on axes split >= 3 ways)"
+                )
+            u, v = sw.zero_state_lf()
+        elif sw._step_tables is not None:
+            u, v = sw.zero_state_step()
+        else:
+            u, v = sw.zero_state()
+    elif not is_general and jax.default_backend() == "tpu":
+        # single-device structured on TPU: the padded production solvers
+        # (the fused STEP kernels when applicable — solve_step_n/
+        # solve_lf_n fall back per-config), NOT the reference-semantics
+        # base model (which at p=4 is ~8x slower than the step kernel).
+        # CPU runs keep the XLA path: interpret-mode Pallas on a
+        # production grid takes hours.
+        from ..models.linear_wave_padded import PaddedLinearWave
+
+        pm = PaddedLinearWave(m, tile_x=32 if m.p == 4 else 16)
+        u, v = pm.zero_state()
     else:
         u, v = m.zero_state()
 
@@ -85,26 +111,46 @@ def run(cfg: SimulationConfig) -> dict:
             step0, u_np, v_np, t, _ = snap
             u = jnp.asarray(u_np, dtype=m.dtype)
             v = jnp.asarray(v_np, dtype=m.dtype)
+            if pm is not None and u.shape != pm.layout.padded_shape:
+                # checkpoint from a pre-padded-app version (grid layout)
+                u, v = pm.from_grid(u), pm.from_grid(v)
             log.info("resumed from step %d (t=%.6e)", step0, t)
 
     chunk = cfg.run.checkpoint_every_steps if cm else max(nstep, 1)
     chunk = min(chunk, max(nstep - step0, 1))
 
     if sharded:
-        if integrator != "rk4" and not is_general:
-            raise ValueError(
-                "integrator='leapfrog' on sharded runs is wired for "
-                "imported meshes (ShardedGeneralWave) only; structured "
-                "sharded runs use RK4 (the fused step kernel)"
-            )
         if is_general:
             solve_chunk = lambda u, v, t0_, n: sw.solve_n(
                 t0_, dt, n, u, v, integrator=integrator)
+        elif integrator == "leapfrog":
+            solve_chunk = lambda u, v, t0_, n: sw.solve_lf_n(t0_, dt, n,
+                                                             u, v)
+        elif sw._step_tables is not None:
+            solve_chunk = lambda u, v, t0_, n: sw.solve_step_n(
+                t0_, dt, n, u, v)
         else:
             solve_chunk = lambda u, v, t0_, n: sw.solve_n(t0_, dt, n,
                                                           u, v)
     else:
-        if integrator == "leapfrog":
+        if pm is not None:
+            # padded production solvers: fused STEP kernels when the
+            # config allows (x-face tags, flat layout), with built-in
+            # per-config fallbacks
+            if integrator == "leapfrog":
+                if pm._lf_step_fn is not None:
+                    step_n = lambda uu, vv, tt, n: pm.solve_lf_n(
+                        tt, dt, n, uu, vv)[:2]
+                else:
+                    from ..solvers.leapfrog import leapfrog_solve_n
+
+                    step_n = lambda uu, vv, tt, n: leapfrog_solve_n(
+                        pm.force, pm.damping, uu, vv, tt, dt, n
+                    )
+            else:
+                step_n = lambda uu, vv, tt, n: pm.solve_step_n(
+                    tt, dt, n, uu, vv)[:2]
+        elif integrator == "leapfrog":
             from ..solvers.leapfrog import leapfrog_solve_n
 
             damp = jnp.asarray(m.damping)
@@ -174,10 +220,12 @@ def run(cfg: SimulationConfig) -> dict:
             from ..core.dofmap import StructuredDofGrid
             from ..core.io import write_xdmf_rectilinear
 
+            ug = pm.to_grid(u) if pm is not None else u
+            vg = pm.to_grid(v) if pm is not None else v
             dg = StructuredDofGrid(m.mesh, m.p)
             write_xdmf_rectilinear(
                 out_path, tuple(dg.axis_coords(d) for d in range(3)),
-                {"u": np.asarray(u), "v": np.asarray(v)}, time=t,
+                {"u": np.asarray(ug), "v": np.asarray(vg)}, time=t,
             )
             log.info("wrote %s", out_path)
     return {

@@ -159,6 +159,29 @@ class PaddedLinearWave:
     def f0(self, t, u, v):
         return v
 
+    # -- leapfrog decomposition: f1 = force(t, u) - damping * v ---------
+    def force(self, t, u):
+        """v-independent part of f1 (solvers/leapfrog.py split)."""
+        b = self.base
+        kv = self._apply(u)
+        for axis, pidx, attr, plane in self._boundary_planes:
+            if attr == "w1":
+                kv = kv.at[pidx].add(
+                    (b.c0**2 * b.g_amplitude(t)).astype(b.dtype) * plane
+                )
+        return kv
+
+    @cached_property
+    def damping(self) -> jax.Array:
+        """Diagonal ABC damping D = c0 W2/m as a padded array."""
+        with jax.ensure_compile_time_eval():
+            damp = jnp.zeros(self.layout.padded_shape,
+                             dtype=self.base.dtype)
+            for axis, pidx, attr, plane in self._boundary_planes:
+                if attr == "w2":
+                    damp = damp.at[pidx].add(self.base.c0 * plane)
+            return damp
+
     # -- driver ----------------------------------------------------------
     def zero_state(self):
         z = jnp.zeros(self.layout.padded_shape, dtype=self.base.dtype)

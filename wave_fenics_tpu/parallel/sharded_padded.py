@@ -557,11 +557,12 @@ class ShardedPaddedWave:
                             halo=3 * p)
 
     def _embed_global(self, gvec: np.ndarray, axis: int, b: int,
-                      lay: PaddedLayout) -> np.ndarray:
+                      lay: PaddedLayout, h: int | None = None
+                      ) -> np.ndarray:
         """Slice a global per-dof axis vector for block ``b`` including the
-        3p halo, embedded at the block's padded offsets (zeros outside the
-        domain)."""
-        h = 3 * self.model.p
+        value halo (default 3p), embedded at the block's padded offsets
+        (zeros outside the domain)."""
+        h = 3 * self.model.p if h is None else h
         off = lay.x0 if axis == 0 else lay.h
         L = lay.padded_shape[axis]
         Nloc = lay.shape[axis]
@@ -578,11 +579,26 @@ class ShardedPaddedWave:
         step path does not apply (non-flat kernel, non-x-face tags, or a
         tile too small for the 3p slab halo)."""
         from ..ops.pallas_rk4step import (_off0, build_step_tables_from_cv)
-        from ..ops.pallas_stiffness import banded_1d_coeffs
 
         lay = self._step_layout
         if lay is None or lay.tile_x < _off0(self.model.p):
             return None
+        # table index -> block-axis deps for
+        # (WXA, WXB, WXC, CVY, CVZ, FX, SXS, SRC, ABC, W1, W2)
+        # CVY/CVZ carry the folded gz/gy line factors, so they depend on
+        # BOTH plane axes.
+        deps = {0: (0,), 1: (0,), 2: (0,), 3: (1, 2), 4: (1, 2), 5: (1, 2),
+                6: (0,), 7: (0,), 8: (0,), 9: (1, 2), 10: (1, 2)}
+        return self._value_halo_tables(
+            lay, 3 * self.model.p, build_step_tables_from_cv, deps
+        )
+
+    def _value_halo_tables(self, lay, h, build_fn, deps):
+        """Blocked sharded tables for a value-halo fused kernel family
+        (``build_fn`` = the rk4step or lfstep table builder, ``h`` the
+        value-halo depth), or None for non-x-face tag configs."""
+        from ..ops.pallas_stiffness import banded_1d_coeffs
+
         md = self.model
         p = md.p
         mx, my, mz = self.parts
@@ -617,34 +633,27 @@ class ShardedPaddedWave:
         mx_line = self._global_m_lines[0]
 
         def tables_for(bx, by, bz):
-            cvx = self._embed_global(gcvs[0], 0, bx, lay)
-            cvy = self._embed_global(gcvs[1], 1, by, lay)
-            cvz = self._embed_global(gcvs[2], 2, bz, lay)
-            pLx = self._embed_global(gsl[0], 0, bx, lay)
-            pLy = self._embed_global(gsl[1], 1, by, lay)
-            pLz = self._embed_global(gsl[2], 2, bz, lay)
-            py = self._embed_global(w_y, 1, by, lay)
-            pz = self._embed_global(w_z, 2, bz, lay)
+            cvx = self._embed_global(gcvs[0], 0, bx, lay, h)
+            cvy = self._embed_global(gcvs[1], 1, by, lay, h)
+            cvz = self._embed_global(gcvs[2], 2, bz, lay, h)
+            pLx = self._embed_global(gsl[0], 0, bx, lay, h)
+            pLy = self._embed_global(gsl[1], 1, by, lay, h)
+            pLz = self._embed_global(gsl[2], 2, bz, lay, h)
+            py = self._embed_global(w_y, 1, by, lay, h)
+            pz = self._embed_global(w_z, 2, bz, lay, h)
             w1 = np.outer(py / mx_line[0], pz).ravel()
             w2 = np.outer(py / mx_line[-1], pz).ravel()
             # global face rows in this block's padded x coordinates
             Nloc = lay.shape[0]
             g0 = bx * (Nloc - 1)
-            h = 3 * p
             def prow(g):
                 r = g - g0
                 return lay.x0 + r if -h <= r < Nloc + h else -1
-            return build_step_tables_from_cv(
+            return build_fn(
                 lay, cvx, cvy, cvz, pLx, pLy, pLz, w1, w2,
                 prow(0), prow(gshape[0] - 1), md.dtype,
             )
 
-        # table index -> block-axis deps for
-        # (WXA, WXB, WXC, CVY, CVZ, FX, SXS, SRC, ABC, W1, W2)
-        # CVY/CVZ carry the folded gz/gy line factors, so they depend on
-        # BOTH plane axes.
-        deps = {0: (0,), 1: (0,), 2: (0,), 3: (1, 2), 4: (1, 2), 5: (1, 2),
-                6: (0,), 7: (0,), 8: (0,), 9: (1, 2), 10: (1, 2)}
         ms = (mx, my, mz)
         shape0 = [t.shape for t in tables_for(0, 0, 0)]
         nt = len(shape0)
@@ -673,17 +682,19 @@ class ShardedPaddedWave:
             )
         return tuple(out), deps
 
-    def _refresh_value_halos(self, a: jax.Array) -> jax.Array:
-        """Overwrite the 3p-deep halo regions with neighbor interior VALUES
-        (owner->ghost forward scatter, VectorUpdater.hpp:106-152 semantics).
-        Axis order x->y->z fills corner halos transitively.
+    def _refresh_value_halos(self, a: jax.Array, lay=None,
+                             h: int | None = None) -> jax.Array:
+        """Overwrite the h-deep (default 3p) halo regions with neighbor
+        interior VALUES (owner->ghost forward scatter,
+        VectorUpdater.hpp:106-152 semantics). Axis order x->y->z fills
+        corner halos transitively.
 
         The duplicated interface plane is canonicalized to the LOW-side
         block's value (the two copies could otherwise drift at ulp level:
         their x-band matmuls sum the same taps at different window
         offsets), so the duplicate-plane invariant holds bitwise."""
-        lay = self._step_layout
-        h = 3 * self.model.p
+        lay = self._step_layout if lay is None else lay
+        h = 3 * self.model.p if h is None else h
         offs = (lay.x0, lay.h, lay.h)
         for axis, (name, size) in enumerate(zip(("x", "y", "z"), self.parts)):
             if size == 1:
@@ -786,6 +797,114 @@ class ShardedPaddedWave:
 
     def to_global_step(self, blocked: jax.Array) -> np.ndarray:
         return self.to_global(blocked, self._step_layout)
+
+    # -- distributed value-halo LEAPFROG step mode ---------------------
+    # the round-4 integrator (solvers/leapfrog.py, ops/pallas_lfstep.py)
+    # in the same value-halo scheme: ONE 2p-deep (u, v) exchange + ONE
+    # fused kernel per leapfrog step.
+
+    @cached_property
+    def _lf_layout(self) -> PaddedLayout | None:
+        if self._kernel_resolved != "flat":
+            return None
+        from ..models.linear_wave_padded import _flat_tile_x
+        from ..ops.pallas_lfstep import _off0
+
+        p = self.model.p
+        # one-hop refresh: a block must supply a neighbor's full 2p halo
+        # from rows valid to that depth (same guard as the RK4 step mode)
+        if any(m >= 3 and n < 2
+               for n, m in zip(self.local_cells, self.parts)):
+            return None
+        shape = tuple(n * p + 1 for n in self.local_cells)
+        tx = _flat_tile_x(p, max(self.tile_x, _off0(p)))
+        return PaddedLayout(shape=shape, p=p, tile_x=tx, z_align=16,
+                            halo=2 * p)
+
+    @cached_property
+    def _lf_tables(self):
+        from ..ops.pallas_lfstep import _off0, build_lf_tables_from_cv
+
+        lay = self._lf_layout
+        if lay is None or lay.tile_x < _off0(self.model.p):
+            return None
+        # (WXB, WXC, CVY, CVZ, FX, SXS, SRC, ABC, W1, W2)
+        deps = {0: (0,), 1: (0,), 2: (1, 2), 3: (1, 2), 4: (1, 2),
+                5: (0,), 6: (0,), 7: (0,), 8: (1, 2), 9: (1, 2)}
+        return self._value_halo_tables(
+            lay, 2 * self.model.p, build_lf_tables_from_cv, deps
+        )
+
+    def zero_state_lf(self):
+        mx, my, mz = self.parts
+        shape = (mx, my, mz) + self._lf_layout.padded_shape
+        z = jax.device_put(
+            jnp.zeros(shape, dtype=self.model.dtype),
+            NamedSharding(self.mesh, P("x", "y", "z", None, None, None)),
+        )
+        return z, z
+
+    def solve_lf_n(self, t0, dt, nsteps, u0=None, v0=None):
+        """Distributed leapfrog: one fused kernel + one 2p value-halo
+        exchange per step. dt must satisfy the leapfrog CFL (~0.71x the
+        RK4 step). Raises when the path does not apply (no silent
+        fallback — see PaddedLinearWave.solve_lf_n)."""
+        from ..ops.pallas_lfstep import make_lf_step_raw
+
+        st = self._lf_tables
+        if st is None:
+            raise ValueError(
+                "distributed leapfrog step path unavailable for this "
+                "configuration (needs flat layout, x-face source/ABC, "
+                ">= 2 cells/block on axes split >= 3 ways)"
+            )
+        tables, deps = st
+        if u0 is None:
+            u0, v0 = self.zero_state_lf()
+        md = self.model
+        lay = self._lf_layout
+        raw = make_lf_step_raw(lay, md.c0, md.dtype)
+        dtf = float(dt)
+        h = 2 * md.p
+
+        state_spec = P("x", "y", "z", None, None, None)
+        table_specs = tuple(t.sharding.spec for t in tables)
+
+        def local_solve(u, v, *ops):
+            tbl = [
+                o.reshape(o.shape[o.ndim - (t.ndim - len(deps[i])):])
+                for i, (o, t) in enumerate(zip(ops, tables))
+            ]
+            usq = u.reshape(u.shape[3:])
+            vsq = v.reshape(v.shape[3:])
+
+            def body(carry, _):
+                uu, vv, t = carry
+                uu = self._refresh_value_halos(uu, lay, h)
+                vv = self._refresh_value_halos(vv, lay, h)
+                g0 = md.g_amplitude(t)
+                g1 = md.g_amplitude(t + dtf)
+                uu, vv = raw(uu, vv, dtf, g0, g1, *tbl)
+                return (uu, vv, t + dtf), None
+
+            (uo, vo, _), _ = lax.scan(
+                body, (usq, vsq, jnp.asarray(t0, dtype=md.dtype)),
+                jnp.arange(nsteps),
+            )
+            return uo.reshape(u.shape), vo.reshape(v.shape)
+
+        sm = shard_map(
+            local_solve,
+            mesh=self.mesh,
+            in_specs=(state_spec, state_spec) + table_specs,
+            out_specs=(state_spec, state_spec),
+            check_vma=False,
+        )
+        u, v = jax.jit(sm)(u0, v0, *tables)
+        return u, v, nsteps
+
+    def to_global_lf(self, blocked: jax.Array) -> np.ndarray:
+        return self.to_global(blocked, self._lf_layout)
 
     # -- host conversion ---------------------------------------------------
     def to_global(self, blocked: jax.Array, lay: PaddedLayout | None = None

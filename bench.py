@@ -36,13 +36,15 @@ def _parser():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--solver",
                     choices=["auto", "step", "fused", "padded", "base",
-                             "lf"],
+                             "lf", "lf2"],
                     default="auto",
                     help="'lf' (opt-in, never in auto): fused LEAPFROG "
                          "step kernel (ops.pallas_lfstep) at dt*0.71 — "
                          "1 stencil window pass/step; 2nd order vs "
                          "RK4's 4th, so it is a separate metric, not "
-                         "the headline")
+                         "the headline. 'lf2': temporal-blocked variant "
+                         "(ops.pallas_lf2step, TWO steps per HBM pass; "
+                         "--steps must be even)")
     ap.add_argument("--tile-x", type=int, default=32,
                     help="padded-layout x tile (multiple of 8 and p; larger "
                          "tiles cut the step kernel's halo read "
@@ -153,7 +155,7 @@ def _build(args, solver):
             return u, v
         return run
 
-    if solver in ("step", "fused", "padded", "lf"):
+    if solver in ("step", "fused", "padded", "lf", "lf2"):
         from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
 
         pm = PaddedLinearWave(m, tile_x=args.tile_x)
@@ -163,6 +165,9 @@ def _build(args, solver):
             raise RuntimeError("fused step kernel unavailable for this case")
         if solver == "lf" and pm._lf_step_fn is None:
             raise RuntimeError("leapfrog step kernel unavailable for this case")
+        if solver == "lf2" and pm._lf2_step_fn is None:
+            raise RuntimeError(
+                "2-step leapfrog kernel unavailable for this case")
         u0, v0 = pm.zero_state()
         if solver == "step":
             run = jax.jit(
@@ -172,12 +177,13 @@ def _build(args, solver):
             run = jax.jit(
                 lambda u, v, n: pm.solve_fused_dyn(0.0, dt, n, u, v)
             )
-        elif solver == "lf":
+        elif solver in ("lf", "lf2"):
             # leapfrog's imaginary-axis stability interval is 2 vs RK4's
             # 2.83; the case's CFL dt targets RK4
             dt_lf = dt * 0.71
+            fn = pm.solve_lf_dyn if solver == "lf" else pm.solve_lf2_dyn
             run = jax.jit(
-                lambda u, v, n: pm.solve_lf_dyn(0.0, dt_lf, n, u, v)
+                lambda u, v, n: fn(0.0, dt_lf, n, u, v)
             )
         else:
             run = jax.jit(dyn_loop(pm.f0, pm.f1))
@@ -222,7 +228,7 @@ def _worker(args):
     if solver == "auto":  # workers get a concrete solver from the parent,
         solver = "base"   # but keep direct --worker invocations runnable
     backend = jax.default_backend()
-    if solver in ("step", "fused", "padded", "lf") and backend == "cpu":
+    if solver in ("step", "fused", "padded", "lf", "lf2") and backend == "cpu":
         # interpret-mode Pallas on the full grid takes hours, not seconds
         print(f"CANARY_SKIP backend={backend}", flush=True)
         return
@@ -237,17 +243,21 @@ def _worker(args):
     # the step count is a DEVICE scalar so canary and timed runs hit the
     # same executable (python ints would bake the trip count into the HLO)
     if args.worker in ("canary", "both"):
-        elapsed = timeit(run, u0, v0, _np.int32(1), reps=1, warmup=1)
+        # lf2 integrates floor(n/2) kernel calls: n=2 is its one-step run
+        ctrip = 2 if solver == "lf2" else 1
+        elapsed = timeit(run, u0, v0, _np.int32(ctrip), reps=1, warmup=1)
         print(f"CANARY_OK backend={backend} step_s={elapsed:.4f}", flush=True)
         if args.worker == "canary":
             return
 
     # transfer-based sync: block_until_ready is unreliable on tunneled
     # backends, so timeit forces a device->host element fetch
+    if solver == "lf2" and args.steps % 2:
+        raise RuntimeError("--steps must be even for solver lf2")
     elapsed = timeit(run, u0, v0, _np.int32(args.steps), reps=3,
                      warmup=args.warmup)
     gdof_steps = ndofs * args.steps / elapsed / 1e9
-    name = "leapfrog" if solver == "lf" else "RK4"
+    name = "leapfrog" if solver in ("lf", "lf2") else "RK4"
     out = {
         "metric": f"planar3d {name} GDoF*steps/s (p={args.degree}, "
         f"{ndofs} dofs, 1 chip, {solver})",
@@ -255,7 +265,7 @@ def _worker(args):
         "unit": "GDoF*steps/s",
         "vs_baseline": round(gdof_steps / 1.0, 4),
     }
-    if solver == "lf":
+    if solver in ("lf", "lf2"):
         # cross-integrator comparison: leapfrog steps advance 0.71x the
         # RK4 dt, so simulated-time speedup over an RK4 record =
         # 0.71 * (rk4 ms_per_step / this ms_per_step)

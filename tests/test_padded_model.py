@@ -379,6 +379,34 @@ def test_lf_step_second_order_vs_rk4():
     assert 2.8 < e1 / e2 < 5.5, (e1, e2, e1 / e2)
 
 
+@pytest.mark.parametrize("p", [2, 3, 4, 5])
+@pytest.mark.parametrize("nsteps", [24, 25])
+def test_lf2_step_matches_lf_step(p, nsteps):
+    """Temporal-blocked 2-step leapfrog kernel (ops.pallas_lf2step) ==
+    the single-step leapfrog kernel at machine precision (f64), even
+    and odd step counts (odd tail runs the single-step kernel)."""
+    base = _model(shape=(4, 2, 2), p=p)
+    pm = PaddedLinearWave(base, tile_x=16)
+    assert pm._lf2_step_fn is not None
+    dt = 1e-9
+    u1, v1, _ = pm.solve_lf_n(0.0, dt, nsteps)
+    u2, v2, _ = pm.solve_lf2_n(0.0, dt, nsteps)
+    vmax = float(jnp.max(jnp.abs(v1)))
+    assert vmax > 0.0
+    assert float(jnp.max(jnp.abs(u2 - u1))) < 1e-13 * max(vmax, 1)
+    assert float(jnp.max(jnp.abs(v2 - v1))) < 1e-13 * vmax
+
+
+def test_lf2_step_unavailable_raises():
+    """No silent fallback for the 2-step kernel either (p=9 -> 3d
+    kernel path)."""
+    base = _model(shape=(4, 2, 2), p=9)
+    pm = PaddedLinearWave(base, tile_x=16)
+    assert pm._lf2_step_fn is None
+    with pytest.raises(ValueError, match="2-step leapfrog"):
+        pm.solve_lf2_n(0.0, 1e-9, 2)
+
+
 def test_lf_step_unavailable_raises():
     """No silent fallback: configs outside the fused leapfrog window
     (here p=9 -> 3d kernel) must raise, not quietly run 4x slower."""

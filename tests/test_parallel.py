@@ -195,6 +195,34 @@ def test_sharded_lf_kernel_matches_single_device(parts):
                                atol=1e-13 * np.abs(gv).max())
 
 
+@pytest.mark.parametrize("parts", [(2, 2, 2), (4, 1, 2)])
+def test_sharded_lf2_kernel_matches_single_device(parts):
+    """Distributed 2-step leapfrog (one kernel + one 3p-deep value
+    exchange per TWO steps) == the single-device single-step leapfrog
+    kernel, at machine precision."""
+    from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
+    from wave_fenics_tpu.parallel.sharded_padded import ShardedPaddedWave
+
+    tags = FacetTags({1: (0,), 2: (1,)})
+    mesh = box_mesh((8, 4, 4), (0.02, 0.01, 0.01), facet_tags=tags)
+    base = LinearWave(mesh, p=4, dtype=jnp.float64)
+    dt = 1e-9
+    pm = PaddedLinearWave(base, tile_x=16)
+    u_ref, v_ref, _ = pm.solve_lf_n(0.0, dt, 12)
+    gu = np.asarray(pm.to_grid(u_ref))
+    gv = np.asarray(pm.to_grid(v_ref))
+
+    sw = ShardedPaddedWave(base, parts, tile_x=16)
+    assert sw._lf2_tables is not None
+    with pytest.raises(ValueError, match="even"):
+        sw.solve_lf2_n(0.0, dt, 11)
+    u, v, _ = sw.solve_lf2_n(0.0, dt, 12)
+    np.testing.assert_allclose(sw.to_global_lf2(u), gu, rtol=1e-13,
+                               atol=1e-15 * max(np.abs(gu).max(), 1e-300))
+    np.testing.assert_allclose(sw.to_global_lf2(v), gv, rtol=1e-13,
+                               atol=1e-13 * np.abs(gv).max())
+
+
 def test_sharded_lf_unavailable_raises():
     """1 cell per block on an axis split >= 3 ways cannot supply the 2p
     one-hop value halo either — solve_lf_n must raise (no silent

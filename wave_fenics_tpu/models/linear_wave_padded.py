@@ -481,6 +481,102 @@ class _LFStepMixin:
         return u, v
 
 
+class _LF2StepMixin:
+    @cached_property
+    def _lf2_step_fn(self):
+        """Temporal-blocked leapfrog kernel (ops.pallas_lf2step): TWO
+        timesteps per Pallas call / HBM pass (3p slab halo, three
+        stencil windows, step-boundary force computed once). Same
+        applicability conditions as the single-step leapfrog kernel
+        with the deeper halo tile bound."""
+        with jax.ensure_compile_time_eval():
+            return self._build_lf2_step_fn()
+
+    def _build_lf2_step_fn(self):
+        from ..ops.pallas_lf2step import (_off0 as _lf2_off0,
+                                          build_lf2_tables,
+                                          make_lf2_step)
+
+        if self._kernel_resolved != "flat":
+            return None
+        if self.layout.tile_x < _lf2_off0(self.base.p):
+            return None
+        planes = _x_face_planes(self)
+        if planes is None:
+            return None
+        w1, w2, src_x, abc_x = planes
+        b = self.base
+        A, _ = separable_stiffness_tables(b.p, b.mesh.h, b.dtype)
+        lines = grid_lines(b.mesh.shape, b.p, b.dtype)
+        tables = build_lf2_tables(
+            self.layout, A, lines, -float(b.c0) ** 2, self._m_lines,
+            w1, w2, src_x, abc_x, dtype=b.dtype,
+        )
+        return make_lf2_step(self.layout, tables, b.c0, dtype=b.dtype)
+
+    def solve_lf2_n(self, t0, dt, nsteps, u0=None, v0=None):
+        """Leapfrog with TWO timesteps per fused kernel call (same
+        scheme/CFL as :meth:`solve_lf_n`; an odd trailing step runs
+        through the single-step kernel). Raises when the fused path
+        does not apply."""
+        step2 = self._lf2_step_fn
+        if step2 is None:
+            raise ValueError(
+                "fused 2-step leapfrog kernel unavailable for this "
+                "config (needs flat layout + x-face source/ABC + "
+                "tile_x >= the 3p slab halo)"
+            )
+        if u0 is None:
+            u0, v0 = self.zero_state()
+        b = self.base
+        dtf = float(dt)
+
+        def body(carry, _):
+            u, v, t = carry
+            g0 = b.g_amplitude(t)
+            g1 = b.g_amplitude(t + dtf)
+            g2 = b.g_amplitude(t + 2 * dtf)
+            u, v = step2(u, v, dtf, g0, g1, g2)
+            return (u, v, t + 2 * dtf), None
+
+        (u, v, t), _ = jax.lax.scan(
+            body,
+            (u0, v0, jnp.asarray(t0, dtype=u0.dtype)),
+            jnp.arange(nsteps // 2),
+        )
+        if nsteps % 2:
+            step = self._lf_step_fn
+            g0 = b.g_amplitude(t)
+            g1 = b.g_amplitude(t + dtf)
+            u, v = step(u, v, dtf, g0, g1)
+        return u, v, nsteps
+
+    def solve_lf2_dyn(self, t0, dt, nsteps, u0, v0):
+        """:meth:`solve_lf2_n` with a TRACED step count. Caller
+        contract: ``nsteps`` must be EVEN (bench.py enforces it) —
+        handling an odd tail in-graph would compile the single-step
+        kernel into every executable for a case the benchmarks never
+        hit."""
+        step2 = self._lf2_step_fn
+        assert step2 is not None, "2-step leapfrog kernel unavailable"
+        b = self.base
+        dtf = float(dt)
+
+        def body(i, carry):
+            u, v, t = carry
+            g0 = b.g_amplitude(t)
+            g1 = b.g_amplitude(t + dtf)
+            g2 = b.g_amplitude(t + 2 * dtf)
+            u, v = step2(u, v, dtf, g0, g1, g2)
+            return (u, v, t + 2 * dtf)
+
+        u, v, _ = jax.lax.fori_loop(
+            0, nsteps // 2, body,
+            (u0, v0, jnp.asarray(t0, dtype=u0.dtype)),
+        )
+        return u, v
+
+
 # Graft the fused-stage methods onto the (frozen) dataclass. The
 # cached_property descriptor keeps the __set_name__ binding it received in
 # _FusedMixin ('_stage_fn'), which matches the attribute name here.
@@ -496,3 +592,7 @@ PaddedLinearWave._lf_step_fn = _LFStepMixin._lf_step_fn
 PaddedLinearWave._build_lf_step_fn = _LFStepMixin._build_lf_step_fn
 PaddedLinearWave.solve_lf_n = _LFStepMixin.solve_lf_n
 PaddedLinearWave.solve_lf_dyn = _LFStepMixin.solve_lf_dyn
+PaddedLinearWave._lf2_step_fn = _LF2StepMixin._lf2_step_fn
+PaddedLinearWave._build_lf2_step_fn = _LF2StepMixin._build_lf2_step_fn
+PaddedLinearWave.solve_lf2_n = _LF2StepMixin.solve_lf2_n
+PaddedLinearWave.solve_lf2_dyn = _LF2StepMixin.solve_lf2_dyn

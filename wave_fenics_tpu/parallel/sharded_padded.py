@@ -906,6 +906,119 @@ class ShardedPaddedWave:
     def to_global_lf(self, blocked: jax.Array) -> np.ndarray:
         return self.to_global(blocked, self._lf_layout)
 
+    # -- distributed temporal-blocked LEAPFROG (2 steps / exchange) ----
+    # ops.pallas_lf2step under shard_map: ONE 3p-deep (u, v) value
+    # exchange + ONE kernel call per TWO leapfrog steps — half the
+    # message count of the single-step path on top of half the HBM
+    # passes (the step-1 wedge values are recomputed in-kernel from the
+    # deeper halo, exactly like the single-device kernel's tiles).
+
+    @cached_property
+    def _lf2_layout(self) -> PaddedLayout | None:
+        if self._kernel_resolved != "flat":
+            return None
+        from ..models.linear_wave_padded import _flat_tile_x
+        from ..ops.pallas_lf2step import _off0
+
+        p = self.model.p
+        # same one-hop supply guard as the RK4 step mode (3p halo)
+        if any(m >= 3 and n < 2
+               for n, m in zip(self.local_cells, self.parts)):
+            return None
+        shape = tuple(n * p + 1 for n in self.local_cells)
+        tx = _flat_tile_x(p, max(self.tile_x, _off0(p)))
+        return PaddedLayout(shape=shape, p=p, tile_x=tx, z_align=16,
+                            halo=3 * p)
+
+    @cached_property
+    def _lf2_tables(self):
+        from ..ops.pallas_lf2step import _off0, build_lf2_tables_from_cv
+
+        lay = self._lf2_layout
+        if lay is None or lay.tile_x < _off0(self.model.p):
+            return None
+        # (WXA, WXB, WXC, CVY, CVZ, FX, SXS, SRC, ABC, W1, W2)
+        deps = {0: (0,), 1: (0,), 2: (0,), 3: (1, 2), 4: (1, 2),
+                5: (1, 2), 6: (0,), 7: (0,), 8: (0,), 9: (1, 2),
+                10: (1, 2)}
+        return self._value_halo_tables(
+            lay, 3 * self.model.p, build_lf2_tables_from_cv, deps
+        )
+
+    def zero_state_lf2(self):
+        mx, my, mz = self.parts
+        shape = (mx, my, mz) + self._lf2_layout.padded_shape
+        z = jax.device_put(
+            jnp.zeros(shape, dtype=self.model.dtype),
+            NamedSharding(self.mesh, P("x", "y", "z", None, None, None)),
+        )
+        return z, z
+
+    def solve_lf2_n(self, t0, dt, nsteps, u0=None, v0=None):
+        """Distributed 2-step leapfrog: one fused kernel + one 3p
+        value-halo exchange per TWO steps. ``nsteps`` must be even
+        (an odd tail would need the 2p single-step layout). Raises when
+        the path does not apply."""
+        from ..ops.pallas_lf2step import make_lf2_step_raw
+
+        st = self._lf2_tables
+        if st is None:
+            raise ValueError(
+                "distributed 2-step leapfrog path unavailable for this "
+                "configuration (needs flat layout, x-face source/ABC, "
+                ">= 2 cells/block on axes split >= 3 ways)"
+            )
+        if nsteps % 2:
+            raise ValueError("nsteps must be even for solve_lf2_n")
+        tables, deps = st
+        if u0 is None:
+            u0, v0 = self.zero_state_lf2()
+        md = self.model
+        lay = self._lf2_layout
+        raw = make_lf2_step_raw(lay, md.c0, md.dtype)
+        dtf = float(dt)
+        h = 3 * md.p
+
+        state_spec = P("x", "y", "z", None, None, None)
+        table_specs = tuple(t.sharding.spec for t in tables)
+
+        def local_solve(u, v, *ops):
+            tbl = [
+                o.reshape(o.shape[o.ndim - (t.ndim - len(deps[i])):])
+                for i, (o, t) in enumerate(zip(ops, tables))
+            ]
+            usq = u.reshape(u.shape[3:])
+            vsq = v.reshape(v.shape[3:])
+
+            def body(carry, _):
+                uu, vv, t = carry
+                uu = self._refresh_value_halos(uu, lay, h)
+                vv = self._refresh_value_halos(vv, lay, h)
+                g0 = md.g_amplitude(t)
+                g1 = md.g_amplitude(t + dtf)
+                g2 = md.g_amplitude(t + 2 * dtf)
+                uu, vv = raw(uu, vv, dtf, g0, g1, g2, *tbl)
+                return (uu, vv, t + 2 * dtf), None
+
+            (uo, vo, _), _ = lax.scan(
+                body, (usq, vsq, jnp.asarray(t0, dtype=md.dtype)),
+                jnp.arange(nsteps // 2),
+            )
+            return uo.reshape(u.shape), vo.reshape(v.shape)
+
+        sm = shard_map(
+            local_solve,
+            mesh=self.mesh,
+            in_specs=(state_spec, state_spec) + table_specs,
+            out_specs=(state_spec, state_spec),
+            check_vma=False,
+        )
+        u, v = jax.jit(sm)(u0, v0, *tables)
+        return u, v, nsteps
+
+    def to_global_lf2(self, blocked: jax.Array) -> np.ndarray:
+        return self.to_global(blocked, self._lf2_layout)
+
     # -- host conversion ---------------------------------------------------
     def to_global(self, blocked: jax.Array, lay: PaddedLayout | None = None
                   ) -> np.ndarray:

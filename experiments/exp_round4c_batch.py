@@ -8,6 +8,11 @@
    RK4 (reference parity) and leapfrog (production option).
 2. general-mesh leapfrog + RK4 solve records at 64^3 (17.0M dofs) —
    production-scale imported-mesh rates (the 32^3 records' scale story).
+3. structured leapfrog step-kernel records, two-point RTT-free: the
+   single-step kernel (lf, chip-validated at 4.90 in round 4c) and the
+   temporal-blocked 2-step kernel (lf2, ops/pallas_lf2step.py) — lf2
+   runs LAST because it has never executed on real Mosaic and a hanging
+   mis-compile must not block the other records.
 
 Appends clean entries to BENCH_SUITE.json; full log to
 experiments/logs/r4c_batch.json.
@@ -89,6 +94,88 @@ SECTIONS = [
 ]
 
 
+def structured_lf_record(solver: str) -> dict:
+    """Two-point RTT-free record of the fused leapfrog step kernels on
+    the production planar3d grid (64x32x32 p=4, tile 32 — the bench.py
+    configuration). rate = ndofs * (n_hi - n_lo) / (t_hi - t_lo): the
+    per-dispatch tunnel RTT cancels and canary + timed share one
+    dynamic-trip executable (CLAUDE.md timing discipline)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
+    from wave_fenics_tpu.models.planar3d import planar3d_case
+    from wave_fenics_tpu.utils.timing import timeit
+
+    case = planar3d_case(ncells=(64, 32, 32), domain_length=0.1,
+                         degree=4, dtype=jnp.float32)
+    pm = PaddedLinearWave(case.model, tile_x=32)
+    fn = pm.solve_lf_dyn if solver == "lf" else pm.solve_lf2_dyn
+    assert (pm._lf_step_fn if solver == "lf" else pm._lf2_step_fn) \
+        is not None, f"{solver} kernel unavailable"
+    dt_lf = case.dt * 0.71
+    run = jax.jit(lambda u, v, n: fn(0.0, dt_lf, n, u, v))
+    u0, v0 = pm.zero_state()
+    ndofs = case.model.ops.ndofs
+
+    # canary: 2 steps (lf2's single kernel call), then sanity vs zero
+    u, v = run(u0, v0, np.int32(2))
+    un = float(jnp.max(jnp.abs(u)))
+    assert np.isfinite(un), f"{solver} canary produced non-finite state"
+    print(f"# {solver} canary ok (|u|_max={un:.3e})", file=sys.stderr,
+          flush=True)
+
+    n_lo, n_hi = 400, 1200
+    t_hi = timeit(run, u0, v0, np.int32(n_hi), reps=3, warmup=1)
+    t_lo = timeit(run, u0, v0, np.int32(n_lo), reps=3, warmup=1)
+    ms_step = (t_hi - t_lo) / (n_hi - n_lo) * 1e3
+    rate = ndofs * (n_hi - n_lo) / (t_hi - t_lo) / 1e9
+    res = {
+        "metric": f"planar3d leapfrog GDoF*steps/s (p=4, {ndofs} dofs, "
+                  f"1 chip, {solver})",
+        "value": round(rate, 4), "unit": "GDoF*steps/s",
+        "ms_per_step": round(ms_step, 4), "dt_vs_rk4": 0.71,
+        "cells": [64, 32, 32], "degree": 4, "dtype": "f32",
+        "tile_x": 32, "timing": "two-point",
+        "t_hi_s": round(t_hi, 4), "t_lo_s": round(t_lo, 4),
+    }
+    print(json.dumps(res), flush=True)
+    return res
+
+
+def lf2_agreement() -> dict:
+    """On-chip lf vs lf2 agreement over 200 steps (f32): the 2-step
+    kernel must reproduce the single-step kernel's trajectory (tests
+    prove == at 1e-12 f64 in interpret mode; this is the real-Mosaic
+    check)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
+    from wave_fenics_tpu.models.planar3d import planar3d_case
+
+    case = planar3d_case(ncells=(64, 32, 32), domain_length=0.1,
+                         degree=4, dtype=jnp.float32)
+    pm = PaddedLinearWave(case.model, tile_x=32)
+    dt_lf = case.dt * 0.71
+    u0, v0 = pm.zero_state()
+    n = np.int32(200)
+    u1, _ = jax.jit(lambda u, v, k: pm.solve_lf_dyn(0.0, dt_lf, k, u, v))(
+        u0, v0, n)
+    u2, _ = jax.jit(lambda u, v, k: pm.solve_lf2_dyn(0.0, dt_lf, k, u, v))(
+        u0, v0, n)
+    ref = float(jnp.max(jnp.abs(u1)))
+    rel = float(jnp.max(jnp.abs(u1 - u2))) / max(ref, 1e-30)
+    res = {"metric": "lf2 vs lf on-chip agreement (200 steps, f32, "
+                     "rel max)",
+           "value": rel, "unit": "rel", "u_max": ref}
+    print(json.dumps(res), flush=True)
+    assert rel < 1e-4, f"lf2 diverges from lf on chip: {rel}"
+    return res
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_SUITE.json")
@@ -139,6 +226,25 @@ def main():
             continue
         print(f"== {name} ==", file=sys.stderr, flush=True)
         r = run_inproc(cmd[0], *cmd[1:])
+        r["section"] = name
+        results.append(r)
+        save()
+
+    # lf2 last: first real-Mosaic execution of pallas_lf2step — a hang
+    # here must not cost the records above
+    for name, fn in (
+        ("lf-step", lambda: structured_lf_record("lf")),
+        ("lf2-step", lambda: structured_lf_record("lf2")),
+        ("lf2-agreement", lf2_agreement),
+    ):
+        if args.only and name != args.only:
+            continue
+        print(f"== {name} ==", file=sys.stderr, flush=True)
+        try:
+            r = fn()
+        except Exception as e:
+            r = {"metric": name, "error": f"{type(e).__name__}: {e}"[:500]}
+            print(json.dumps(r), flush=True)
         r["section"] = name
         results.append(r)
         save()

@@ -103,6 +103,35 @@ def test_planar3d_app_run_and_resume(tmp_path):
     assert out2["u_norm"] == pytest.approx(out1["u_norm"], rel=1e-10)
 
 
+@pytest.mark.parametrize("integrator", ["rk4", "leapfrog"])
+def test_planar3d_app_forced_padded_matches_base(tmp_path, integrator):
+    """CI coverage of the TPU app path (round-4c gap: the padded
+    production branch only ran on real chips, so an app-level
+    regression there was invisible to the suite). force_padded runs the
+    fused kernels in interpret mode on a tiny grid; odd checkpoint
+    chunks exercise the lf2-bulk + single-step-tail composite."""
+    import json
+
+    from wave_fenics_tpu.apps.planar3d_app import run
+    from wave_fenics_tpu.utils.config import SimulationConfig
+
+    base_cfg = json.dumps({
+        "domain": {"ncells": [4, 2, 2], "domain_length": 0.01, "degree": 3},
+        "time": {"n_tail_periods": 1.0, "integrator": integrator},
+        "run": {"dtype": "f64"},
+    })
+    ref = run(SimulationConfig.from_json(base_cfg))
+
+    cfg = SimulationConfig.from_json(base_cfg)
+    cfg.run.force_padded = True
+    cfg.run.checkpoint_dir = str(tmp_path / "ck")
+    cfg.run.checkpoint_every_steps = 7  # odd: lf2 + tail every chunk
+    out = run(cfg)
+    assert out["solver_path"] != ref["solver_path"]
+    assert "kernel" in out["solver_path"]
+    assert out["u_norm"] == pytest.approx(ref["u_norm"], rel=1e-9)
+
+
 def test_profiling_annotate():
     from wave_fenics_tpu.utils.profiling import annotate, xla_dump_flags
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import time
 
 import jax
 import jax.numpy as jnp
@@ -84,7 +85,10 @@ def run(cfg: SimulationConfig) -> dict:
             u, v = sw.zero_state_step()
         else:
             u, v = sw.zero_state()
-    elif not is_general and jax.default_backend() == "tpu":
+    elif not is_general and (
+        jax.default_backend() == "tpu"
+        or getattr(cfg.run, "force_padded", False)
+    ):
         # single-device structured on TPU: the padded production solvers
         # (the fused STEP kernels when applicable — solve_step_n/
         # solve_lf_n fall back per-config), NOT the reference-semantics
@@ -119,75 +123,143 @@ def run(cfg: SimulationConfig) -> dict:
     chunk = cfg.run.checkpoint_every_steps if cm else max(nstep, 1)
     chunk = min(chunk, max(nstep - step0, 1))
 
+    compile_s = None
     if sharded:
         if is_general:
+            solver_path = f"sharded general ({integrator}, RCB, ndev=%d)" % ndev
             solve_chunk = lambda u, v, t0_, n: sw.solve_n(
                 t0_, dt, n, u, v, integrator=integrator)
         elif integrator == "leapfrog":
+            solver_path = "sharded value-halo leapfrog STEP kernel"
             solve_chunk = lambda u, v, t0_, n: sw.solve_lf_n(t0_, dt, n,
                                                              u, v)
         elif sw._step_tables is not None:
+            solver_path = "sharded value-halo RK4 STEP kernel"
             solve_chunk = lambda u, v, t0_, n: sw.solve_step_n(
                 t0_, dt, n, u, v)
         else:
+            solver_path = "sharded per-stage halo-add RK4"
             solve_chunk = lambda u, v, t0_, n: sw.solve_n(t0_, dt, n,
                                                           u, v)
+    elif is_general:
+        # fused-operator tables must be runtime args, not HLO
+        # literals (utils/closure.py); one compiled solver per
+        # chunk length
+        from ..utils.closure import hoisted_jit
+
+        if integrator == "leapfrog":
+            from ..solvers.leapfrog import leapfrog_solve_n
+
+            damp = jnp.asarray(m.damping)
+            solver_path = "general fused leapfrog (hoisted tables)"
+            step_n = lambda uu, vv, tt, n: leapfrog_solve_n(
+                m.force, damp, uu, vv, tt, dt, n
+            )
+        else:
+            solver_path = "general fused RK4 (hoisted tables)"
+            step_n = lambda uu, vv, tt, n: rk4_solve_n(
+                m.f0, m.f1, uu, vv, tt, dt, n
+            )
+        _solvers: dict = {}
+
+        def solve_chunk(u, v, t0_, n):
+            if n not in _solvers:
+                _solvers[n] = hoisted_jit(
+                    lambda uu, vv, tt: step_n(uu, vv, tt, n),
+                    u, v, jnp.asarray(t0_),
+                )
+            uo, vo = _solvers[n](u, v, jnp.asarray(t0_))
+            return uo, vo, None
     else:
+        # single-device: every path integrates under a TRACED step count
+        # (fori_loop) so one executable serves all chunk lengths, and the
+        # compile is AOT'd BEFORE the solve timer (the round-4c app E2E
+        # anomaly: per-run recompiles of a static-length scan were read
+        # as 55x solver slowdown — compile and execution are now split).
+        from ..solvers.leapfrog import leapfrog_solve_dyn
+        from ..solvers.rk4 import rk4_solve_dyn
+
+        tail_fn = None
         if pm is not None:
             # padded production solvers: fused STEP kernels when the
             # config allows (x-face tags, flat layout), with built-in
             # per-config fallbacks
             if integrator == "leapfrog":
-                if pm._lf_step_fn is not None:
-                    step_n = lambda uu, vv, tt, n: pm.solve_lf_n(
-                        tt, dt, n, uu, vv)[:2]
+                if pm._lf2_step_fn is not None:
+                    # fastest path: TWO steps per kernel call / HBM pass
+                    # (0.587 vs 0.81 ms/step measured); an odd chunk
+                    # tail runs one single-step kernel call (lazily
+                    # compiled — odd chunk lengths are rare)
+                    solver_path = ("temporal-blocked 2-step leapfrog "
+                                   "kernel (pallas_lf2step)")
+                    body_fn = lambda uu, vv, tt, n: pm.solve_lf2_dyn(
+                        tt, dt, n, uu, vv)
+                    tail_fn = lambda uu, vv, tt, n: pm.solve_lf_dyn(
+                        tt, dt, n, uu, vv)
+                elif pm._lf_step_fn is not None:
+                    solver_path = "fused leapfrog STEP kernel (pallas_lfstep)"
+                    body_fn = lambda uu, vv, tt, n: pm.solve_lf_dyn(
+                        tt, dt, n, uu, vv)
                 else:
-                    from ..solvers.leapfrog import leapfrog_solve_n
-
-                    step_n = lambda uu, vv, tt, n: leapfrog_solve_n(
-                        pm.force, pm.damping, uu, vv, tt, dt, n
-                    )
+                    solver_path = "padded XLA leapfrog"
+                    body_fn = lambda uu, vv, tt, n: leapfrog_solve_dyn(
+                        pm.force, pm.damping, uu, vv, tt, dt, n)
+            elif pm._step_fn is not None:
+                solver_path = "fused RK4 STEP kernel (pallas_rk4step)"
+                body_fn = lambda uu, vv, tt, n: pm.solve_step_dyn(
+                    tt, dt, n, uu, vv)
+            elif pm._stage_fn is not None:
+                solver_path = "fused RK4 stage kernels (pallas_wave)"
+                body_fn = lambda uu, vv, tt, n: pm.solve_fused_dyn(
+                    tt, dt, n, uu, vv)
             else:
-                step_n = lambda uu, vv, tt, n: pm.solve_step_n(
-                    tt, dt, n, uu, vv)[:2]
+                solver_path = "padded XLA RK4"
+                body_fn = lambda uu, vv, tt, n: rk4_solve_dyn(
+                    pm.f0, pm.f1, uu, vv, tt, dt, n)
         elif integrator == "leapfrog":
-            from ..solvers.leapfrog import leapfrog_solve_n
-
             damp = jnp.asarray(m.damping)
+            solver_path = "base XLA leapfrog"
             # F is a pure function of (t, u), so per-chunk re-derivation
             # of the carried force is exact — chunking/resume-safe
-            step_n = lambda uu, vv, tt, n: leapfrog_solve_n(
-                m.force, damp, uu, vv, tt, dt, n
-            )
+            body_fn = lambda uu, vv, tt, n: leapfrog_solve_dyn(
+                m.force, damp, uu, vv, tt, dt, n)
         else:
-            step_n = lambda uu, vv, tt, n: rk4_solve_n(
-                m.f0, m.f1, uu, vv, tt, dt, n
-            )
-        if is_general:
-            # fused-operator tables must be runtime args, not HLO
-            # literals (utils/closure.py); one compiled solver per
-            # chunk length
-            from ..utils.closure import hoisted_jit
+            solver_path = "base XLA RK4"
+            body_fn = lambda uu, vv, tt, n: rk4_solve_dyn(
+                m.f0, m.f1, uu, vv, tt, dt, n)
 
-            _solvers: dict = {}
+        _targ = lambda x: jnp.asarray(x, dtype=m.dtype)
+        tc0 = time.perf_counter()
+        compiled = (
+            jax.jit(body_fn)
+            .lower(u, v, _targ(t), np.int32(1))
+            .compile()
+        )
+        compile_s = time.perf_counter() - tc0
+        log.info("compile: %.3f s (AOT, excluded from solve time)",
+                 compile_s)
+
+        if tail_fn is None:
+            solve_chunk = lambda u, v, t0_, n: (
+                *compiled(u, v, _targ(t0_), np.int32(n)), None)
+        else:
+            _tail: list = [None]
 
             def solve_chunk(u, v, t0_, n):
-                if n not in _solvers:
-                    _solvers[n] = hoisted_jit(
-                        lambda uu, vv, tt: step_n(uu, vv, tt, n),
-                        u, v, jnp.asarray(t0_),
-                    )
-                uo, vo = _solvers[n](u, v, jnp.asarray(t0_))
-                return uo, vo, None
-        else:
-            from functools import partial
-
-            @partial(jax.jit, static_argnames=("n",))
-            def _solve(u, v, t0_, n):
-                return step_n(u, v, t0_, n)
-
-            solve_chunk = lambda u, v, t0_, n: (
-                *_solve(u, v, t0_, n), None)
+                n2 = n - (n % 2)
+                if n2:
+                    u, v = compiled(u, v, _targ(t0_), np.int32(n2))
+                if n % 2:
+                    if _tail[0] is None:
+                        _tail[0] = (
+                            jax.jit(tail_fn)
+                            .lower(u, v, _targ(t0_), np.int32(1))
+                            .compile()
+                        )
+                    u, v = _tail[0](
+                        u, v, _targ(t0_ + n2 * dt), np.int32(1))
+                return u, v, None
+    log.info("solver path: %s", solver_path)
 
     step = step0
     with tm("solve", u):
@@ -235,6 +307,8 @@ def run(cfg: SimulationConfig) -> dict:
         "solve_seconds": solve_s,
         "gdof_steps_per_s": m.ops.ndofs * (nstep - step0) / solve_s / 1e9,
         "u_norm": float(jnp.linalg.norm(u.astype(jnp.float32))),
+        "solver_path": solver_path,
+        "compile_seconds": compile_s,
     }
 
 
@@ -261,6 +335,9 @@ def main():
                     default=None,
                     help="leapfrog: 1 stiffness apply/step (2nd order, "
                          "dt auto-scaled; single-device)")
+    ap.add_argument("--force-padded", action="store_true",
+                    help="use the padded production solvers even on CPU "
+                         "(interpret-mode Pallas — tiny grids only)")
     args = ap.parse_args()
     if args.platform == "cpu":
         from ..benchmarks.common import apply_platform
@@ -292,6 +369,8 @@ def main():
         cfg.run.output_path = args.output
     if args.integrator:
         cfg.time.integrator = args.integrator
+    if args.force_padded:
+        cfg.run.force_padded = True
 
     out = run(cfg)
     print(json.dumps(out))

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["leapfrog_step", "leapfrog_solve_n",
+__all__ = ["leapfrog_step", "leapfrog_solve_n", "leapfrog_solve_dyn",
            "leapfrog_solve_n_recording"]
 
 
@@ -93,6 +93,32 @@ def leapfrog_solve_n(
     F0 = force(t0, u0)
     (u, v, _, _), _ = lax.scan(
         body, (u0, v0, F0, t0), jnp.arange(nsteps)
+    )
+    return u, v
+
+
+def leapfrog_solve_dyn(
+    force: Callable,
+    damp,
+    u0: jax.Array,
+    v0: jax.Array,
+    t0,
+    dt: float,
+    nsteps,
+):
+    """:func:`leapfrog_solve_n` with a TRACED step count (``fori_loop``)
+    — one executable serves every window length. ``F = force(t, u)`` is
+    re-derived from the carried state at entry, so chunked/resumed
+    integration is exact (force is a pure function of ``(t, u)``)."""
+    tdt = jnp.result_type(float)
+
+    def body(i, carry):
+        u, v, F, t = carry
+        return leapfrog_step(force, damp, u, v, F, t, dt)
+
+    t0 = jnp.asarray(t0, dtype=tdt)
+    u, v, _, _ = lax.fori_loop(
+        0, nsteps, body, (u0, v0, force(t0, u0), t0)
     )
     return u, v
 

@@ -18,7 +18,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["rk4_step", "rk4_solve", "rk4_solve_n", "rk4_solve_n_recording"]
+__all__ = [
+    "rk4_step",
+    "rk4_solve",
+    "rk4_solve_n",
+    "rk4_solve_dyn",
+    "rk4_solve_n_recording",
+]
 
 # Butcher tableau of the reference (LinearGLL.hpp:233-236)
 _A = (0.0, 0.5, 0.5, 1.0)
@@ -72,6 +78,31 @@ def rk4_solve_n(
     tdt = jnp.result_type(float)  # time carried at full precision
     (u, v, t), _ = lax.scan(
         body, (u0, v0, jnp.asarray(t0, dtype=tdt)), jnp.arange(nsteps)
+    )
+    return u, v
+
+
+def rk4_solve_dyn(
+    f0: Callable,
+    f1: Callable,
+    u0: jax.Array,
+    v0: jax.Array,
+    t0,
+    dt: float,
+    nsteps,
+):
+    """:func:`rk4_solve_n` with a TRACED step count (``fori_loop``) — one
+    executable serves every window length, so warm/canary/production
+    dispatches share a single (cached) compile."""
+
+    def body(i, carry):
+        u, v, t = carry
+        u, v = rk4_step(f0, f1, u, v, t, dt)
+        return (u, v, t + dt)
+
+    tdt = jnp.result_type(float)
+    u, v, _ = lax.fori_loop(
+        0, nsteps, body, (u0, v0, jnp.asarray(t0, dtype=tdt))
     )
     return u, v
 

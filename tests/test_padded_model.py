@@ -397,6 +397,33 @@ def test_lf2_step_matches_lf_step(p, nsteps):
     assert float(jnp.max(jnp.abs(v2 - v1))) < 1e-13 * vmax
 
 
+@pytest.mark.parametrize("p,tile", [(2, 16), (3, 24), (4, 24), (5, 40)])
+@pytest.mark.parametrize("nsteps", [12, 13])
+def test_rk42_step_matches_rk4_step(p, tile, nsteps):
+    """Temporal-blocked 2-step RK4 kernel (ops.pallas_rk42step) == the
+    single-step RK4 kernel at machine precision (f64), even and odd
+    step counts (odd tail runs the single-step kernel)."""
+    base = _model(shape=(4, 2, 2), p=p)
+    pm = PaddedLinearWave(base, tile_x=tile)
+    assert pm._rk42_step_fn is not None
+    dt = 1e-9
+    u1, v1, _ = pm.solve_step_n(0.0, dt, nsteps)
+    u2, v2, _ = pm.solve_step2_n(0.0, dt, nsteps)
+    vmax = float(jnp.max(jnp.abs(v1)))
+    assert vmax > 0.0
+    assert float(jnp.max(jnp.abs(u2 - u1))) < 1e-12 * max(vmax, 1)
+    assert float(jnp.max(jnp.abs(v2 - v1))) < 1e-12 * vmax
+
+
+def test_rk42_step_unavailable_raises():
+    """No silent fallback: tile_x=16 < the 6p slab halo at p=4."""
+    base = _model(shape=(4, 2, 2), p=4)
+    pm = PaddedLinearWave(base, tile_x=16)
+    assert pm._rk42_step_fn is None
+    with pytest.raises(ValueError, match="2-step RK4"):
+        pm.solve_step2_n(0.0, 1e-9, 2)
+
+
 def test_lf2_step_unavailable_raises():
     """No silent fallback for the 2-step kernel either (p=9 -> 3d
     kernel path)."""

@@ -577,6 +577,95 @@ class _LF2StepMixin:
         return u, v
 
 
+class _RK42StepMixin:
+    @cached_property
+    def _rk42_step_fn(self):
+        """Temporal-blocked RK4 kernel (ops.pallas_rk42step): TWO full
+        RK4 timesteps per Pallas call / HBM pass (6p slab halo, six
+        stage windows, step-1 evaluated on a 3p superset so step 2
+        never leaves VMEM). Same applicability conditions as the
+        single-step RK4 kernel with the deeper halo tile bound."""
+        with jax.ensure_compile_time_eval():
+            return self._build_rk42_step_fn()
+
+    def _build_rk42_step_fn(self):
+        from ..ops.pallas_rk42step import (_off0 as _rk42_off0,
+                                           build_rk42_tables,
+                                           make_rk42_step)
+
+        if self._kernel_resolved != "flat":
+            return None
+        if self.layout.tile_x < _rk42_off0(self.base.p):
+            return None
+        planes = _x_face_planes(self)
+        if planes is None:
+            return None
+        w1, w2, src_x, abc_x = planes
+        b = self.base
+        A, _ = separable_stiffness_tables(b.p, b.mesh.h, b.dtype)
+        lines = grid_lines(b.mesh.shape, b.p, b.dtype)
+        tables = build_rk42_tables(
+            self.layout, A, lines, -float(b.c0) ** 2, self._m_lines,
+            w1, w2, src_x, abc_x, dtype=b.dtype,
+        )
+        return make_rk42_step(self.layout, tables, b.c0, dtype=b.dtype)
+
+    def solve_step2_n(self, t0, dt, nsteps, u0=None, v0=None):
+        """Classic RK4 with TWO timesteps per fused kernel call (same
+        scheme/accuracy as :meth:`solve_step_n`, ulp-level wedge
+        recomputation differences only; an odd trailing step runs
+        through the single-step kernel). Raises when the fused path
+        does not apply."""
+        step2 = self._rk42_step_fn
+        if step2 is None:
+            raise ValueError(
+                "fused 2-step RK4 kernel unavailable for this config "
+                "(needs flat layout + x-face source/ABC + tile_x >= "
+                "the 6p slab halo)"
+            )
+        if u0 is None:
+            u0, v0 = self.zero_state()
+        b = self.base
+        dtf = float(dt)
+
+        def body(carry, _):
+            u, v, t = carry
+            gs = [b.g_amplitude(t + j * 0.5 * dtf) for j in range(5)]
+            u, v = step2(u, v, dtf, *gs)
+            return (u, v, t + 2 * dtf), None
+
+        (u, v, t), _ = jax.lax.scan(
+            body,
+            (u0, v0, jnp.asarray(t0, dtype=u0.dtype)),
+            jnp.arange(nsteps // 2),
+        )
+        if nsteps % 2:
+            step = self._step_fn
+            gs = [b.g_amplitude(t + c * dtf) for c in _RK_C]
+            u, v = step(u, v, dtf, *gs)
+        return u, v, nsteps
+
+    def solve_step2_dyn(self, t0, dt, nsteps, u0, v0):
+        """:meth:`solve_step2_n` with a TRACED step count. Caller
+        contract: ``nsteps`` must be EVEN (bench.py enforces it)."""
+        step2 = self._rk42_step_fn
+        assert step2 is not None, "2-step RK4 kernel unavailable"
+        b = self.base
+        dtf = float(dt)
+
+        def body(i, carry):
+            u, v, t = carry
+            gs = [b.g_amplitude(t + j * 0.5 * dtf) for j in range(5)]
+            u, v = step2(u, v, dtf, *gs)
+            return (u, v, t + 2 * dtf)
+
+        u, v, _ = jax.lax.fori_loop(
+            0, nsteps // 2, body,
+            (u0, v0, jnp.asarray(t0, dtype=u0.dtype)),
+        )
+        return u, v
+
+
 # Graft the fused-stage methods onto the (frozen) dataclass. The
 # cached_property descriptor keeps the __set_name__ binding it received in
 # _FusedMixin ('_stage_fn'), which matches the attribute name here.
@@ -596,3 +685,7 @@ PaddedLinearWave._lf2_step_fn = _LF2StepMixin._lf2_step_fn
 PaddedLinearWave._build_lf2_step_fn = _LF2StepMixin._build_lf2_step_fn
 PaddedLinearWave.solve_lf2_n = _LF2StepMixin.solve_lf2_n
 PaddedLinearWave.solve_lf2_dyn = _LF2StepMixin.solve_lf2_dyn
+PaddedLinearWave._rk42_step_fn = _RK42StepMixin._rk42_step_fn
+PaddedLinearWave._build_rk42_step_fn = _RK42StepMixin._build_rk42_step_fn
+PaddedLinearWave.solve_step2_n = _RK42StepMixin.solve_step2_n
+PaddedLinearWave.solve_step2_dyn = _RK42StepMixin.solve_step2_dyn

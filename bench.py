@@ -35,16 +35,18 @@ def _parser():
     ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--solver",
-                    choices=["auto", "step", "fused", "padded", "base",
-                             "lf", "lf2"],
+                    choices=["auto", "step2", "step", "fused", "padded",
+                             "base", "lf", "lf2"],
                     default="auto",
-                    help="'lf' (opt-in, never in auto): fused LEAPFROG "
-                         "step kernel (ops.pallas_lfstep) at dt*0.71 — "
-                         "1 stencil window pass/step; 2nd order vs "
-                         "RK4's 4th, so it is a separate metric, not "
-                         "the headline. 'lf2': temporal-blocked variant "
-                         "(ops.pallas_lf2step, TWO steps per HBM pass; "
-                         "--steps must be even)")
+                    help="'step2': temporal-blocked RK4 (ops."
+                         "pallas_rk42step, TWO full RK4 steps per HBM "
+                         "pass; same scheme/accuracy as 'step'; --steps "
+                         "must be even). 'lf' (opt-in, never in auto): "
+                         "fused LEAPFROG step kernel (ops.pallas_lfstep) "
+                         "at dt*0.71 — 1 stencil window pass/step; 2nd "
+                         "order vs RK4's 4th, so it is a separate "
+                         "metric, not the headline. 'lf2': temporal-"
+                         "blocked leapfrog (ops.pallas_lf2step)")
     ap.add_argument("--tile-x", type=int, default=32,
                     help="padded-layout x tile (multiple of 8 and p; larger "
                          "tiles cut the step kernel's halo read "
@@ -155,7 +157,7 @@ def _build(args, solver):
             return u, v
         return run
 
-    if solver in ("step", "fused", "padded", "lf", "lf2"):
+    if solver in ("step2", "step", "fused", "padded", "lf", "lf2"):
         from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
 
         pm = PaddedLinearWave(m, tile_x=args.tile_x)
@@ -163,6 +165,9 @@ def _build(args, solver):
             raise RuntimeError("fused stage kernel unavailable for this case")
         if solver == "step" and pm._step_fn is None:
             raise RuntimeError("fused step kernel unavailable for this case")
+        if solver == "step2" and pm._rk42_step_fn is None:
+            raise RuntimeError(
+                "2-step RK4 kernel unavailable for this case")
         if solver == "lf" and pm._lf_step_fn is None:
             raise RuntimeError("leapfrog step kernel unavailable for this case")
         if solver == "lf2" and pm._lf2_step_fn is None:
@@ -172,6 +177,10 @@ def _build(args, solver):
         if solver == "step":
             run = jax.jit(
                 lambda u, v, n: pm.solve_step_dyn(0.0, dt, n, u, v)
+            )
+        elif solver == "step2":
+            run = jax.jit(
+                lambda u, v, n: pm.solve_step2_dyn(0.0, dt, n, u, v)
             )
         elif solver == "fused":
             run = jax.jit(
@@ -228,7 +237,8 @@ def _worker(args):
     if solver == "auto":  # workers get a concrete solver from the parent,
         solver = "base"   # but keep direct --worker invocations runnable
     backend = jax.default_backend()
-    if solver in ("step", "fused", "padded", "lf", "lf2") and backend == "cpu":
+    if (solver in ("step2", "step", "fused", "padded", "lf", "lf2")
+            and backend == "cpu"):
         # interpret-mode Pallas on the full grid takes hours, not seconds
         print(f"CANARY_SKIP backend={backend}", flush=True)
         return
@@ -243,8 +253,9 @@ def _worker(args):
     # the step count is a DEVICE scalar so canary and timed runs hit the
     # same executable (python ints would bake the trip count into the HLO)
     if args.worker in ("canary", "both"):
-        # lf2 integrates floor(n/2) kernel calls: n=2 is its one-step run
-        ctrip = 2 if solver == "lf2" else 1
+        # the 2-step kernels integrate floor(n/2) kernel calls: n=2 is
+        # their one-call run
+        ctrip = 2 if solver in ("lf2", "step2") else 1
         elapsed = timeit(run, u0, v0, _np.int32(ctrip), reps=1, warmup=1)
         print(f"CANARY_OK backend={backend} step_s={elapsed:.4f}", flush=True)
         if args.worker == "canary":
@@ -252,8 +263,8 @@ def _worker(args):
 
     # transfer-based sync: block_until_ready is unreliable on tunneled
     # backends, so timeit forces a device->host element fetch
-    if solver == "lf2" and args.steps % 2:
-        raise RuntimeError("--steps must be even for solver lf2")
+    if solver in ("lf2", "step2") and args.steps % 2:
+        raise RuntimeError(f"--steps must be even for solver {solver}")
     elapsed = timeit(run, u0, v0, _np.int32(args.steps), reps=3,
                      warmup=args.warmup)
     gdof_steps = ndofs * args.steps / elapsed / 1e9
@@ -265,11 +276,12 @@ def _worker(args):
         "unit": "GDoF*steps/s",
         "vs_baseline": round(gdof_steps / 1.0, 4),
     }
+    if solver in ("lf", "lf2", "step2"):
+        out["ms_per_step"] = round(elapsed / args.steps * 1e3, 4)
     if solver in ("lf", "lf2"):
         # cross-integrator comparison: leapfrog steps advance 0.71x the
         # RK4 dt, so simulated-time speedup over an RK4 record =
         # 0.71 * (rk4 ms_per_step / this ms_per_step)
-        out["ms_per_step"] = round(elapsed / args.steps * 1e3, 4)
         out["dt_vs_rk4"] = 0.71
     print(json.dumps(out), flush=True)
 

@@ -223,6 +223,62 @@ def test_sharded_lf2_kernel_matches_single_device(parts):
                                atol=1e-13 * np.abs(gv).max())
 
 
+@pytest.mark.parametrize("cells,parts", [((8, 4, 4), (2, 2, 2)),
+                                         ((15, 4, 4), (3, 1, 1))])
+def test_sharded_rk42_kernel_matches_single_device(cells, parts):
+    """Distributed 2-step RK4 (one kernel + one 6p-deep value exchange
+    per TWO steps) == the single-device single-step RK4 kernel, from a
+    RANDOM O(1) initial state (non-vacuous for deep-halo staleness —
+    zero-state face-source runs leave the deep-halo field exponentially
+    small; experiments/exp_halo_staleness_probe.py). The (3,1,1) case
+    sits exactly on the n>=5 one-hop supply guard boundary."""
+    from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
+    from wave_fenics_tpu.parallel.sharded_padded import ShardedPaddedWave
+
+    tags = FacetTags({1: (0,), 2: (1,)})
+    mesh = box_mesh(cells, (0.0025 * cells[0], 0.01, 0.01),
+                    facet_tags=tags)
+    base = LinearWave(mesh, p=4, dtype=jnp.float64)
+    dt = 1e-9
+    pm = PaddedLinearWave(base, tile_x=24)
+    rng = np.random.default_rng(3)
+    gshape = tuple(n * 4 + 1 for n in cells)
+    u0g = rng.standard_normal(gshape)
+    v0g = rng.standard_normal(gshape)
+    u_ref, v_ref, _ = pm.solve_step_n(
+        0.0, dt, 12, pm.from_grid(jnp.asarray(u0g)),
+        pm.from_grid(jnp.asarray(v0g)))
+    gu = np.asarray(pm.to_grid(u_ref))
+    gv = np.asarray(pm.to_grid(v_ref))
+
+    sw = ShardedPaddedWave(base, parts, tile_x=24)
+    assert sw._rk42_tables is not None
+    with pytest.raises(ValueError, match="even"):
+        sw.solve_step2_n(0.0, dt, 11)
+    lay = sw._rk42_layout
+    ub = sw.from_global(u0g, lay)
+    vb = sw.from_global(v0g, lay)
+    u, v, _ = sw.solve_step2_n(0.0, dt, 12, ub, vb)
+    np.testing.assert_allclose(sw.to_global_rk42(u), gu, rtol=1e-13,
+                               atol=1e-13 * np.abs(gu).max())
+    np.testing.assert_allclose(sw.to_global_rk42(v), gv, rtol=1e-13,
+                               atol=1e-13 * np.abs(gv).max())
+
+
+def test_sharded_rk42_unavailable_raises():
+    """< 5 cells/block on an axis split >= 3 ways cannot supply the 6p
+    one-hop value halo — solve_step2_n must raise (no silent fallback)."""
+    from wave_fenics_tpu.parallel.sharded_padded import ShardedPaddedWave
+
+    tags = FacetTags({1: (0,), 2: (1,)})
+    mesh = box_mesh((8, 4, 4), (0.02, 0.01, 0.01), facet_tags=tags)
+    base = LinearWave(mesh, p=4, dtype=jnp.float64)
+    sw = ShardedPaddedWave(base, (4, 1, 2), tile_x=24)
+    assert sw._rk42_tables is None
+    with pytest.raises(ValueError, match="2-step RK4"):
+        sw.solve_step2_n(0.0, 1e-9, 2)
+
+
 def test_sharded_lf_unavailable_raises():
     """1 cell per block on an axis split >= 3 ways cannot supply the 2p
     one-hop value halo either — solve_lf_n must raise (no silent

@@ -1019,6 +1019,122 @@ class ShardedPaddedWave:
     def to_global_lf2(self, blocked: jax.Array) -> np.ndarray:
         return self.to_global(blocked, self._lf2_layout)
 
+    # -- distributed temporal-blocked RK4 (2 steps / exchange) ---------
+    # ops.pallas_rk42step under shard_map: ONE 6p-deep (u, v) value
+    # exchange + ONE kernel call per TWO RK4 steps — half the message
+    # count AND half the HBM passes of the step path, on the
+    # reference-parity integrator.
+
+    @cached_property
+    def _rk42_layout(self) -> PaddedLayout | None:
+        if self._kernel_resolved != "flat":
+            return None
+        from ..models.linear_wave_padded import _flat_tile_x
+        from ..ops.pallas_rk42step import _off0
+
+        p = self.model.p
+        # one-hop supply guard, scaled to the 6p halo: the probe
+        # (experiments/exp_halo_staleness_probe.py, random O(1) state)
+        # verifies exactness at supply n*p = h - p for the 3p-halo
+        # paths; for h = 6p require n >= 5 and verify the same margin
+        # empirically (test_parallel + the probe cover n=5, m=3).
+        if any(m >= 3 and n < 5
+               for n, m in zip(self.local_cells, self.parts)):
+            return None
+        shape = tuple(n * p + 1 for n in self.local_cells)
+        tx = _flat_tile_x(p, max(self.tile_x, _off0(p)))
+        return PaddedLayout(shape=shape, p=p, tile_x=tx, z_align=16,
+                            halo=6 * p)
+
+    @cached_property
+    def _rk42_tables(self):
+        from ..ops.pallas_rk42step import (_off0,
+                                           build_rk42_tables_from_cv)
+
+        lay = self._rk42_layout
+        if lay is None or lay.tile_x < _off0(self.model.p):
+            return None
+        # (WX1A, WX1B, WX1C, WX2A, WX2B, WX2C, CVY, CVZ, FX, SXS, SRC,
+        #  ABC, W1, W2)
+        deps = {0: (0,), 1: (0,), 2: (0,), 3: (0,), 4: (0,), 5: (0,),
+                6: (1, 2), 7: (1, 2), 8: (1, 2), 9: (0,), 10: (0,),
+                11: (0,), 12: (1, 2), 13: (1, 2)}
+        return self._value_halo_tables(
+            lay, 6 * self.model.p, build_rk42_tables_from_cv, deps
+        )
+
+    def zero_state_rk42(self):
+        mx, my, mz = self.parts
+        shape = (mx, my, mz) + self._rk42_layout.padded_shape
+        z = jax.device_put(
+            jnp.zeros(shape, dtype=self.model.dtype),
+            NamedSharding(self.mesh, P("x", "y", "z", None, None, None)),
+        )
+        return z, z
+
+    def solve_step2_n(self, t0, dt, nsteps, u0=None, v0=None):
+        """Distributed 2-step RK4: one fused kernel + one 6p value-halo
+        exchange per TWO steps. ``nsteps`` must be even (an odd tail
+        would need the 3p single-step layout). Raises when the path
+        does not apply."""
+        from ..ops.pallas_rk42step import make_rk42_step_raw
+
+        st = self._rk42_tables
+        if st is None:
+            raise ValueError(
+                "distributed 2-step RK4 path unavailable for this "
+                "configuration (needs flat layout, x-face source/ABC, "
+                ">= 5 cells/block on axes split >= 3 ways)"
+            )
+        if nsteps % 2:
+            raise ValueError("nsteps must be even for solve_step2_n")
+        tables, deps = st
+        if u0 is None:
+            u0, v0 = self.zero_state_rk42()
+        md = self.model
+        lay = self._rk42_layout
+        raw = make_rk42_step_raw(lay, md.c0, md.dtype)
+        dtf = float(dt)
+        h = 6 * md.p
+
+        state_spec = P("x", "y", "z", None, None, None)
+        table_specs = tuple(t.sharding.spec for t in tables)
+
+        def local_solve(u, v, *ops):
+            tbl = [
+                o.reshape(o.shape[o.ndim - (t.ndim - len(deps[i])):])
+                for i, (o, t) in enumerate(zip(ops, tables))
+            ]
+            usq = u.reshape(u.shape[3:])
+            vsq = v.reshape(v.shape[3:])
+
+            def body(carry, _):
+                uu, vv, t = carry
+                uu = self._refresh_value_halos(uu, lay, h)
+                vv = self._refresh_value_halos(vv, lay, h)
+                gs = [md.g_amplitude(t + j * 0.5 * dtf) for j in range(5)]
+                uu, vv = raw(uu, vv, dtf, *gs, *tbl)
+                return (uu, vv, t + 2 * dtf), None
+
+            (uo, vo, _), _ = lax.scan(
+                body, (usq, vsq, jnp.asarray(t0, dtype=md.dtype)),
+                jnp.arange(nsteps // 2),
+            )
+            return uo.reshape(u.shape), vo.reshape(v.shape)
+
+        sm = shard_map(
+            local_solve,
+            mesh=self.mesh,
+            in_specs=(state_spec, state_spec) + table_specs,
+            out_specs=(state_spec, state_spec),
+            check_vma=False,
+        )
+        u, v = jax.jit(sm)(u0, v0, *tables)
+        return u, v, nsteps
+
+    def to_global_rk42(self, blocked: jax.Array) -> np.ndarray:
+        return self.to_global(blocked, self._rk42_layout)
+
     # -- host conversion ---------------------------------------------------
     def to_global(self, blocked: jax.Array, lay: PaddedLayout | None = None
                   ) -> np.ndarray:
@@ -1043,8 +1159,9 @@ class ShardedPaddedWave:
                     ] = b[bx, by, bz][inter]
         return out
 
-    def from_global(self, grid: np.ndarray) -> jax.Array:
-        lay = self.layout
+    def from_global(self, grid: np.ndarray,
+                    lay: PaddedLayout | None = None) -> jax.Array:
+        lay = lay or self.layout
         mx, my, mz = self.parts
         nx, ny, nz = lay.shape
         blocked = np.zeros(

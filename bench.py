@@ -82,11 +82,13 @@ def _cache_dir() -> str:
 def _merge_repo_cache():
     """Seed the persistent XLA compile cache from the committed bench_cache/.
 
-    The repo ships the serialized executables for the production bench
-    configs (step + fused solvers at cells 64-32-32, tile 32), so a driver
-    run in a FRESH environment (empty $HOME cache) still gets warm
-    compiles — a cold step-kernel compile through the tunnel was one of
-    the two ways the round-2 driver bench lost its headline solver."""
+    Round-4d finding (docs/BENCH_NOTES.md): on the axon backend the
+    cache KEY differs on every compile of bit-identical HLO, so this
+    seeding has never actually produced a hit. Kept because it is
+    harmless and documents the attempt; the real protections against
+    the round-2 driver-bench failure are (a) canary + timed sharing ONE
+    in-process executable (dynamic trip count) and (b) a canary window
+    (900 s) that covers the measured ~120 s solver compile."""
     src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "bench_cache")
     dst = _cache_dir()

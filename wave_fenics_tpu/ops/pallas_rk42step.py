@@ -132,9 +132,16 @@ def _kernel_rk42_step(
         def apply_A(xin, wx_ref, o, nrows):
             """A x on output rows [o, o+nrows) (slab coords); xin = x on
             [o-p, o+nrows+p). Identical structure to
-            ops.pallas_rk4step._kernel_rk4_step.apply_A."""
+            ops.pallas_rk4step._kernel_rk4_step.apply_A, except the
+            roll-chunk scales DOWN with the window height: a chunk of c
+            keeps c rolled [nrows, F] tensors live at once, and the
+            step-1 superset windows (up to Tx+10p rows) at yz_chunk=9
+            spilled ~90 MB of VMEM (r4d chip log: OOM by 1.9 MB out of
+            128). Capping c*nrows at the single-step kernel's 9*(Tx+4p)
+            envelope keeps the live roll set constant across windows."""
             xc = xin[p : p + nrows]
             sx = sxs_ref[0, o : o + nrows]
+            chunk = max(1, min(yz_chunk, (9 * (Tx + 4 * p)) // nrows))
             tx = jnp.einsum(
                 "os,sf->of", wx_ref[0], xin,
                 preferred_element_type=f32, precision=precision,
@@ -143,9 +150,9 @@ def _kernel_rk42_step(
             terms = [(cvy_ref, k, ((p - k) * Lz) % F) for k in range(K)]
             terms += [(cvz_ref, k, (p - k) % F) for k in range(K)]
             first = True
-            for i in range(0, len(terms), yz_chunk):
+            for i in range(0, len(terms), chunk):
                 e = None
-                for ref, k, sh in terms[i : i + yz_chunk]:
+                for ref, k, sh in terms[i : i + chunk]:
                     xs = xc if sh == 0 else pltpu.roll(xc, sh, 1)
                     t = ref[k][None, :] * xs
                     e = t if e is None else e + t

@@ -175,6 +175,56 @@ def main() -> None:
             "timing": "warm app run (AOT compile excluded, sync'd)",
         })
 
+    # ---- rk42: first real-Mosaic run of the 2-step RK4 kernel --------
+    # runs LAST (r4c discipline): a hanging miscompile must not block
+    # the app diagnosis records above.
+    if want("rk42-step"):
+        assert pm._rk42_step_fn is not None
+        fn2 = jax.jit(
+            lambda uu, vv, tt, n: pm.solve_step2_dyn(tt, dt, n, uu, vv))
+        targ = jnp.asarray(0.0, dtype=pm.base.dtype)
+        t0 = time.perf_counter()
+        compiled2 = fn2.lower(u0, v0, targ, np.int32(2)).compile()
+        t_compile = time.perf_counter() - t0
+        e_canary = timed_exec(compiled2, u0, v0, targ, np.int32(2))
+        print(f"# rk42 canary ok ({e_canary:.3f}s)", file=sys.stderr,
+              flush=True)
+
+        # on-chip agreement vs the single-step RK4 kernel (f32, 50 steps)
+        fn1 = jax.jit(
+            lambda uu, vv, tt, n: pm.solve_step_dyn(tt, dt, n, uu, vv))
+        compiled1 = fn1.lower(u0, v0, targ, np.int32(2)).compile()
+        cmp_fn = jax.jit(lambda a, b: (
+            jnp.max(jnp.abs(a[0] - b[0])) / jnp.max(jnp.abs(b[0])),
+            jnp.max(jnp.abs(b[0]))))
+        out1 = compiled1(u0, v0, targ, np.int32(50))
+        out2 = compiled2(u0, v0, targ, np.int32(50))
+        rel, umax = cmp_fn(out2, out1)
+        emit({
+            "section": "rk42-agreement",
+            "metric": "rk42 vs rk4-step on-chip agreement "
+                      "(50 steps, f32, rel max)",
+            "value": float(rel), "u_max": float(umax),
+            "compile_s": round(t_compile, 3),
+        })
+        assert float(rel) < 1e-4, f"rk42 disagrees with step: {float(rel)}"
+
+        n_lo, n_hi = 200, 1200
+        e_lo = timed_exec(compiled2, u0, v0, targ, np.int32(n_lo))
+        e_hi = timed_exec(compiled2, u0, v0, targ, np.int32(n_hi))
+        ms = (e_hi - e_lo) / (n_hi - n_lo) * 1e3
+        nd = pm.base.ops.ndofs
+        emit({
+            "section": "rk42-step",
+            "metric": f"planar3d RK4 GDoF*steps/s (p=4, {nd} dofs, "
+                      "1 chip, step2)",
+            "value": round(nd / ms / 1e6, 4), "unit": "GDoF*steps/s",
+            "ms_per_step": round(ms, 4),
+            "cells": [64, 32, 32], "degree": 4, "dtype": "f32",
+            "tile_x": 32, "timing": "two-point",
+            "t_hi_s": round(e_hi, 4), "t_lo_s": round(e_lo, 4),
+        })
+
     print("# done", file=sys.stderr, flush=True)
 
 

@@ -16,6 +16,7 @@ tolerance (interpret mode on CPU; same kernel compiles with Mosaic on TPU).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import cached_property
 
@@ -608,7 +609,11 @@ class _RK42StepMixin:
             self.layout, A, lines, -float(b.c0) ** 2, self._m_lines,
             w1, w2, src_x, abc_x, dtype=b.dtype,
         )
-        return make_rk42_step(self.layout, tables, b.c0, dtype=b.dtype)
+        # experiment knob (default-off): live-roll envelope of the 2-step
+        # kernel, in units of (Tx+4p) rows — VMEM-spill lever (r4e OOM).
+        roll_env = int(os.environ.get("WAVE_FENICS_RK42_ROLL_ENV", "6"))
+        return make_rk42_step(self.layout, tables, b.c0, dtype=b.dtype,
+                              roll_env=roll_env)
 
     def solve_step2_n(self, t0, dt, nsteps, u0=None, v0=None):
         """Classic RK4 with TWO timesteps per fused kernel call (same

@@ -90,7 +90,7 @@ def _kernel_rk42_step(
     u2_out, v2_out,
     slab_u, slab_v, acc_ref, accu_ref, accv_ref, sem_u, sem_v,
     *, p, Tx, Ly, Lz, dtype, c0, precision=jax.lax.Precision.HIGHEST,
-    yz_chunk=9,
+    yz_chunk=9, roll_env=6,
 ):
     ix = pl.program_id(0)
     n = pl.num_programs(0)
@@ -137,11 +137,17 @@ def _kernel_rk42_step(
             keeps c rolled [nrows, F] tensors live at once, and the
             step-1 superset windows (up to Tx+10p rows) at yz_chunk=9
             spilled ~90 MB of VMEM (r4d chip log: OOM by 1.9 MB out of
-            128). Capping c*nrows at the single-step kernel's 9*(Tx+4p)
-            envelope keeps the live roll set constant across windows."""
+            128). Capping c*nrows at roll_env*(Tx+4p) rows bounds the
+            live roll set across windows; the r4e chip run showed the
+            single-step kernel's envelope of 9 STILL spills 129.47 MB
+            (OOM by 1.47 MB, 90.7 MB register-spill slots), so the
+            default is 6 (saves ~2*(Tx+4p)*F*4 bytes of live rolls at
+            the worst window, ~8 MB at Tx=32/p=4/F=20736). The extra
+            acc_ref accumulation passes are VMEM-local and hidden under
+            the slab DMA (docs/BENCH_NOTES.md step-kernel bisection)."""
             xc = xin[p : p + nrows]
             sx = sxs_ref[0, o : o + nrows]
-            chunk = max(1, min(yz_chunk, (9 * (Tx + 4 * p)) // nrows))
+            chunk = max(1, min(yz_chunk, (roll_env * (Tx + 4 * p)) // nrows))
             tx = jnp.einsum(
                 "os,sf->of", wx_ref[0], xin,
                 preferred_element_type=f32, precision=precision,
@@ -321,6 +327,7 @@ def make_rk42_step_raw(
     dtype=jnp.float32,
     precision=jax.lax.Precision.HIGHEST,
     yz_chunk: int = 9,
+    roll_env: int = 6,
 ):
     """2-step RK4 callable with runtime tables:
     ``step2(u0, v0, dt, g0, gh1, g1, gh2, g2) -> (u2, v2)`` where the g
@@ -348,6 +355,7 @@ def make_rk42_step_raw(
     kern = functools.partial(
         _kernel_rk42_step, p=p, Tx=Tx, Ly=Ly, Lz=Lz, dtype=dtype,
         c0=float(c0), precision=precision, yz_chunk=yz_chunk,
+        roll_env=roll_env,
     )
     grid_n = Lx // Tx
     interpret = jax.default_backend() != "tpu"
@@ -417,10 +425,11 @@ def make_rk42_step(
     tables: tuple,
     c0: float,
     dtype=jnp.float32,
+    roll_env: int = 6,
 ):
     """2-step RK4 callable ``step2(u0, v0, dt, g0, gh1, g1, gh2, g2) ->
     (u2, v2)`` with tables closed over (single-device convenience)."""
-    raw = make_rk42_step_raw(layout, c0, dtype)
+    raw = make_rk42_step_raw(layout, c0, dtype, roll_env=roll_env)
     jts = tuple(jnp.asarray(t) for t in tables)
 
     def step2(u0, v0, dt, g0, gh1, g1, gh2, g2):

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -179,7 +180,11 @@ def run(cfg: SimulationConfig) -> dict:
         from ..solvers.leapfrog import leapfrog_solve_dyn
         from ..solvers.rk4 import rk4_solve_dyn
 
-        tail_fn = None
+        # candidate solver paths, fastest-first; the AOT compile below
+        # tries them in order so a kernel that fails to compile on this
+        # backend (e.g. a Mosaic VMEM OOM) degrades to the next proven
+        # path instead of killing the run
+        candidates: list = []  # (solver_path, body_fn, tail_fn)
         if pm is not None:
             # padded production solvers: fused STEP kernels when the
             # config allows (x-face tags, flat layout), with built-in
@@ -187,64 +192,114 @@ def run(cfg: SimulationConfig) -> dict:
             if integrator == "leapfrog":
                 if pm._lf2_step_fn is not None:
                     # fastest path: TWO steps per kernel call / HBM pass
-                    # (0.587 vs 0.81 ms/step measured); an odd chunk
-                    # tail runs one single-step kernel call (lazily
-                    # compiled — odd chunk lengths are rare)
-                    solver_path = ("temporal-blocked 2-step leapfrog "
-                                   "kernel (pallas_lf2step)")
-                    body_fn = lambda uu, vv, tt, n: pm.solve_lf2_dyn(
-                        tt, dt, n, uu, vv)
-                    tail_fn = lambda uu, vv, tt, n: pm.solve_lf_dyn(
-                        tt, dt, n, uu, vv)
-                elif pm._lf_step_fn is not None:
-                    solver_path = "fused leapfrog STEP kernel (pallas_lfstep)"
-                    body_fn = lambda uu, vv, tt, n: pm.solve_lf_dyn(
-                        tt, dt, n, uu, vv)
-                else:
-                    solver_path = "padded XLA leapfrog"
-                    body_fn = lambda uu, vv, tt, n: leapfrog_solve_dyn(
-                        pm.force, pm.damping, uu, vv, tt, dt, n)
-            elif pm._rk42_step_fn is not None:
-                # fastest RK4 path: TWO steps per kernel call / HBM pass
-                # (1.079 vs 1.426 ms/step measured, r4e); odd chunk
-                # tails run one single-step kernel call
-                solver_path = ("temporal-blocked 2-step RK4 kernel "
-                               "(pallas_rk42step)")
-                body_fn = lambda uu, vv, tt, n: pm.solve_step2_dyn(
-                    tt, dt, n, uu, vv)
-                tail_fn = lambda uu, vv, tt, n: pm.solve_step_dyn(
-                    tt, dt, n, uu, vv)
-            elif pm._step_fn is not None:
-                solver_path = "fused RK4 STEP kernel (pallas_rk4step)"
-                body_fn = lambda uu, vv, tt, n: pm.solve_step_dyn(
-                    tt, dt, n, uu, vv)
-            elif pm._stage_fn is not None:
-                solver_path = "fused RK4 stage kernels (pallas_wave)"
-                body_fn = lambda uu, vv, tt, n: pm.solve_fused_dyn(
-                    tt, dt, n, uu, vv)
+                    # (0.587 vs 0.81 ms/step measured); odd chunk tails
+                    # run one single-step kernel call
+                    candidates.append((
+                        "temporal-blocked 2-step leapfrog kernel "
+                        "(pallas_lf2step)",
+                        lambda uu, vv, tt, n: pm.solve_lf2_dyn(
+                            tt, dt, n, uu, vv),
+                        lambda uu, vv, tt, n: pm.solve_lf_dyn(
+                            tt, dt, n, uu, vv),
+                    ))
+                if pm._lf_step_fn is not None:
+                    candidates.append((
+                        "fused leapfrog STEP kernel (pallas_lfstep)",
+                        lambda uu, vv, tt, n: pm.solve_lf_dyn(
+                            tt, dt, n, uu, vv),
+                        None,
+                    ))
+                candidates.append((
+                    "padded XLA leapfrog",
+                    lambda uu, vv, tt, n: leapfrog_solve_dyn(
+                        pm.force, pm.damping, uu, vv, tt, dt, n),
+                    None,
+                ))
             else:
-                solver_path = "padded XLA RK4"
-                body_fn = lambda uu, vv, tt, n: rk4_solve_dyn(
-                    pm.f0, pm.f1, uu, vv, tt, dt, n)
+                if pm._rk42_step_fn is not None and (
+                    os.environ.get("WAVE_FENICS_APP_RK42") == "1"
+                ):
+                    # 2-step temporal-blocked RK4: opt-in until a chip
+                    # record exists (the r4e roll_env=9 compile OOM'd
+                    # VMEM, experiments/logs/r4e_rk42.log; no on-chip
+                    # run of the roll_env=6 form is recorded yet) —
+                    # a failed compile degrades to the proven step
+                    # kernel via the candidate chain
+                    candidates.append((
+                        "temporal-blocked 2-step RK4 kernel "
+                        "(pallas_rk42step)",
+                        lambda uu, vv, tt, n: pm.solve_step2_dyn(
+                            tt, dt, n, uu, vv),
+                        lambda uu, vv, tt, n: pm.solve_step_dyn(
+                            tt, dt, n, uu, vv),
+                    ))
+                if pm._step_fn is not None:
+                    candidates.append((
+                        "fused RK4 STEP kernel (pallas_rk4step)",
+                        lambda uu, vv, tt, n: pm.solve_step_dyn(
+                            tt, dt, n, uu, vv),
+                        None,
+                    ))
+                if pm._stage_fn is not None:
+                    candidates.append((
+                        "fused RK4 stage kernels (pallas_wave)",
+                        lambda uu, vv, tt, n: pm.solve_fused_dyn(
+                            tt, dt, n, uu, vv),
+                        None,
+                    ))
+                candidates.append((
+                    "padded XLA RK4",
+                    lambda uu, vv, tt, n: rk4_solve_dyn(
+                        pm.f0, pm.f1, uu, vv, tt, dt, n),
+                    None,
+                ))
         elif integrator == "leapfrog":
             damp = jnp.asarray(m.damping)
-            solver_path = "base XLA leapfrog"
             # F is a pure function of (t, u), so per-chunk re-derivation
             # of the carried force is exact — chunking/resume-safe
-            body_fn = lambda uu, vv, tt, n: leapfrog_solve_dyn(
-                m.force, damp, uu, vv, tt, dt, n)
+            candidates.append((
+                "base XLA leapfrog",
+                lambda uu, vv, tt, n: leapfrog_solve_dyn(
+                    m.force, damp, uu, vv, tt, dt, n),
+                None,
+            ))
         else:
-            solver_path = "base XLA RK4"
-            body_fn = lambda uu, vv, tt, n: rk4_solve_dyn(
-                m.f0, m.f1, uu, vv, tt, dt, n)
+            candidates.append((
+                "base XLA RK4",
+                lambda uu, vv, tt, n: rk4_solve_dyn(
+                    m.f0, m.f1, uu, vv, tt, dt, n),
+                None,
+            ))
 
         _targ = lambda x: jnp.asarray(x, dtype=m.dtype)
         tc0 = time.perf_counter()
-        compiled = (
-            jax.jit(body_fn)
-            .lower(u, v, _targ(t), np.int32(1))
-            .compile()
-        )
+        compiled = tail_fn = None
+        for i, (solver_path, body_fn, tfn) in enumerate(candidates):
+            try:
+                compiled = (
+                    jax.jit(body_fn)
+                    .lower(u, v, _targ(t), np.int32(1))
+                    .compile()
+                )
+                tail_fn = tfn
+                break
+            except Exception as e:
+                if i + 1 == len(candidates):
+                    raise
+                log.warning(
+                    "solver path '%s' failed to compile (%s: %.200s); "
+                    "falling back", solver_path, type(e).__name__, e)
+        # odd chunk lengths route through the tail executable; compile
+        # it BEFORE the solve timer too (a lazy in-timer compile costs
+        # ~2 min through the tunnel and would corrupt solve_seconds)
+        rem = max(nstep - step0, 0) % chunk
+        tail_compiled = None
+        if tail_fn is not None and (chunk % 2 or rem % 2):
+            tail_compiled = (
+                jax.jit(tail_fn)
+                .lower(u, v, _targ(t), np.int32(1))
+                .compile()
+            )
         compile_s = time.perf_counter() - tc0
         log.info("compile: %.3f s (AOT, excluded from solve time)",
                  compile_s)
@@ -253,7 +308,7 @@ def run(cfg: SimulationConfig) -> dict:
             solve_chunk = lambda u, v, t0_, n: (
                 *compiled(u, v, _targ(t0_), np.int32(n)), None)
         else:
-            _tail: list = [None]
+            _tail: list = [tail_compiled]
 
             def solve_chunk(u, v, t0_, n):
                 n2 = n - (n % 2)
@@ -261,6 +316,9 @@ def run(cfg: SimulationConfig) -> dict:
                     u, v = compiled(u, v, _targ(t0_), np.int32(n2))
                 if n % 2:
                     if _tail[0] is None:
+                        # safety net only — the AOT block above compiles
+                        # the tail for every odd-chunk schedule it can
+                        # predict
                         _tail[0] = (
                             jax.jit(tail_fn)
                             .lower(u, v, _targ(t0_), np.int32(1))

@@ -609,8 +609,10 @@ class _RK42StepMixin:
             self.layout, A, lines, -float(b.c0) ** 2, self._m_lines,
             w1, w2, src_x, abc_x, dtype=b.dtype,
         )
-        # experiment knob (default-off): live-roll envelope of the 2-step
-        # kernel, in units of (Tx+4p) rows — VMEM-spill lever (r4e OOM).
+        # live-roll envelope of the 2-step kernel, in units of (Tx+4p)
+        # rows — the VMEM-spill lever (the r4e hardwired-9 form OOM'd
+        # the Mosaic register allocator). The knob OVERRIDES an active
+        # default of 6; unset does NOT mean the old behavior.
         roll_env = int(os.environ.get("WAVE_FENICS_RK42_ROLL_ENV", "6"))
         return make_rk42_step(self.layout, tables, b.c0, dtype=b.dtype,
                               roll_env=roll_env)

@@ -38,13 +38,23 @@ def facet_lumped_weights(
     facets: np.ndarray,
     p: int,
     tol: float = 1e-9,
+    rule: str = "gll",
+    qdeg: int | None = None,
 ) -> np.ndarray:
-    """Lumped facet-mass vector W[ndofs]: sum over the given facets of the
-    diagonal GLL facet quadrature weights (w_i w_j |J_s|), accumulated at
-    the matching volume dofs."""
+    """Lumped facet-mass vector W[ndofs]: sum over the given facets of
+    W_i = integral of phi_i |J_s| over the facet, accumulated at the
+    matching volume dofs.
+
+    ``rule='gll'`` (default, reference parity): diagonal GLL facet
+    quadrature — W at facet node (i, j) is w_i w_j |J_s(x_ij)|.
+    ``rule='gauss'``: the consistent-quadrature companion of the
+    Gauss-rule volume operators — |J_s| evaluated at tensor Gauss points
+    and row-sum lumped, W[i, j] = sum_ab qw_a qw_b B[a,i] B[b,j]
+    |J_s(u_a, v_b)| (|J_s| is non-polynomial on bilinear facets, so the
+    GLL rule underintegrates it on distorted meshes — the same
+    quadrature crime as the volume terms)."""
     nodes, w1d = gll_points_weights(p + 1)
     U, V = np.meshgrid(nodes, nodes, indexing="ij")
-    Wq = np.outer(w1d, w1d).ravel()
     u = U.ravel()
     v = V.ravel()
 
@@ -57,13 +67,32 @@ def facet_lumped_weights(
 
     fa = np.asarray(facets)
     fc = mesh.points[fa]  # [nf, 4, 3]
-    uu, vv = u[None, :, None], v[None, :, None]
     v0, v1, v2, v3 = (fc[:, i, None, :] for i in range(4))
-    x = ((1 - uu) * (1 - vv) * v0 + uu * (1 - vv) * v1
-         + (1 - uu) * vv * v2 + uu * vv * v3)  # [nf, nq2, 3]
-    xu = (1 - vv) * (v1 - v0) + vv * (v3 - v2)
-    xv = (1 - uu) * (v2 - v0) + uu * (v3 - v1)
-    Js = np.linalg.norm(np.cross(xu, xv), axis=-1)  # [nf, nq2]
+
+    def surf(uu, vv):
+        """Bilinear facet map + surface element at param points."""
+        x = ((1 - uu) * (1 - vv) * v0 + uu * (1 - vv) * v1
+             + (1 - uu) * vv * v2 + uu * vv * v3)  # [nf, npt, 3]
+        xu = (1 - vv) * (v1 - v0) + vv * (v3 - v2)
+        xv = (1 - uu) * (v2 - v0) + uu * (v3 - v1)
+        return x, np.linalg.norm(np.cross(xu, xv), axis=-1)
+
+    x, Js = surf(u[None, :, None], v[None, :, None])
+    if rule == "gll":
+        Wf = np.outer(w1d, w1d).ravel()[None, :] * Js  # [nf, nd2]
+    elif rule == "gauss":
+        from ..core.basis import tabulate_1d
+
+        tab = tabulate_1d(p, qdeg, "gauss")
+        Uq, Vq = np.meshgrid(tab.qpts, tab.qpts, indexing="ij")
+        _, Jg = surf(Uq.ravel()[None, :, None],
+                     Vq.ravel()[None, :, None])
+        Jg = Jg.reshape(len(fa), tab.nq, tab.nq)
+        Wf = np.einsum(
+            "ai,bj,a,b,fab->fij", tab.B, tab.B, tab.qwts, tab.qwts, Jg
+        ).reshape(len(fa), -1)
+    else:
+        raise ValueError(f"unknown quadrature rule {rule!r}")
     fkeys = np.round(x.reshape(-1, 3) / q).astype(np.int64)
     from .. import native
 
@@ -95,7 +124,7 @@ def facet_lumped_weights(
             "facet vertex ordering or mesh/tag mismatch"
         )
     W = np.zeros(dofs.ndofs)
-    np.add.at(W, ids, (Wq[None, :] * Js).ravel())
+    np.add.at(W, ids, Wf.ravel())
     return W
 
 
@@ -121,6 +150,21 @@ class GeneralLinearWave:
     #: layers); ``c0`` stays the reference speed used by the source/ABC
     #: boundary terms. Shape [ncells].
     c0_cells: object = None
+    #: 'gll' (reference parity: collocated p+1-point quadrature + lumped
+    #: mass, common/operators.hpp:63-72 + LinearGLL.hpp:105-110) or
+    #: 'gauss' — the CONSISTENT-quadrature mode: Gauss-rule stiffness,
+    #: row-sum-lumped Gauss mass, and matching Gauss facet weights. On
+    #: non-affine (trilinear) cells the GLL scheme's underintegrated
+    #: geometric factor floors the plane-wave error at ~O(distortion)
+    #: (~2.6e-4 at 3% vertex jitter, h-independent — the reference shares
+    #: this floor); 'gauss' integrates the rational G accurately and
+    #: breaks the floor (an exceeds-parity accuracy mode; the reference
+    #: has no GPU Gauss operators at all). On affine meshes the two modes
+    #: agree to quadrature exactness. Explicit integrators work
+    #: unchanged: the Gauss mass is row-sum lumped, so it stays diagonal.
+    quadrature: str = "gll"
+    #: quadrature exactness degree for 'gauss' (None -> 2p: p+1 points)
+    quadrature_degree: int | None = None
 
     @cached_property
     def dofs(self) -> GeneralDofMap:
@@ -132,7 +176,8 @@ class GeneralLinearWave:
         if self.c0_cells is not None:
             coeff = (np.asarray(self.c0_cells) / self.c0) ** 2
         return GeneralOperators(
-            self.mesh, self.dofs, dtype=self.dtype, coeff_cells=coeff
+            self.mesh, self.dofs, dtype=self.dtype, coeff_cells=coeff,
+            rule=self.quadrature, q=self.quadrature_degree,
         )
 
     @property
@@ -160,7 +205,8 @@ class GeneralLinearWave:
         if facets is None or len(facets) == 0:
             return np.zeros(self.ndofs, dtype=np.dtype(self.dtype))
         return facet_lumped_weights(
-            self.mesh, self.dofs, facets, self.p
+            self.mesh, self.dofs, facets, self.p,
+            rule=self.quadrature, qdeg=self.quadrature_degree,
         ).astype(np.dtype(self.dtype))
 
     @cached_property

@@ -99,6 +99,7 @@ def planar3d_case_xdmf(
     source_tag: int = 1,
     abc_tag: int = 2,
     dtype=None,
+    quadrature: str = "gll",
 ) -> Planar3DCase:
     """The planar3d case on an IMPORTED mesh — the reference's actual
     workflow (demo/cpu_planar3d/main.cpp:39-45 reads mesh + facet
@@ -123,6 +124,7 @@ def planar3d_case_xdmf(
         source_tag=source_tag,
         abc_tag=abc_tag,
         dtype=dtype,
+        quadrature=quadrature,
     )
     h = model.mesh.hmin()
     dt = cfl * h / (speed_of_sound * degree**2)

@@ -159,6 +159,7 @@ def _build(args, solver):
             return u, v
         return run
 
+    nbytes_step = None  # state-traffic model (single-HBM-pass kernels)
     if solver in ("step2", "step", "fused", "padded", "lf", "lf2"):
         from wave_fenics_tpu.models.linear_wave_padded import PaddedLinearWave
 
@@ -198,11 +199,36 @@ def _build(args, solver):
             )
         else:
             run = jax.jit(dyn_loop(pm.f0, pm.f1))
+        if solver in ("step", "step2", "lf", "lf2"):
+            # nominal state bytes PER STEP: 2 state arrays read with the
+            # kernel's slab-halo amplification on interior tiles + 2
+            # written (pad tiles are write-only); 2-step kernels amortize
+            # one pass over two steps. Tables/geometry excluded — a
+            # LOWER bound on real traffic.
+            import numpy as _np2
+
+            from wave_fenics_tpu.ops import (pallas_lf2step, pallas_lfstep,
+                                             pallas_rk42step, pallas_rk4step)
+
+            off0 = {
+                "step": pallas_rk4step._off0,
+                "step2": pallas_rk42step._off0,
+                "lf": pallas_lfstep._off0,
+                "lf2": pallas_lf2step._off0,
+            }[solver](pm.base.p)
+            Lx, Ly, Lz = pm.layout.padded_shape
+            Tx, F = pm.layout.tile_x, Ly * Lz
+            ntiles = Lx // Tx
+            isz = _np2.dtype(pm.base.dtype).itemsize
+            per_call = (2 * (ntiles - 2) * (Tx + 2 * off0)
+                        + 2 * Lx) * F * isz
+            nbytes_step = per_call / (2 if solver in ("step2", "lf2")
+                                      else 1)
     else:
         u0, v0 = m.zero_state()
         run = jax.jit(dyn_loop(m.f0, m.f1))
 
-    return m.ops.ndofs, u0, v0, run
+    return m.ops.ndofs, u0, v0, run, nbytes_step
 
 
 def _worker(args):
@@ -251,7 +277,7 @@ def _worker(args):
 
     if args.worker in ("canary", "both"):
         warm()  # client-lease establishment, before any Pallas work
-    ndofs, u0, v0, run = _build(args, solver)
+    ndofs, u0, v0, run, nbytes_step = _build(args, solver)
     # the step count is a DEVICE scalar so canary and timed runs hit the
     # same executable (python ints would bake the trip count into the HLO)
     if args.worker in ("canary", "both"):
@@ -280,6 +306,11 @@ def _worker(args):
     }
     if solver in ("lf", "lf2", "step2"):
         out["ms_per_step"] = round(elapsed / args.steps * 1e3, 4)
+    if nbytes_step is not None:
+        from wave_fenics_tpu.benchmarks.common import streaming_fields
+
+        out.update(streaming_fields(nbytes_step,
+                                    elapsed / args.steps))
     if solver in ("lf", "lf2"):
         # cross-integrator comparison: leapfrog steps advance 0.71x the
         # RK4 dt, so simulated-time speedup over an RK4 record =

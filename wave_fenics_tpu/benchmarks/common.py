@@ -136,6 +136,30 @@ def two_point_time(body, x0, reps: int, *, timeit_reps: int = 3,
                   reps=timeit_reps, warmup=warmup) / reps
 
 
+# Measured platform streaming ceiling (GB/s): the minimal double-buffered
+# Pallas slab-streaming copy of the padded production state (off0=0,
+# tile 32 — the step kernel's DMA skeleton minus all compute), two-point
+# timed on the real chip (experiments/exp_round5_batch.py,
+# 'roofline-pallas-stream'; docs/BENCH_NOTES.md round 5). None until the
+# round-5 roofline batch records it; session-to-session variance on this
+# tunnel is a few percent, so the pct fields are indicative, not exact.
+MEASURED_STREAM_CEILING_GBPS: float | None = None
+
+
+def streaming_fields(nbytes_per_apply: float, t_seconds: float) -> dict:
+    """effective_gbps (+ pct of the measured platform ceiling when it is
+    recorded) for a streaming record — nbytes is the NOMINAL state
+    traffic model of the op (a lower bound on real traffic), so pct is a
+    lower bound on how close the kernel runs to the platform wall."""
+    gbps = nbytes_per_apply / t_seconds / 1e9
+    out = {"effective_gbps": round(gbps, 1)}
+    if MEASURED_STREAM_CEILING_GBPS:
+        out["pct_of_measured_ceiling"] = round(
+            100.0 * gbps / MEASURED_STREAM_CEILING_GBPS, 1
+        )
+    return out
+
+
 def report(**kv) -> None:
     """One JSON line, reference-table fields included
     (utils.hpp:48-87 analogue)."""

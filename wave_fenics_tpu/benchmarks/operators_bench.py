@@ -24,7 +24,16 @@ from ..core.dofmap import build_dofmap
 from ..core.mesh import box_mesh
 from ..ops.operators import GeneralOperators, StructuredOperators
 from .common import (apply_platform, cells_from_args, make_parser, report,
-                     resolve_dtype, two_point_time)
+                     resolve_dtype, streaming_fields, two_point_time)
+
+# nominal state-traffic passes per apply (a lower bound: x read + y
+# write = 2; the spectral roundtrip also reads the diagonal). Geometry/
+# table traffic and halo read amplification are excluded, so the derived
+# effective_gbps understates real traffic — pct_of_measured_ceiling is
+# a LOWER bound on closeness to the platform streaming wall.
+_TRAFFIC_PASSES = {
+    "spectral": 3, "spectral-roundtrip": 3,
+}
 
 
 def main():
@@ -114,6 +123,9 @@ def main():
            "dtype": args.dtype, "ms_per_apply": round(t * 1e3, 4),
            "gdofs_per_s": round(ndofs / t / 1e9, 4),
            "timing": "two-point"}
+    passes = _TRAFFIC_PASSES.get(args.op, 2)
+    out.update(streaming_fields(
+        passes * ndofs * np.dtype(dtype).itemsize, t))
     if getattr(args, "resident", False):
         out["variant"] = "resident"
 

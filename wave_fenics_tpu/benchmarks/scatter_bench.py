@@ -76,11 +76,16 @@ def main():
             ),
             x, reps,
         )
+        from .common import streaming_fields
+
+        ne = dg.ncells * (p + 1) ** 3  # element-tensor entries
+        nbytes = 2 * (dg.ndofs + ne) * np.dtype(dtype).itemsize
         report(
             metric="structured gather+scatter roundtrip",
             ndofs=dg.ndofs, degree=p, dtype=args.dtype,
             ms=round(t * 1e3, 4), timing="two-point",
             gdofs_per_s=round(dg.ndofs / t / 1e9, 4),
+            **streaming_fields(nbytes, t),
         )
     elif args.mode == "general-halo":
         # UNSTRUCTURED interface assembly — the VectorUpdater

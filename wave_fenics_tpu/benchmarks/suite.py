@@ -244,8 +244,18 @@ def main():
         run("bench.py", *hc, "--steps", "50", "--solver", "fused")
         run("bench.py", *hc, "--steps", "50", "--solver", "step")
 
-    print(json.dumps({"suite": args.out, "n": len(results),
-                      "errors": sum(1 for r in results if r and "error" in r)}))
+    summary = {"suite": args.out, "n": len(results),
+               "errors": sum(1 for r in results if r and "error" in r)}
+    # surface the headline's distance to the measured platform streaming
+    # ceiling (VERDICT r4 item 7): session variance and perf regressions
+    # show up here at a glance
+    for r in reversed(results):
+        if r and "pct_of_measured_ceiling" in r and "value" in r:
+            summary["headline_gdof_steps_per_s"] = r["value"]
+            summary["headline_pct_of_measured_ceiling"] = (
+                r["pct_of_measured_ceiling"])
+            break
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

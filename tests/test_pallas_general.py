@@ -281,15 +281,30 @@ def test_affine_rank1_geometry_exact():
     A = np.array([[1.0, 0.3, 0.1], [0.0, 0.9, 0.2], [0.0, 0.0, 1.1]])
     sheared = HexMesh(points=bm.points @ A.T, cells=bm.cells)
     rng = np.random.default_rng(0)
-    # p=4: cpr=1 (lane-0 broadcast); p=2: cpr=4 and p=1: cpr=16 (the
-    # packed-block form with the static selector expansion)
+    # p=4: cpr=1 (lane-0 broadcast, affine DEFAULT-ON); p=2: cpr=4 and
+    # p=1: cpr=16 — the packed-block form with the static selector
+    # expansion, default-OFF since round 5 (per-node stiffness measured
+    # 10-15% faster on chip; r5_batch 'p23-affine-ab') and forced on
+    # here via WAVE_FENICS_TPU_AFFINE for exactness coverage
+    import os
+
+    os.environ.pop("WAVE_FENICS_TPU_AFFINE", None)
+    dofs2 = build_dofmap(sheared, 2)
+    assert GeneralOperators(
+        sheared, dofs2, dtype=jnp.float64
+    )._fused_affine is None  # the new cpr>1 default
     for hm, p, expect_affine in ((sheared, 4, True), (sheared, 2, True),
                                  (sheared, 1, True),
                                  (_perturbed_mesh((5, 4, 4), (1, 1, 1),
                                                   seed=3), 4, False)):
+        if p < 4:
+            os.environ["WAVE_FENICS_TPU_AFFINE"] = "1"
         dofs = build_dofmap(hm, p)
-        ops = GeneralOperators(hm, dofs, dtype=jnp.float64)
-        assert (ops._fused_affine is not None) == expect_affine
+        try:
+            ops = GeneralOperators(hm, dofs, dtype=jnp.float64)
+            assert (ops._fused_affine is not None) == expect_affine
+        finally:
+            os.environ.pop("WAVE_FENICS_TPU_AFFINE", None)
         if expect_affine and p < 4:
             assert ops._fused_tables.cpr > 1
         x = jnp.asarray(rng.standard_normal(dofs.ndofs))

@@ -138,12 +138,13 @@ def two_point_time(body, x0, reps: int, *, timeit_reps: int = 3,
 
 # Measured platform streaming ceiling (GB/s): the minimal double-buffered
 # Pallas slab-streaming copy of the padded production state (off0=0,
-# tile 32 — the step kernel's DMA skeleton minus all compute), two-point
-# timed on the real chip (experiments/exp_round5_batch.py,
-# 'roofline-pallas-stream'; docs/BENCH_NOTES.md round 5). None until the
-# round-5 roofline batch records it; session-to-session variance on this
-# tunnel is a few percent, so the pct fields are indicative, not exact.
-MEASURED_STREAM_CEILING_GBPS: float | None = None
+# tile 32 — the step kernel's DMA skeleton minus all compute, bytes
+# actually moved / time), two-point timed on the real chip round 5
+# (experiments/logs/r5_batch.json 'roofline-pallas-stream'; the
+# halo-amplified off0=3p variant reads 406.8 — docs/BENCH_NOTES.md
+# round 5). Session-to-session variance on this tunnel is a few
+# percent, so the pct fields are indicative, not exact.
+MEASURED_STREAM_CEILING_GBPS: float | None = 314.1
 
 
 def streaming_fields(nbytes_per_apply: float, t_seconds: float) -> dict:

@@ -502,7 +502,15 @@ class GeneralOperators:
         and keep the full per-node factors. The reference always
         streams full per-qpoint factors (common/precompute.hpp:148-176)
         — this specialization is free accuracy-preserving bandwidth on
-        the (very common) affine-cell meshes."""
+        the (very common) affine-cell meshes.
+
+        Default: engaged only at cpr == 1 (p >= 4). At cpr > 1 the
+        packed-row form's in-kernel 0/1 selector matmul costs more than
+        the geo-DMA it saves: the round-5 one-session A/B measured
+        per-node stiffness 10-15% FASTER (p=2: 0.735 vs 0.669, p=3:
+        1.010 vs 0.880 GDoF/s at 32^3; mass within 3% either way —
+        experiments/logs/r5_batch.json 'p23-affine-ab').
+        WAVE_FENICS_TPU_AFFINE=1 forces it on, _NO_AFFINE disables."""
         import os
 
         tb = self._fused_tables
@@ -510,6 +518,8 @@ class GeneralOperators:
         if (tb is None or tb.rpc != 1 or af is None
                 or not self._tab.collocated
                 or os.environ.get("WAVE_FENICS_TPU_NO_AFFINE")):
+            return None
+        if tb.cpr != 1 and not os.environ.get("WAVE_FENICS_TPU_AFFINE"):
             return None
         g6, dJ = af["g6"], af["dJ"]  # [6, nc], [nc] — detected at init
         npdt = np.dtype(self.dtype)

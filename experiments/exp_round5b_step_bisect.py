@@ -116,6 +116,43 @@ def main() -> None:
     run_variant("no-xyz", ablate=("x", "y", "z"))
     for c in (1, 3, 18):
         run_variant(f"chunk{c}", yz_chunk=c)
+
+    # p=1 form A/B (the affine default flip extrapolated p=1 from the
+    # p=2/3 data; round 4's 0.292/0.217 record was the affine form)
+    try:
+        import numpy as np
+
+        from wave_fenics_tpu.core.dofmap import build_dofmap
+        from wave_fenics_tpu.core.mesh import box_mesh
+        from wave_fenics_tpu.ops.operators import GeneralOperators
+
+        n = 8 if args.smoke else 32
+        reps1 = 8 if args.smoke else 200
+        hm = box_mesh((n, n, n), (1.0, 1.0, 1.0)).to_hex_mesh()
+        dofs = build_dofmap(hm, 1)
+        rng = np.random.default_rng(1)
+        x0 = jnp.asarray(rng.standard_normal(dofs.ndofs), jnp.float32)
+        for form in ("affine", "per-node"):
+            os.environ.pop("WAVE_FENICS_TPU_AFFINE", None)
+            os.environ.pop("WAVE_FENICS_TPU_NO_AFFINE", None)
+            if form == "affine":
+                os.environ["WAVE_FENICS_TPU_AFFINE"] = "1"
+            gops = GeneralOperators(hm, dofs, dtype=jnp.float32)
+            for opname, f in (
+                ("mass", gops.mass),
+                ("stiffness", lambda a: gops.stiffness(a, 1500.0)),
+            ):
+                t = two_point_time(lambda i, a: f(a), x0, reps1)
+                emit({"section": "p1-affine-ab", "p": 1, "form": form,
+                      "affine_engaged": gops._fused_affine is not None,
+                      "op": opname, "size": n, "ndofs": dofs.ndofs,
+                      "ms_per_apply": round(t * 1e3, 4),
+                      "gdof_per_s": round(dofs.ndofs / t / 1e9, 4),
+                      "timing": "two-point"})
+        os.environ.pop("WAVE_FENICS_TPU_AFFINE", None)
+    except Exception as e:  # noqa: BLE001
+        emit({"section": "p1-affine-ab", "status": "FAILED",
+              "error": f"{type(e).__name__}: {e}"[:300]})
     print("# bisect done", file=sys.stderr, flush=True)
 
 

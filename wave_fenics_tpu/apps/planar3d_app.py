@@ -219,12 +219,15 @@ def run(cfg: SimulationConfig) -> dict:
                 if pm._rk42_step_fn is not None and (
                     os.environ.get("WAVE_FENICS_APP_RK42") == "1"
                 ):
-                    # 2-step temporal-blocked RK4: opt-in until a chip
-                    # record exists (the r4e roll_env=9 compile OOM'd
-                    # VMEM, experiments/logs/r4e_rk42.log; no on-chip
-                    # run of the roll_env=6 form is recorded yet) —
-                    # a failed compile degrades to the proven step
-                    # kernel via the candidate chain
+                    # 2-step temporal-blocked RK4: opt-in, CLOSED as a
+                    # production path (r5 chip record: roll_env=6 still
+                    # OOMs VMEM 129.46/128 MB after a 1553 s compile —
+                    # experiments/logs/r4e_rk42.json — and the r5
+                    # roofline shows the pass is compute-bound, which
+                    # voids its traffic-saving premise; see
+                    # docs/BENCH_NOTES.md round 5). A failed compile
+                    # degrades to the proven step kernel via the
+                    # candidate chain.
                     candidates.append((
                         "temporal-blocked 2-step RK4 kernel "
                         "(pallas_rk42step)",

@@ -22,10 +22,22 @@ Slab halo off0 >= 6p (8-aligned): state traffic per TWO steps is
 amortized over two steps — at Tx=32/p=4 that is 112 state rows/step vs
 the single-step kernel's 176 (x0.64). The trade is wedge recomputation:
 stage A-applies total 8*Tx+40p rows per 2 steps vs 8*Tx+16p for two
-separate passes (+44% stencil row-work at Tx=32/p=4) — profitable
-because the pass is traffic-bound, not stencil-bound (the stencils run
-while the next slab DMA streams; docs/BENCH_NOTES.md step-kernel
-bisection).
+separate passes (+44% stencil row-work at Tx=32/p=4) — profitable ONLY
+if the pass is traffic-bound.
+
+STATUS (round 5): CLOSED as a production path, on two independent
+grounds. (1) The real-Mosaic compile at roll_env=6 still OOMs VMEM
+(129.46/128 MB, 1553 s compile — experiments/logs/r4e_rk42.json; the
+register allocator spills the step-1 superset stage temporaries, which
+roll_env does not bound). (2) The round-5 roofline retraction
+(docs/BENCH_NOTES.md) shows the single-step kernel runs at 31% of its
+own DMA pattern's demonstrated streaming rate: the pass is COMPUTE-
+bound, so trading +44% stencil row-work for traffic savings is
+counterproductive even if it compiled. The kernel is kept (correct
+under interpret mode, tested, sharded variant exercised in
+dryrun_multichip) as the structured-path temporal-blocking design
+record; ops.pallas_lf2step is where temporal blocking actually pays
+(leapfrog's 1 stage/step makes its wedge recomputation cheap).
 
 Wedge recomputation note (same class as ops.pallas_lf2step): the halo
 rows of step 1 are re-evaluated by neighboring tiles at different

@@ -12,6 +12,10 @@ hide under the slab DMA. This batch decomposes that compute at tile 32
     so their pltpu.roll costs may differ wildly.
   - yz_chunk sweep at full physics: 1 / 3 / 9 / 18 — accumulator-churn
     vs live-roll-set trade at the production window heights.
+  - tile_x sweep at full physics: 32 / 48 / 64 — the stage-window
+    x-overhang is (4*Tx+8p)/(4*Tx) (25% extra stencil rows at Tx=32,
+    12.5% at 64) and the slab read amplification (Tx+2*off0)/Tx drops
+    from 2.5x to 1.5x; VMEM stays well under budget through Tx=64.
 
 All two-point on dynamic-trip executables, one client. Ablated kernels
 are WRONG physics (zero-filled terms) — timing only.
@@ -116,6 +120,36 @@ def main() -> None:
     run_variant("no-xyz", ablate=("x", "y", "z"))
     for c in (1, 3, 18):
         run_variant(f"chunk{c}", yz_chunk=c)
+
+    # tile_x sweep at full physics (independent layouts + tables)
+    for tx in (48, 64):
+        t0 = time.perf_counter()
+        try:
+            pm_t = PaddedLinearWave(m, tile_x=tx)
+            lay_t = pm_t.layout
+            w1t, w2t, sxt, axt = _x_face_planes(pm_t)
+            tab_t = tuple(jnp.asarray(t) for t in build_step_tables(
+                lay_t, A, lines, -float(b.c0) ** 2, pm_t._m_lines,
+                w1t, w2t, sxt, axt, dtype=b.dtype,
+            ))
+            step_t = make_rk4_step_raw(lay_t, b.c0, dtype=b.dtype)
+
+            def body_t(i, carry):
+                u, v = carry
+                u, v = step_t(u, v, dt, 1.0, 1.0, 1.0, 1.0, *tab_t)
+                return (u, v)
+
+            u0t, v0t = pm_t.zero_state()
+            t = two_point_time(body_t, (u0t, v0t), reps)
+            emit({"section": "step-tile", "tile_x": tx,
+                  "padded_x": lay_t.padded_shape[0],
+                  "ms_per_step": round(t * 1e3, 4),
+                  "gdof_steps_per_s": round(nd / t / 1e9, 4),
+                  "timing": "two-point",
+                  "build_s": round(time.perf_counter() - t0, 1)})
+        except Exception as e:  # noqa: BLE001
+            emit({"section": "step-tile", "tile_x": tx,
+                  "error": f"{type(e).__name__}: {e}"[:300]})
 
     # p=1 form A/B (the affine default flip extrapolated p=1 from the
     # p=2/3 data; round 4's 0.292/0.217 record was the affine form)

@@ -252,6 +252,60 @@ def test_fused_step_solve_matches_base():
     assert float(jnp.max(jnp.abs(pm.to_grid(v2) - v1))) < 1e-12 * vmax
 
 
+@pytest.mark.parametrize("p", [2, 4])
+def test_lean_step_kernel_matches_reference_kernel(p):
+    """The compute-lean RK4 step kernel (_kernel_rk4_step_lean:
+    collapsed stage algebra, pl.when face-plane source/ABC terms,
+    merged shift-0 y/z tap) == the reference step kernel, f64 (the
+    algebra is exact for the linear system; only association order
+    differs). Distinct per-stage sources exercise all four g paths;
+    the model has both a source and an ABC face."""
+    from wave_fenics_tpu.models.linear_wave_padded import _x_face_planes
+    from wave_fenics_tpu.ops.pallas_rk4step import (build_step_tables,
+                                                    make_rk4_step_raw)
+    from wave_fenics_tpu.ops.separable import (grid_lines,
+                                               separable_stiffness_tables)
+
+    base = _model(shape=(4, 2, 2), p=p)
+    pm = PaddedLinearWave(base, tile_x=16)
+    lay, b = pm.layout, pm.base
+    w1, w2, src_x, abc_x = _x_face_planes(pm)
+    A, _ = separable_stiffness_tables(b.p, b.mesh.h, b.dtype)
+    lines = grid_lines(b.mesh.shape, b.p, b.dtype)
+    tab = tuple(jnp.asarray(t) for t in build_step_tables(
+        lay, A, lines, -float(b.c0) ** 2, pm._m_lines,
+        w1, w2, src_x, abc_x, dtype=b.dtype,
+    ))
+    s_ref = make_rk4_step_raw(lay, b.c0, dtype=b.dtype)
+    s_lean = make_rk4_step_raw(lay, b.c0, dtype=b.dtype, lean=True)
+    dt = 1e-9
+    gs = (1.0, 0.7, 0.4, 0.1)
+    ur, vr = pm.zero_state()
+    ul, vl = pm.zero_state()
+    for _ in range(10):
+        ur, vr = s_ref(ur, vr, dt, *gs, *tab)
+        ul, vl = s_lean(ul, vl, dt, *gs, *tab)
+    vmax = float(jnp.max(jnp.abs(vr))) or 1.0
+    assert float(jnp.max(jnp.abs(ur - ul))) < 1e-13 * max(vmax, 1)
+    assert float(jnp.max(jnp.abs(vr - vl))) < 1e-13 * vmax
+
+
+def test_lean_step_env_knob(monkeypatch):
+    """WAVE_FENICS_STEP_LEAN=1 routes solve_step_n through the lean
+    kernel and the solution still matches the reference-semantics
+    model (f64)."""
+    monkeypatch.setenv("WAVE_FENICS_STEP_LEAN", "1")
+    base = _model(shape=(4, 2, 2), p=4)
+    pm = PaddedLinearWave(base, tile_x=16)
+    assert pm._step_fn is not None
+    dt = 1e-9
+    u1, v1, _ = base.solve(0.0, 25 * dt, dt)
+    u2, v2, _ = pm.solve_step_n(0.0, dt, 25)
+    vmax = float(jnp.max(jnp.abs(v1)))
+    assert float(jnp.max(jnp.abs(pm.to_grid(u2) - u1))) < 1e-12 * max(vmax, 1)
+    assert float(jnp.max(jnp.abs(pm.to_grid(v2) - v1))) < 1e-12 * vmax
+
+
 @pytest.mark.parametrize("p", [2, 3, 5])
 def test_fused_step_other_degrees(p):
     """Step-kernel window bookkeeping holds for p != 4 (off0 rounding)."""

@@ -198,6 +198,173 @@ def _kernel_rk4_step(
         v1_out[:] = V0[o0 : o0 + n0] + dt * accv_ref[:]
 
 
+def _kernel_rk4_step_lean(
+    u0_hbm, v0_hbm, scal_ref, flags_ref,
+    wxa_ref, wxb_ref, wxc_ref, cvy_ref, cvz_ref,
+    fx_ref, sxs_ref, src_ref, abc_ref, w1_ref, w2_ref,
+    u1_out, v1_out,
+    slab_u, slab_v, acc_ref, kv0_ref, kv1_ref, kv2_ref, kv3_ref,
+    sem_u, sem_v,
+    *, p, Tx, Ly, Lz, dtype, c0, precision=jax.lax.Precision.HIGHEST,
+    yz_chunk=9,
+):
+    """Compute-lean RK4 step: same scheme as :func:`_kernel_rk4_step`
+    (classic RK4, LinearGLL.hpp:233-287 Butcher tableau) with the
+    elementwise stage arithmetic algebraically collapsed. For the
+    linear system u' = v, v' = A u + g(t) S + D v the tableau reduces
+    exactly to
+
+        un1 = u0 + dt/2 v0          un2 = un1 + dt^2/4 kv0
+        un3 = (u0 + dt v0) + dt^2/2 kv1
+        u1  = (u0 + dt v0) + dt^2/6 (kv0 + kv1 + kv2)
+        v1  = v0 + dt/6 (kv0 + 2 kv1 + 2 kv2 + kv3)
+
+    so the running b_j-weighted accumulators (8 full-window passes) and
+    the vn_j formations disappear; vn_j is only ever needed inside the
+    ABC damping term, which — like the source term — is a face-plane
+    rank-1 update that is zero on most x-tiles and is applied under
+    ``pl.when`` only on tiles whose slab window contains the face row
+    (the round-5b bisection showed the step kernel is compute-bound;
+    docs/BENCH_NOTES.md). The k=p taps of the y and z stencils share a
+    shift of 0 and are merged into one term (coefficient add on [1, F]).
+    f32 results differ from the reference kernel at association-order
+    ulp level only (tests pin the agreement)."""
+    ix = pl.program_id(0)
+    n = pl.num_programs(0)
+    off0 = _off0(p)
+    S0 = Tx + 2 * off0
+    K = 2 * p + 1
+    F = Ly * Lz
+    is_pad = jnp.logical_or(ix == 0, ix == n - 1)
+    f32 = jnp.float32 if dtype != jnp.float64 else jnp.float64
+    dt = scal_ref[0, 0]
+    g = (scal_ref[0, 1], scal_ref[0, 2], scal_ref[0, 3], scal_ref[0, 4])
+    c0sq = jnp.asarray(c0 * c0, dtype)
+    mc0 = jnp.asarray(-c0, dtype)
+    half = jnp.asarray(0.5, dtype)
+    dt2 = dt * dt
+
+    o3, o2, o1, o0 = off0 - 3 * p, off0 - 2 * p, off0 - p, off0
+    n2, n1, n0 = Tx + 4 * p, Tx + 2 * p, Tx
+
+    def dma(hbm, slab, sem, slot, idx):
+        start = pl.multiple_of(idx * Tx - off0, 8)
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(start, S0)], slab.at[slot], sem.at[slot]
+        )
+
+    @pl.when(ix + 1 <= n - 2)
+    def _():
+        dma(u0_hbm, slab_u, sem_u, (ix + 1) % 2, ix + 1).start()
+        dma(v0_hbm, slab_v, sem_v, (ix + 1) % 2, ix + 1).start()
+
+    @pl.when(is_pad)
+    def _():
+        u1_out[:] = jnp.zeros((Tx, F), dtype=dtype)
+        v1_out[:] = jnp.zeros((Tx, F), dtype=dtype)
+
+    @pl.when(jnp.logical_not(is_pad))
+    def _():
+        dma(u0_hbm, slab_u, sem_u, ix % 2, ix).wait()
+        dma(v0_hbm, slab_v, sem_v, ix % 2, ix).wait()
+        U0 = slab_u[ix % 2]  # [S0, F]
+        V0 = slab_v[ix % 2]
+        # per-tile face-row presence, precomputed XLA-side into SMEM
+        # (an in-kernel vector->scalar reduction would also work but is
+        # a needless Mosaic-lowering risk)
+        has_src = flags_ref[0, 0] > 0
+        has_abc = flags_ref[0, 1] > 0
+
+        def apply_A(xin, wx_ref, o, nrows):
+            """A x on output rows [o, o+nrows); xin = x on
+            [o-p, o+nrows+p). Same roll-chunked y/z stencil as the
+            reference kernel, with the two shift-0 taps merged."""
+            xc = xin[p : p + nrows]
+            sx = sxs_ref[0, o : o + nrows]
+            tx = jnp.einsum(
+                "os,sf->of", wx_ref[0], xin,
+                preferred_element_type=f32, precision=precision,
+            ).astype(dtype)
+            out = tx * fx_ref[:]
+            cv0 = (cvy_ref[p] + cvz_ref[p])[None, :]
+            terms = [(cvy_ref, k, ((p - k) * Lz) % F)
+                     for k in range(K) if k != p]
+            terms += [(cvz_ref, k, (p - k) % F)
+                      for k in range(K) if k != p]
+            first = True
+            e0 = cv0 * xc
+            for i in range(0, len(terms), yz_chunk):
+                e = e0 if i == 0 else None
+                for ref, k, sh in terms[i : i + yz_chunk]:
+                    t = ref[k][None, :] * pltpu.roll(xc, sh, 1)
+                    e = t if e is None else e + t
+                if first:
+                    acc_ref[0:nrows] = e
+                    first = False
+                else:
+                    acc_ref[0:nrows] += e
+            out += acc_ref[0:nrows] * sx
+            return out
+
+        def face_terms(kv_ref, gj, vn_fn, o, nrows):
+            """Source + ABC rank-1 face updates, skipped on tiles whose
+            slab window has no face row (mask identically zero). vn_fn
+            is evaluated lazily so the vn formation itself is also
+            skipped on non-face tiles."""
+            @pl.when(has_src)
+            def _():
+                src = src_ref[0, o : o + nrows]
+                kv_ref[0:nrows] += (c0sq * gj) * (src * w1_ref[:])
+
+            @pl.when(has_abc)
+            def _():
+                abc = abc_ref[0, o : o + nrows]
+                kv_ref[0:nrows] += mc0 * (abc * w2_ref[:]) * vn_fn()
+
+        # stage 0
+        kv0_ref[:] = apply_A(U0[o3 : o3 + n2 + 2 * p], wxa_ref, o2, n2)
+        face_terms(kv0_ref, g[0], lambda: V0[o2 : o2 + n2], o2, n2)
+
+        # stage 1
+        un1 = U0[o2 : o2 + n2] + (half * dt) * V0[o2 : o2 + n2]
+        kv1_ref[:] = apply_A(un1, wxb_ref, o1, n1)
+        face_terms(
+            kv1_ref, g[1],
+            lambda: V0[o1 : o1 + n1]
+            + (half * dt) * kv0_ref[o1 - o2 : o1 - o2 + n1],
+            o1, n1,
+        )
+
+        # stage 2
+        un2 = un1 + (jnp.asarray(0.25, dtype) * dt2) * kv0_ref[:]
+        kv2_ref[:] = apply_A(un2, wxb_ref, o1, n1)
+        face_terms(
+            kv2_ref, g[2],
+            lambda: V0[o1 : o1 + n1] + (half * dt) * kv1_ref[:],
+            o1, n1,
+        )
+
+        # stage 3
+        w = U0[o1 : o1 + n1] + dt * V0[o1 : o1 + n1]
+        un3 = w + (half * dt2) * kv1_ref[:]
+        kv3_ref[:] = apply_A(un3, wxc_ref, o0, n0)
+        face_terms(
+            kv3_ref, g[3],
+            lambda: V0[o0 : o0 + n0]
+            + dt * kv2_ref[o0 - o1 : o0 - o1 + n0],
+            o0, n0,
+        )
+
+        c2, c1 = o0 - o2, o0 - o1
+        s2 = (kv0_ref[c2 : c2 + n0] + kv1_ref[c1 : c1 + n0]
+              + kv2_ref[c1 : c1 + n0])
+        u1_out[:] = w[c1 : c1 + n0] + (dt2 / 6.0) * s2
+        v1_out[:] = V0[o0 : o0 + n0] + (dt / 6.0) * (
+            s2 + kv1_ref[c1 : c1 + n0] + kv2_ref[c1 : c1 + n0]
+            + kv3_ref[:]
+        )
+
+
 def build_step_tables(
     layout: PaddedLayout,
     A: list[np.ndarray],
@@ -305,9 +472,14 @@ def make_rk4_step_raw(
     precision=jax.lax.Precision.HIGHEST,
     ablate: frozenset = frozenset(),
     yz_chunk: int = 9,
+    lean: bool = False,
 ):
     """Fused-step callable with runtime tables (for shard_map operands):
-    ``step(u0, v0, dt, g0, g1, g2, g3, *tables) -> (u1, v1)``."""
+    ``step(u0, v0, dt, g0, g1, g2, g3, *tables) -> (u1, v1)``.
+
+    ``lean=True`` selects :func:`_kernel_rk4_step_lean` (collapsed stage
+    algebra, pl.when face terms, merged shift-0 stencil tap) — same
+    scheme and tables, f32 ulp-order differences only."""
     p = layout.p
     Tx = layout.tile_x
     Lx, Ly, Lz = layout.padded_shape
@@ -325,11 +497,40 @@ def make_rk4_step_raw(
 
     n2, n1, n0 = Tx + 4 * p, Tx + 2 * p, Tx
 
-    kern = functools.partial(
-        _kernel_rk4_step, p=p, Tx=Tx, Ly=Ly, Lz=Lz, dtype=dtype,
-        c0=float(c0), precision=precision, ablate=frozenset(ablate),
-        yz_chunk=yz_chunk,
-    )
+    if lean:
+        if ablate:
+            raise ValueError("ablate is only supported by the reference "
+                             "kernel (lean=False)")
+        kern = functools.partial(
+            _kernel_rk4_step_lean, p=p, Tx=Tx, Ly=Ly, Lz=Lz, dtype=dtype,
+            c0=float(c0), precision=precision, yz_chunk=yz_chunk,
+        )
+        scratch = [
+            pltpu.VMEM((2, S0, F), dtype),
+            pltpu.VMEM((2, S0, F), dtype),
+            pltpu.VMEM((n2, F), dtype),
+            pltpu.VMEM((n2, F), dtype),
+            pltpu.VMEM((n1, F), dtype),
+            pltpu.VMEM((n1, F), dtype),
+            pltpu.VMEM((n0, F), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kern = functools.partial(
+            _kernel_rk4_step, p=p, Tx=Tx, Ly=Ly, Lz=Lz, dtype=dtype,
+            c0=float(c0), precision=precision, ablate=frozenset(ablate),
+            yz_chunk=yz_chunk,
+        )
+        scratch = [
+            pltpu.VMEM((2, S0, F), dtype),
+            pltpu.VMEM((2, S0, F), dtype),
+            pltpu.VMEM((n2, F), dtype),
+            pltpu.VMEM((Tx, F), dtype),
+            pltpu.VMEM((Tx, F), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     grid_n = Lx // Tx
     interpret = jax.default_backend() != "tpu"
 
@@ -343,6 +544,22 @@ def make_rk4_step_raw(
         scal = jnp.stack(
             [jnp.asarray(s, dtype) for s in (dt, g0, g1, g2, g3)]
         ).reshape(1, 5)
+        extra_in, extra_specs = (), ()
+        if lean:
+            flags = jnp.stack(
+                [
+                    (jnp.max(jnp.abs(SRC.reshape(grid_n, -1)), axis=1)
+                     > 0).astype(jnp.int32),
+                    (jnp.max(jnp.abs(ABC.reshape(grid_n, -1)), axis=1)
+                     > 0).astype(jnp.int32),
+                ],
+                axis=1,
+            )
+            extra_in = (flags,)
+            extra_specs = (
+                pl.BlockSpec((1, 2), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+            )
         outs = pl.pallas_call(
             kern,
             interpret=interpret,
@@ -351,6 +568,7 @@ def make_rk4_step_raw(
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, 5), full2, memory_space=pltpu.SMEM),
+            ] + list(extra_specs) + [
                 pl.BlockSpec((1, n2, n2 + 2 * p), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n1, n1 + 2 * p), lambda i: (i, 0, 0),
@@ -372,20 +590,12 @@ def make_rk4_step_raw(
             out_shape=tuple(
                 jax.ShapeDtypeStruct((Lx, F), dtype) for _ in range(2)
             ),
-            scratch_shapes=[
-                pltpu.VMEM((2, S0, F), dtype),
-                pltpu.VMEM((2, S0, F), dtype),
-                pltpu.VMEM((n2, F), dtype),
-                pltpu.VMEM((Tx, F), dtype),
-                pltpu.VMEM((Tx, F), dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024,
             ),
         )(
-            u0.reshape(Lx, F), v0.reshape(Lx, F), scal,
+            u0.reshape(Lx, F), v0.reshape(Lx, F), scal, *extra_in,
             WXA, WXB, WXC, CVY, CVZ, FX, SXS, SRC, ABC, W1, W2,
         )
         u1, v1 = outs
@@ -399,11 +609,12 @@ def make_rk4_step(
     tables: tuple,
     c0: float,
     dtype=jnp.float32,
+    lean: bool = False,
 ):
     """Fused-step callable ``step(u0, v0, dt, g0, g1, g2, g3) -> (u1, v1)``
     on padded 3D arrays, with ``tables`` (from :func:`build_step_tables`)
     closed over as constants (single-device convenience)."""
-    raw = make_rk4_step_raw(layout, c0, dtype)
+    raw = make_rk4_step_raw(layout, c0, dtype, lean=lean)
     jts = tuple(jnp.asarray(t) for t in tables)
 
     def step(u0, v0, dt, g0, g1, g2, g3):

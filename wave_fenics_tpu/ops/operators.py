@@ -504,12 +504,16 @@ class GeneralOperators:
         — this specialization is free accuracy-preserving bandwidth on
         the (very common) affine-cell meshes.
 
-        Default: engaged only at cpr == 1 (p >= 4). At cpr > 1 the
-        packed-row form's in-kernel 0/1 selector matmul costs more than
-        the geo-DMA it saves: the round-5 one-session A/B measured
+        Default: engaged at cpr == 1 (p >= 4) and at p == 1. At p=2/3
+        the packed-row form's in-kernel 0/1 selector matmul costs more
+        than the geo-DMA it saves: the round-5 one-session A/B measured
         per-node stiffness 10-15% FASTER (p=2: 0.735 vs 0.669, p=3:
         1.010 vs 0.880 GDoF/s at 32^3; mass within 3% either way —
-        experiments/logs/r5_batch.json 'p23-affine-ab').
+        experiments/logs/r5_batch.json 'p23-affine-ab'). At p=1
+        (cpr=16, nd=8) the balance flips back: the geo-DMA saved is
+        16x per row and affine wins both ops (mass 0.330 vs 0.271,
+        stiffness 0.258 vs 0.234 GDoF/s at 32^3 —
+        experiments/logs/r5b_bisect.json 'p1-affine-ab').
         WAVE_FENICS_TPU_AFFINE=1 forces it on, _NO_AFFINE disables."""
         import os
 
@@ -519,7 +523,8 @@ class GeneralOperators:
                 or not self._tab.collocated
                 or os.environ.get("WAVE_FENICS_TPU_NO_AFFINE")):
             return None
-        if tb.cpr != 1 and not os.environ.get("WAVE_FENICS_TPU_AFFINE"):
+        if (tb.cpr != 1 and self.dofs.p != 1
+                and not os.environ.get("WAVE_FENICS_TPU_AFFINE")):
             return None
         g6, dJ = af["g6"], af["dJ"]  # [6, nc], [nc] — detected at init
         npdt = np.dtype(self.dtype)

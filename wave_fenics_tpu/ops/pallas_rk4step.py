@@ -269,11 +269,12 @@ def _kernel_rk4_step_lean(
         dma(v0_hbm, slab_v, sem_v, ix % 2, ix).wait()
         U0 = slab_u[ix % 2]  # [S0, F]
         V0 = slab_v[ix % 2]
-        # per-tile face-row presence, precomputed XLA-side into SMEM
-        # (an in-kernel vector->scalar reduction would also work but is
-        # a needless Mosaic-lowering risk)
-        has_src = flags_ref[0, 0] > 0
-        has_abc = flags_ref[0, 1] > 0
+        # per-tile face-row presence, precomputed XLA-side into SMEM.
+        # The whole [grid_n, 2] table is resident (a blocked (1, 2)
+        # spec violates the (8, 128)-divisibility rule on real Mosaic;
+        # SMEM scalar loads take the dynamic program id directly).
+        has_src = flags_ref[ix, 0] > 0
+        has_abc = flags_ref[ix, 1] > 0
 
         def apply_A(xin, wx_ref, o, nrows):
             """A x on output rows [o, o+nrows); xin = x on
@@ -557,7 +558,7 @@ def make_rk4_step_raw(
             )
             extra_in = (flags,)
             extra_specs = (
-                pl.BlockSpec((1, 2), lambda i: (i, 0),
+                pl.BlockSpec((grid_n, 2), full2,
                              memory_space=pltpu.SMEM),
             )
         outs = pl.pallas_call(

@@ -47,11 +47,12 @@ def _parser():
                          "order vs RK4's 4th, so it is a separate "
                          "metric, not the headline. 'lf2': temporal-"
                          "blocked leapfrog (ops.pallas_lf2step)")
-    ap.add_argument("--tile-x", type=int, default=32,
+    ap.add_argument("--tile-x", type=int, default=None,
                     help="padded-layout x tile (multiple of 8 and p; larger "
                          "tiles cut the step kernel's halo read "
-                         "amplification; 32 measured 6.9%% over 16 at "
-                         "steady state, 48 is at the VMEM edge)")
+                         "amplification). Default: 48 for the 'step' "
+                         "solver (lean kernel, r5c chip A/B: 1.309 vs "
+                         "1.400 ms/step at 32), else 32")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) via config update "
                          "(the env var route hangs in this image)")
@@ -264,6 +265,8 @@ def _worker(args):
     solver = args.solver
     if solver == "auto":  # workers get a concrete solver from the parent,
         solver = "base"   # but keep direct --worker invocations runnable
+    if args.tile_x is None:
+        args.tile_x = 48 if solver == "step" else 32
     backend = jax.default_backend()
     if (solver in ("step2", "step", "fused", "padded", "lf", "lf2")
             and backend == "cpu"):
@@ -343,7 +346,9 @@ def _run_candidate(args, solver, canary_timeout, timed_timeout):
         "--worker", "both", "--solver", solver,
         "--cells", *map(str, args.cells),
         "--degree", str(args.degree), "--steps", str(args.steps),
-        "--warmup", str(args.warmup), "--tile-x", str(args.tile_x),
+        "--warmup", str(args.warmup),
+        "--tile-x", str(args.tile_x if args.tile_x is not None
+                        else (48 if solver == "step" else 32)),
     ]
     if args.platform:
         cmd += ["--platform", args.platform]
@@ -462,13 +467,19 @@ def main():
     # gets its subprocess killed mid-dispatch, which can wedge the chip
     # lease for a long time on this backend — so an unvalidated kernel
     # must never run before a known-good one.
+    # (solver, tile_x) pairs; tile None = per-solver default. step@48 is
+    # the r5c record config; step@32 guards against the tile-48 remote
+    # compile-helper flake (HTTP 500s observed at t48/t64 for other
+    # kernels) so a flake degrades the headline 5%, not 2.3x.
     candidates = (
-        ["step", "fused", "padded", "base"] if args.solver == "auto"
-        else [args.solver]
+        [("step", 48), ("step", 32), ("fused", None), ("padded", None),
+         ("base", None)]
+        if args.solver == "auto" else [(args.solver, args.tile_x)]
     )
 
     timed_timeout = max(args.canary_timeout * 2, 600)
-    for solver in candidates:
+    for solver, tile in candidates:
+        args.tile_x = tile
         out, err = _run_candidate(
             args, solver, args.canary_timeout, timed_timeout
         )
@@ -476,7 +487,7 @@ def main():
             signal.alarm(0)
             print(out, flush=True)
             return
-        print(f"# candidate {solver} failed: {err}",
+        print(f"# candidate {solver}@tile{tile} failed: {err}",
               file=sys.stderr, flush=True)
     _fail_line(args.degree, "no solver produced a result "
                             "(device unresponsive or kernels broken)")

@@ -98,7 +98,11 @@ def run(cfg: SimulationConfig) -> dict:
         # production grid takes hours.
         from ..models.linear_wave_padded import PaddedLinearWave
 
-        pm = PaddedLinearWave(m, tile_x=32 if m.p == 4 else 16)
+        # RK4 step kernel: tile 48 (lean kernel, r5c chip A/B 1.309 vs
+        # 1.400 ms/step at 32); leapfrog keeps its measured tile 32
+        tx = 48 if (integrator == "rk4" and m.p == 4) else (
+            32 if m.p == 4 else 16)
+        pm = PaddedLinearWave(m, tile_x=tx)
         u, v = pm.zero_state()
     else:
         u, v = m.zero_state()

@@ -350,13 +350,10 @@ class _StepMixin:
             self.layout, A, lines, -float(b.c0) ** 2, self._m_lines,
             w1, w2, src_x, abc_x, dtype=b.dtype,
         )
-        # experiment knob (default-off): WAVE_FENICS_STEP_LEAN=1 selects
-        # the compute-lean step kernel (collapsed stage algebra +
-        # pl.when face terms; ulp-order f32 differences only) — opt-in
-        # until a chip A/B record exists (docs/BENCH_NOTES.md round 5b)
-        lean = os.environ.get("WAVE_FENICS_STEP_LEAN") == "1"
-        return make_rk4_step(self.layout, tables, b.c0, dtype=b.dtype,
-                             lean=lean)
+        # lean kernel is the chip-validated production default (r5c);
+        # WAVE_FENICS_STEP_LEAN=0 opts back into the reference kernel
+        # (resolved inside make_rk4_step_raw)
+        return make_rk4_step(self.layout, tables, b.c0, dtype=b.dtype)
 
     def solve_step_n(self, t0, dt, nsteps, u0=None, v0=None):
         """RK4 with ONE fused kernel per step (communication-avoiding:

@@ -473,14 +473,22 @@ def make_rk4_step_raw(
     precision=jax.lax.Precision.HIGHEST,
     ablate: frozenset = frozenset(),
     yz_chunk: int = 9,
-    lean: bool = False,
+    lean: bool | None = None,
 ):
     """Fused-step callable with runtime tables (for shard_map operands):
     ``step(u0, v0, dt, g0, g1, g2, g3, *tables) -> (u1, v1)``.
 
-    ``lean=True`` selects :func:`_kernel_rk4_step_lean` (collapsed stage
+    ``lean`` selects :func:`_kernel_rk4_step_lean` (collapsed stage
     algebra, pl.when face terms, merged shift-0 stencil tap) — same
-    scheme and tables, f32 ulp-order differences only."""
+    scheme and tables, f32 ulp-order differences only. Default (None)
+    resolves to True — the lean kernel is chip-validated production
+    (r5c: 1.309 ms/step at tile 48 vs 1.400 reference, on-chip
+    agreement 7.1e-7; docs/BENCH_NOTES.md round 5c) — unless
+    WAVE_FENICS_STEP_LEAN=0 opts back into the reference kernel."""
+    import os
+
+    if lean is None:
+        lean = os.environ.get("WAVE_FENICS_STEP_LEAN", "1") == "1"
     p = layout.p
     Tx = layout.tile_x
     Lx, Ly, Lz = layout.padded_shape
@@ -610,11 +618,12 @@ def make_rk4_step(
     tables: tuple,
     c0: float,
     dtype=jnp.float32,
-    lean: bool = False,
+    lean: bool | None = None,
 ):
     """Fused-step callable ``step(u0, v0, dt, g0, g1, g2, g3) -> (u1, v1)``
     on padded 3D arrays, with ``tables`` (from :func:`build_step_tables`)
-    closed over as constants (single-device convenience)."""
+    closed over as constants (single-device convenience). ``lean=None``
+    resolves as in :func:`make_rk4_step_raw` (default: lean kernel)."""
     raw = make_rk4_step_raw(layout, c0, dtype, lean=lean)
     jts = tuple(jnp.asarray(t) for t in tables)
 

@@ -296,9 +296,21 @@ def _worker(args):
     # backends, so timeit forces a device->host element fetch
     if solver in ("lf2", "step2") and args.steps % 2:
         raise RuntimeError(f"--steps must be even for solver {solver}")
-    elapsed = timeit(run, u0, v0, _np.int32(args.steps), reps=3,
-                     warmup=args.warmup)
-    gdof_steps = ndofs * args.steps / elapsed / 1e9
+    # Two-point timing (repo convention, docs/BENCH_NOTES.md round 4b):
+    # time TWO trip counts of the SAME dynamic-trip executable and
+    # difference them, so the per-dispatch tunnel RTT (6-30 ms/session)
+    # and the sync fetch cancel instead of being amortized into the rate.
+    n_lo = max(args.steps // 4, 2)
+    n_lo -= n_lo % 2  # keep valid for the 2-step solvers
+    t_hi = timeit(run, u0, v0, _np.int32(args.steps), reps=3,
+                  warmup=args.warmup)
+    t_lo = timeit(run, u0, v0, _np.int32(n_lo), reps=3, warmup=1)
+    if t_hi > t_lo:
+        per_step = (t_hi - t_lo) / (args.steps - n_lo)
+    else:  # pathological noise: fall back to the single-window rate
+        per_step = t_hi / args.steps
+    elapsed = per_step * args.steps
+    gdof_steps = ndofs / per_step / 1e9
     name = "leapfrog" if solver in ("lf", "lf2") else "RK4"
     out = {
         "metric": f"planar3d {name} GDoF*steps/s (p={args.degree}, "
@@ -306,6 +318,7 @@ def _worker(args):
         "value": round(gdof_steps, 4),
         "unit": "GDoF*steps/s",
         "vs_baseline": round(gdof_steps / 1.0, 4),
+        "timing": f"two-point ({args.steps}-{n_lo} steps)",
     }
     if solver in ("lf", "lf2", "step2"):
         out["ms_per_step"] = round(elapsed / args.steps * 1e3, 4)

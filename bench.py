@@ -50,9 +50,10 @@ def _parser():
     ap.add_argument("--tile-x", type=int, default=None,
                     help="padded-layout x tile (multiple of 8 and p; larger "
                          "tiles cut the step kernel's halo read "
-                         "amplification). Default: 48 for the 'step' "
-                         "solver (lean kernel, r5c chip A/B: 1.309 vs "
-                         "1.400 ms/step at 32), else 32")
+                         "amplification). Default: 48 for the 'step'/'lf'/"
+                         "'lf2' solvers (chip A/Bs r5c 1.309 vs 1.400 "
+                         "ms/step, r5d lf 0.8073 vs 0.8242, lf2 0.5593 "
+                         "vs 0.5949), else 32")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) via config update "
                          "(the env var route hangs in this image)")
@@ -266,7 +267,7 @@ def _worker(args):
     if solver == "auto":  # workers get a concrete solver from the parent,
         solver = "base"   # but keep direct --worker invocations runnable
     if args.tile_x is None:
-        args.tile_x = 48 if solver == "step" else 32
+        args.tile_x = 48 if solver in ("step", "lf", "lf2") else 32
     backend = jax.default_backend()
     if (solver in ("step2", "step", "fused", "padded", "lf", "lf2")
             and backend == "cpu"):
@@ -302,9 +303,12 @@ def _worker(args):
     # and the sync fetch cancel instead of being amortized into the rate.
     n_lo = max(args.steps // 4, 2)
     n_lo -= n_lo % 2  # keep valid for the 2-step solvers
+    if n_lo >= args.steps:  # degenerate tiny windows: single-point only
+        n_lo = 0
     t_hi = timeit(run, u0, v0, _np.int32(args.steps), reps=3,
                   warmup=args.warmup)
-    t_lo = timeit(run, u0, v0, _np.int32(n_lo), reps=3, warmup=1)
+    t_lo = (timeit(run, u0, v0, _np.int32(n_lo), reps=3, warmup=1)
+            if n_lo else 0.0)
     if t_hi > t_lo:
         per_step = (t_hi - t_lo) / (args.steps - n_lo)
     else:  # pathological noise: fall back to the single-window rate
@@ -361,7 +365,8 @@ def _run_candidate(args, solver, canary_timeout, timed_timeout):
         "--degree", str(args.degree), "--steps", str(args.steps),
         "--warmup", str(args.warmup),
         "--tile-x", str(args.tile_x if args.tile_x is not None
-                        else (48 if solver == "step" else 32)),
+                        else (48 if solver in ("step", "lf", "lf2")
+                              else 32)),
     ]
     if args.platform:
         cmd += ["--platform", args.platform]

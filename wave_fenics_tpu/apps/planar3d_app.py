@@ -98,10 +98,10 @@ def run(cfg: SimulationConfig) -> dict:
         # production grid takes hours.
         from ..models.linear_wave_padded import PaddedLinearWave
 
-        # RK4 step kernel: tile 48 (lean kernel, r5c chip A/B 1.309 vs
-        # 1.400 ms/step at 32); leapfrog keeps its measured tile 32
-        tx = 48 if (integrator == "rk4" and m.p == 4) else (
-            32 if m.p == 4 else 16)
+        # tile 48 at p=4 for ALL step kernels: RK4 r5c chip A/B 1.309 vs
+        # 1.400 ms/step at 32; leapfrog r5d chip A/B lf 0.8073 vs 0.8242,
+        # lf2 0.5593 vs 0.5949 (experiments/logs/r5d_lf48.json)
+        tx = 48 if m.p == 4 else 16
         pm = PaddedLinearWave(m, tile_x=tx)
         u, v = pm.zero_state()
     else:

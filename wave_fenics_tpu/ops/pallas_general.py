@@ -942,8 +942,8 @@ def make_general_call(
         num_scalar_prefetch=1,
         grid=(nbatch // C,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # y0 (aliased)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xv
+            pl.BlockSpec(memory_space=pl.ANY),  # y0 (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),  # xv
             chain_spec(max(kg, 1)),  # g_lane
             chain_spec(max(kg, 1), _LANES, _LANES),  # g_rowt (transposed)
             chain_spec(max(ks, 1), _LANES, H),  # s_rowt (transposed)
@@ -959,7 +959,7 @@ def make_general_call(
              if affine else chain_spec(ngeo, R)),  # geo
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dmats (whole)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=(
             [
                 pltpu.VMEM((nrows, _LANES), dtype),  # xacc (whole x)

@@ -128,7 +128,7 @@ def run(cfg: SimulationConfig) -> dict:
     chunk = cfg.run.checkpoint_every_steps if cm else max(nstep, 1)
     chunk = min(chunk, max(nstep - step0, 1))
 
-    compile_s = None
+    compile_s = warmup_s = None
     if sharded:
         if is_general:
             solver_path = f"sharded general ({integrator}, RCB, ndev=%d)" % ndev
@@ -311,6 +311,29 @@ def run(cfg: SimulationConfig) -> dict:
         log.info("compile: %.3f s (AOT, excluded from solve time)",
                  compile_s)
 
+        # Warm-call every compiled executable ONCE before the solve
+        # timer (outputs discarded — the solve still starts from the
+        # true initial state). On the tunneled backend the FIRST
+        # execution of the first Pallas program in a process pays a
+        # large deferred program-load cost (r5e probe: 18.70 s vs
+        # 0.05 s for the identical second n=1 call,
+        # experiments/logs/r5e_app.json); without this, that cost
+        # lands inside solve_seconds (measured: 17.66 s for a 2.3 s
+        # solve). bench.py's canary has always absorbed it; the app
+        # now does the same.
+        tw0 = time.perf_counter()
+        from ..utils.timing import sync as _sync
+
+        _w = compiled(u, v, _targ(t), np.int32(2))
+        _sync(*jax.tree.leaves(_w))
+        if tail_compiled is not None:
+            _w = tail_compiled(u, v, _targ(t), np.int32(1))
+            _sync(*jax.tree.leaves(_w))
+        del _w
+        warmup_s = time.perf_counter() - tw0
+        log.info("warmup: %.3f s (first-execution program load, "
+                 "excluded from solve time)", warmup_s)
+
         if tail_fn is None:
             solve_chunk = lambda u, v, t0_, n: (
                 *compiled(u, v, _targ(t0_), np.int32(n)), None)
@@ -384,6 +407,7 @@ def run(cfg: SimulationConfig) -> dict:
         "u_norm": float(jnp.linalg.norm(u.astype(jnp.float32))),
         "solver_path": solver_path,
         "compile_seconds": compile_s,
+        "warmup_seconds": warmup_s,
     }
 
 

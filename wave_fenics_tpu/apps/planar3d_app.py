@@ -322,13 +322,11 @@ def run(cfg: SimulationConfig) -> dict:
         # solve). bench.py's canary has always absorbed it; the app
         # now does the same.
         tw0 = time.perf_counter()
-        from ..utils.timing import sync as _sync
-
         _w = compiled(u, v, _targ(t), np.int32(2))
-        _sync(*jax.tree.leaves(_w))
+        sync(*jax.tree.leaves(_w))
         if tail_compiled is not None:
             _w = tail_compiled(u, v, _targ(t), np.int32(1))
-            _sync(*jax.tree.leaves(_w))
+            sync(*jax.tree.leaves(_w))
         del _w
         warmup_s = time.perf_counter() - tw0
         log.info("warmup: %.3f s (first-execution program load, "

@@ -175,6 +175,36 @@ def run(cfg: SimulationConfig) -> dict:
                 )
             uo, vo = _solvers[n](u, v, jnp.asarray(t0_))
             return uo, vo, None
+
+        # AOT + warmup discipline (same as the single-device branch
+        # below): build and warm-call the predictable chunk-length
+        # solvers BEFORE the solve timer — a lazy in-timer compile
+        # costs ~2 min through the tunnel and the first execution can
+        # carry ~19 s of deferred program load (docs/BENCH_NOTES.md
+        # rounds 4d and 5e). The chunk schedule is chunk-sized pieces
+        # plus one remainder, so both lengths are known up front.
+        if nstep > step0:
+            tc0 = time.perf_counter()
+            lengths = {min(chunk, nstep - step0)}
+            rem = (nstep - step0) % chunk
+            if rem:
+                lengths.add(rem)
+            for n in sorted(lengths):
+                _solvers[n] = hoisted_jit(
+                    lambda uu, vv, tt, _n=n: step_n(uu, vv, tt, _n),
+                    u, v, jnp.asarray(t),
+                )
+            compile_s = time.perf_counter() - tc0
+            log.info("compile: %.3f s (AOT trace, excluded from solve "
+                     "time)", compile_s)
+            tw0 = time.perf_counter()
+            for n in sorted(lengths):
+                _w = _solvers[n](u, v, jnp.asarray(t))
+                sync(*jax.tree.leaves(_w))
+            del _w
+            warmup_s = time.perf_counter() - tw0
+            log.info("warmup: %.3f s (compile + first-execution "
+                     "program load, excluded from solve time)", warmup_s)
     else:
         # single-device: every path integrates under a TRACED step count
         # (fori_loop) so one executable serves all chunk lengths, and the

@@ -62,13 +62,18 @@ def _parser():
                          "compiled+executed; a committed bench_cache hit "
                          "makes this seconds, a cold tile-32 step compile "
                          "measures ~14 minutes)")
-    ap.add_argument("--warm-timeout", type=int, default=900,
-                    help="seconds for the worker's in-process lease warmer "
-                         "(client establishment through the tunnel measures "
-                         "5-15 minutes when any client ran recently)")
-    ap.add_argument("--watchdog", type=int, default=2700,
+    ap.add_argument("--warm-timeout", type=int, default=1800,
+                    help="seconds for the worker's in-process lease warmer. "
+                         "Client establishment through the tunnel measures "
+                         "5-15 minutes when any client ran recently and "
+                         "r4d/r5e recorded >21-minute cases, so the default "
+                         "must cover the worst MEASURED establishment — "
+                         "killing a merely-queued worker is what wedges "
+                         "the lease")
+    ap.add_argument("--watchdog", type=int, default=4500,
                     help="overall seconds before emitting a failure line "
-                         "(0=off)")
+                         "(0=off; sized to warm + canary + timed for one "
+                         "candidate plus a degraded retry)")
     ap.add_argument("--worker", choices=["canary", "timed", "both", "warm"],
                     default=None, help=argparse.SUPPRESS)
     return ap
